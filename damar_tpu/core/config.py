@@ -1,0 +1,75 @@
+"""Typed per-phase configuration with reference-default parameter values.
+
+One dataclass per pipeline phase (SURVEY.md §5.6): values default to the
+lineage tool defaults (daligner -k14 -w6 -h35 -e.70 -l1000 -s100
+⟨VERIFY against mount⟩).  Everything the compute kernels need is static
+Python state so configs can be closed over by jitted functions.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class OverlapConfig:
+    """daligner-equivalent parameters."""
+    kmer: int = 14              # -k  seed k-mer size
+    band_shift: int = 6         # -w  diagonal bucket width = 2^w
+    hit_min: int = 35           # -h  min covered bases in a diagonal band
+    max_kmer_count: int = 0     # -t  suppress k-mers occurring > t (0 = auto)
+    err: float = 0.70           # -e  min correlation (1 - pair error rate)
+    min_len: int = 1000         # -l  min overlap length to report
+    tspace: int = 100           # -s  trace-point spacing
+    identity: bool = True       # -I  report self-overlaps of a read? (False)
+    # --- TPU kernel shape parameters (not in the reference) ---
+    band_width: int = 128       # DP band lanes (multiple of 128)
+    xdrop: int = 60             # X-drop termination threshold (diff units)
+    seed_batch: int = 2048      # seeds extended per kernel launch
+    max_read_len: int = 65536   # static bound on read length in kernels
+    diff_cost: int = 3          # score = antidiag - diff_cost * diffs
+
+    @property
+    def bucket_width(self) -> int:
+        return 1 << self.band_shift
+
+
+@dataclass(frozen=True)
+class MaskConfig:
+    """datander/TANmask/REPmask/LArepeat-equivalent parameters."""
+    tan_min_len: int = 500       # min tandem interval length to mask
+    rep_cov: int = 10            # REPmask -c: coverage threshold
+    rep_low: float = 1.5         # LArepeat -l: low multiple of expected cov
+    rep_high: float = 2.0        # LArepeat -h: high multiple
+    dust_window: int = 64        # DBdust window
+    dust_thresh: float = 2.0     # DBdust score threshold
+
+
+@dataclass(frozen=True)
+class ScrubConfig:
+    """LAstitch/LAq/LAfix/LAgap/LAfilter-equivalent parameters."""
+    stitch_fuzz: int = 100       # LAstitch -f: max unaligned gap to stitch
+    q_good: int = 25             # segment diff count considered good
+    q_bad: int = 35              # segment diff count considered bad
+    min_cov_patch: int = 1       # min alternatives to patch a segment
+    gap_min_cov: int = 2         # LAgap: coverage below -> break candidate
+    min_trim_len: int = 1000     # drop reads shorter than this after trim
+    filter_min_len: int = 1000   # LAfilter: min overlap length kept
+    filter_max_diff: float = 0.35  # max error rate of kept overlaps
+
+
+@dataclass(frozen=True)
+class TourConfig:
+    """OGbuild/OGtour parameters."""
+    min_dovetail: int = 1000     # min dovetail overlap for a graph edge
+    bubble_max: int = 8          # max path length when popping bubbles
+    spur_len: int = 3            # max spur length to clip
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    overlap: OverlapConfig = field(default_factory=OverlapConfig)
+    mask: MaskConfig = field(default_factory=MaskConfig)
+    scrub: ScrubConfig = field(default_factory=ScrubConfig)
+    tour: TourConfig = field(default_factory=TourConfig)
+    block_mb: int = 200          # DBsplit -s
+    min_read_len: int = 500      # DBsplit -x

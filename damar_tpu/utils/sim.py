@@ -1,0 +1,125 @@
+"""Synthetic long-read simulator (PacBio-CLR-like).
+
+The reference lineage validates with an E. coli PacBio example dataset
+(SURVEY.md §4).  With no dataset shippable in this environment, this
+simulator is the test/bench data source: a random (optionally
+repeat-seeded) genome, reads sampled with known position/strand, and
+CLR-style errors (insertions ~ deletions ~ substitutions) applied at a
+configurable rate.  Ground truth lets tests assert overlap recall and
+contig identity precisely.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class SimReads:
+    genome: np.ndarray           # uint8 codes
+    reads: list[np.ndarray]      # uint8 codes per read
+    start: np.ndarray            # genome start of each read's span
+    end: np.ndarray              # genome end
+    strand: np.ndarray           # 0 fwd, 1 revcomp
+    err: float
+
+    def true_overlap(self, i: int, j: int, min_olap: int = 1) -> bool:
+        lo = max(self.start[i], self.start[j])
+        hi = min(self.end[i], self.end[j])
+        return (hi - lo) >= min_olap
+
+
+def make_genome(length: int, seed: int = 0, n_repeats: int = 0,
+                repeat_len: int = 2000, tandem: int = 0,
+                tandem_period: int = 100, tandem_len: int = 2000
+                ) -> np.ndarray:
+    """Random genome; optionally plant exact repeat copies and tandems."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, size=length, dtype=np.uint8)
+    if n_repeats > 0:
+        unit = rng.integers(0, 4, size=repeat_len, dtype=np.uint8)
+        spots = rng.choice(length - repeat_len, size=n_repeats, replace=False)
+        for s in spots:
+            g[s:s + repeat_len] = unit
+    for _ in range(tandem):
+        unit = rng.integers(0, 4, size=tandem_period, dtype=np.uint8)
+        s = int(rng.integers(0, length - tandem_len))
+        reps = np.tile(unit, tandem_len // tandem_period + 1)[:tandem_len]
+        g[s:s + tandem_len] = reps
+    return g
+
+
+def mutate(seq: np.ndarray, err: float, rng: np.random.Generator,
+           ins_frac: float = 0.45, del_frac: float = 0.35) -> np.ndarray:
+    """Apply CLR-style errors.  err is the total per-base error rate,
+    split ins/del/sub (PacBio CLR is insertion-dominated)."""
+    if err <= 0:
+        return seq.copy()
+    n = len(seq)
+    r = rng.random(n)
+    p_ins = err * ins_frac
+    p_del = err * del_frac
+    p_sub = err - p_ins - p_del
+    out = []
+    # vectorized-ish: build per-position op codes then expand
+    ops = np.zeros(n, dtype=np.uint8)  # 0 keep, 1 sub, 2 del, 3 ins-before
+    ops[r < p_sub] = 1
+    ops[(r >= p_sub) & (r < p_sub + p_del)] = 2
+    ops[(r >= p_sub + p_del) & (r < err)] = 3
+    subs = (seq + rng.integers(1, 4, size=n)) % 4
+    for i in range(n):
+        o = ops[i]
+        if o == 0:
+            out.append(seq[i])
+        elif o == 1:
+            out.append(subs[i])
+        elif o == 2:
+            continue
+        else:
+            out.append(rng.integers(0, 4))
+            out.append(seq[i])
+    return np.array(out, dtype=np.uint8)
+
+
+def sample_reads(genome: np.ndarray, coverage: float, mean_len: int,
+                 err: float = 0.14, seed: int = 1, min_len: int = 500,
+                 circular: bool = True) -> SimReads:
+    """Sample reads to a target coverage with exponential-ish lengths."""
+    from damar_tpu.formats.fasta import revcomp
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    total = int(G * coverage)
+    reads, starts, ends, strands = [], [], [], []
+    acc = 0
+    gg = np.concatenate([genome, genome]) if circular else genome
+    while acc < total:
+        L = int(np.clip(rng.gamma(3.0, mean_len / 3.0), min_len, G))
+        s = int(rng.integers(0, G if circular else max(1, G - L)))
+        span = gg[s:s + L]
+        if len(span) < min_len:
+            continue
+        strand = int(rng.integers(0, 2))
+        r = span if strand == 0 else revcomp(span)
+        r = mutate(r, err, rng)
+        if len(r) < min_len:
+            continue
+        reads.append(r)
+        starts.append(s)
+        ends.append(s + L)
+        strands.append(strand)
+        acc += L
+    return SimReads(
+        genome=genome, reads=reads,
+        start=np.array(starts), end=np.array(ends),
+        strand=np.array(strands), err=err,
+    )
+
+
+def write_sim_fasta(path: str, sim: SimReads) -> None:
+    from damar_tpu.formats.fasta import write_fasta
+    headers = [
+        f"sim/{i}/0_{len(r)} start={sim.start[i]} end={sim.end[i]} "
+        f"strand={sim.strand[i]}"
+        for i, r in enumerate(sim.reads)]
+    write_fasta(path, headers, sim.reads)
