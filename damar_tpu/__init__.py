@@ -20,3 +20,25 @@ Layer map (mirrors SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache unless the user already
+    configured one.  The alignment kernels compile large loop nests
+    (minutes on CPU); caching makes every process after the first start
+    instantly.  Opt out with DAMAR_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("DAMAR_NO_COMPILE_CACHE"):
+        return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+    cache = _os.path.join(
+        _os.path.expanduser("~"), ".cache", "damar_tpu", "jax_cache")
+    _os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+_enable_compilation_cache()

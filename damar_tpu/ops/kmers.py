@@ -1,0 +1,71 @@
+"""K-mer code extraction over packed block base arrays.
+
+TPU-first equivalent of the k-mer tuple build in the overlapper's
+seeding stage (SURVEY.md §2.3 'k-mer seeding', upstream dalign/filter.c
+Sort_Kmers — upstream-path citation, reference mount empty): instead of
+a scalar loop building (code, read, pos) tuples, the whole block's code
+vector is computed with k shifted adds over the base array (VPU-shaped,
+no gather), and validity is a vector predicate.
+
+A k-mer starting at global position i is valid iff the window lies
+within one read (read_id[i] == read_id[i+k-1]; the padding sentinel
+read_id kills windows that touch padding) and no soft-mask covers its
+start position.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID_CODE = jnp.uint32(0xFFFFFFFF)
+
+
+def kmer_codes(bases: jax.Array, read_id: jax.Array, k: int,
+               mask: jax.Array | None = None
+               ) -> tuple[jax.Array, jax.Array]:
+    """Compute k-mer codes and validity for every position of a block.
+
+    bases:   uint8[N] base codes 0..3 (PAD_BASE=4 padding)
+    read_id: int32[N] position -> read ordinal (sentinel at padding)
+    mask:    optional bool[N], True = suppress k-mers starting here
+
+    Returns (codes uint32[N], valid bool[N]); invalid positions have
+    code INVALID_CODE so a single sort moves them to the end.
+    """
+    n = bases.shape[0]
+    b = bases.astype(jnp.uint32)
+    code = jnp.zeros(n, dtype=jnp.uint32)
+    for j in range(k):
+        # roll wraps at the end; wrapped windows are invalid anyway
+        code = (code << 2) | jnp.roll(b, -j)
+    valid = read_id == jnp.roll(read_id, -(k - 1))
+    # windows wrapping past the array end
+    idx = jnp.arange(n)
+    valid &= idx <= n - k
+    # padding bases (>=4) poison the code beyond 2k bits only if k*2<32;
+    # guard explicitly: window start must be a real base
+    valid &= bases < 4
+    if mask is not None:
+        valid &= ~mask
+    codes = jnp.where(valid, code, INVALID_CODE)
+    return codes, valid
+
+
+def mask_vector_from_track(track_data: list[np.ndarray],
+                           starts: np.ndarray, cap: int) -> np.ndarray:
+    """Host-side: expand per-read mask intervals (flat [b,e,...] lists,
+    read-local coordinates) into a global bool[cap] suppression vector
+    for a block (the daligner -m soft-mask input path)."""
+    out = np.zeros(cap, dtype=bool)
+    for j, iv in enumerate(track_data):
+        if len(iv) == 0:
+            continue
+        s = int(starts[j])
+        e = int(starts[j + 1])
+        p = iv.reshape(-1, 2)
+        for b, t in p:
+            lo = min(s + int(b), e)
+            hi = min(s + int(t), e)
+            out[lo:hi] = True
+    return out

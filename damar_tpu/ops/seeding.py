@@ -1,0 +1,186 @@
+"""Seed hit detection: sorted k-mer merge + diagonal band filter.
+
+TPU-native re-design of the overlapper's Match_Filter stage
+(SURVEY.md §2.3, upstream dalign/filter.c — upstream-path citation,
+reference mount empty).  The reference does a multi-pass LSD radix sort
+of (code,pos) tuples then a scalar merge; here both index build and
+merge are fixed-shape vector programs:
+
+  1. build_index: lax.sort of (code, pos) — invalid codes sort to the
+     end as 0xFFFFFFFF.
+  2. match_hits: for every B tuple, the matching A run is located with
+     two vectorized searchsorted passes; hits are materialized into a
+     static-capacity buffer by inverting the cumulative hit count with
+     a searchsorted over implicit hit ordinals (two-phase count-then-
+     compact batching — no dynamic shapes anywhere).
+  3. diagonal_filter: hits are double-bucketed into diagonal bands of
+     width 2^w (each hit counted in its band and the next, covering
+     band-straddling seeds, as the reference's adjacent-band counting
+     does), lex-sorted by (pair, band, apos), novel-coverage summed per
+     band segment, and bands with >= h covered bases emit one anchor
+     seed (the first hit of the band).
+
+All outputs are (arrays-of-capacity, count, overflowed) triples.
+
+NOTE int32 limits: cumulative hit counts use int32; callers must keep
+per-launch tuple counts below ~2^31/t (enforced by block capacity).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from damar_tpu.ops.kmers import INVALID_CODE, kmer_codes
+
+INT32_MAX = jnp.int32(0x7FFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def build_index(bases, read_id, k: int, mask=None):
+    """Sorted k-mer index of a block: (codes_sorted, pos_sorted)."""
+    codes, _ = kmer_codes(bases, read_id, k, mask)
+    pos = jnp.arange(bases.shape[0], dtype=jnp.int32)
+    codes_s, pos_s = jax.lax.sort((codes, pos), num_keys=1)
+    return codes_s, pos_s
+
+
+@partial(jax.jit, static_argnames=("hit_cap", "max_count"))
+def match_hits(a_codes, a_pos, b_codes, b_pos, hit_cap: int,
+               max_count: int = 128):
+    """Merge two sorted k-mer indexes into (apos, bpos) hit pairs.
+
+    For each B tuple the matching A run [lo, hi) is found by binary
+    search; runs longer than max_count on either side are suppressed
+    (the -t k-mer frequency cutoff).  Hits are emitted in B-tuple-major
+    order into a buffer of hit_cap.
+
+    Returns (apos[i32 cap], bpos[i32 cap], nhits, total) — nhits is the
+    number of valid entries (= min(total, hit_cap)); total > hit_cap
+    means overflow and the caller should re-run with a bigger cap.
+    """
+    n_b = b_codes.shape[0]
+    lo = jnp.searchsorted(a_codes, b_codes, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(a_codes, b_codes, side="right").astype(jnp.int32)
+    count_a = hi - lo
+    # B-side run lengths (suppress high-frequency k-mers symmetrically)
+    blo = jnp.searchsorted(b_codes, b_codes, side="left").astype(jnp.int32)
+    bhi = jnp.searchsorted(b_codes, b_codes, side="right").astype(jnp.int32)
+    count_b = bhi - blo
+    ok = (b_codes != INVALID_CODE) & (count_a <= max_count) \
+        & (count_b <= max_count)
+    c = jnp.where(ok, count_a, 0)
+    cum = jnp.cumsum(c, dtype=jnp.int32)           # inclusive
+    total = cum[-1]
+    h = jnp.arange(hit_cap, dtype=jnp.int32)
+    bidx = jnp.searchsorted(cum, h, side="right").astype(jnp.int32)
+    bidx_c = jnp.minimum(bidx, n_b - 1)
+    prev = jnp.where(bidx_c > 0, cum[jnp.maximum(bidx_c - 1, 0)], 0)
+    off = h - prev
+    apos = a_pos[jnp.minimum(lo[bidx_c] + off, a_pos.shape[0] - 1)]
+    bpos = b_pos[bidx_c]
+    nhits = jnp.minimum(total, hit_cap)
+    live = h < nhits
+    apos = jnp.where(live, apos, -1)
+    bpos = jnp.where(live, bpos, -1)
+    return apos, bpos, nhits, total
+
+
+@partial(jax.jit, static_argnames=(
+    "band_shift", "hit_min", "kmer", "seed_cap", "upper_only"))
+def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
+                    band_shift: int, hit_min: int, kmer: int,
+                    seed_cap: int, upper_only: bool):
+    """Band hits by (read pair, diagonal/2^w) and emit anchor seeds for
+    bands whose novel k-mer coverage reaches hit_min bases.
+
+    upper_only: keep only aread < bread pairs (self-block comparison:
+    each unordered pair is processed once; mirrors are synthesized at
+    emission).  Returns (aread, bread, apos, bpos, cov) seed arrays of
+    seed_cap + (nseeds, total_seeds).
+    """
+    n = apos.shape[0]
+    live = jnp.arange(n, dtype=jnp.int32) < nhits
+    ar = a_read_id[jnp.maximum(apos, 0)]
+    br = b_read_id[jnp.maximum(bpos, 0)]
+    if upper_only:
+        live &= ar < br
+    pair = jnp.where(live, ar * jnp.int32(nreads_b) + br, INT32_MAX)
+    bcap = jnp.int32(b_read_id.shape[0])
+    diag = apos - bpos + bcap                      # nonnegative
+    bucket = (diag >> band_shift).astype(jnp.int32)
+
+    # double-bucket: count each hit in its band and the next band up,
+    # so a seed straddling a band boundary is seen whole in one of them
+    pair2 = jnp.concatenate([pair, pair])
+    bucket2 = jnp.concatenate([bucket, bucket + 1])
+    apos2 = jnp.concatenate([apos, apos])
+    bpos2 = jnp.concatenate([bpos, bpos])
+    pair_s, bucket_s, apos_s, bpos_s = jax.lax.sort(
+        (pair2, bucket2, apos2, bpos2), num_keys=3)
+
+    m = 2 * n
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (pair_s[1:] != pair_s[:-1]) | (bucket_s[1:] != bucket_s[:-1])])
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    prev_apos = jnp.concatenate([apos_s[:1], apos_s[:-1]])
+    cov = jnp.where(first, kmer,
+                    jnp.minimum(apos_s - prev_apos, kmer)).astype(jnp.int32)
+    cov = jnp.maximum(cov, 0)
+    seg_sum = jax.ops.segment_sum(cov, seg_id, num_segments=m,
+                                  indices_are_sorted=True)
+    good = (seg_sum[seg_id] >= hit_min) & (pair_s != INT32_MAX)
+    rep = first & good                              # one seed per band
+
+    # compact representatives into the seed buffer
+    posn = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    total_seeds = posn[-1] + 1
+    write = rep & (posn < seed_cap)
+    tgt = jnp.where(write, posn, seed_cap)          # dump row at seed_cap
+    out_ar = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(write, a_read_id[jnp.maximum(apos_s, 0)], -1))[:seed_cap]
+    out_br = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(write, b_read_id[jnp.maximum(bpos_s, 0)], -1))[:seed_cap]
+    out_ap = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(write, apos_s, -1))[:seed_cap]
+    out_bp = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(write, bpos_s, -1))[:seed_cap]
+    out_cov = jnp.zeros(seed_cap + 1, jnp.int32).at[tgt].set(
+        jnp.where(write, seg_sum[seg_id], 0))[:seed_cap]
+    nseeds = jnp.minimum(total_seeds, seed_cap)
+    return out_ar, out_br, out_ap, out_bp, out_cov, nseeds, total_seeds
+
+
+def find_seeds(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
+               upper_only: bool = False, hit_cap: int = 1 << 20,
+               seed_cap: int = 1 << 16):
+    """Host-callable seeding driver for one (A block, B orientation).
+
+    blk_a/blk_b: core.blocks.ReadBlock (B already rev-complemented for
+    the COMP pass).  Returns dict of numpy seed arrays + counts.
+    """
+    import numpy as np
+    a_bases = jnp.asarray(blk_a.bases)
+    a_rid = jnp.asarray(blk_a.read_id)
+    b_bases = jnp.asarray(blk_b.bases)
+    b_rid = jnp.asarray(blk_b.read_id)
+    am = jnp.asarray(mask_a) if mask_a is not None else None
+    bm = jnp.asarray(mask_b) if mask_b is not None else None
+    ac, ap = build_index(a_bases, a_rid, cfg.kmer, am)
+    bc, bp = build_index(b_bases, b_rid, cfg.kmer, bm)
+    t = cfg.max_kmer_count or 128
+    apos, bpos, nhits, total_hits = match_hits(ac, ap, bc, bp,
+                                               hit_cap=hit_cap, max_count=t)
+    ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
+        apos, bpos, nhits, a_rid, b_rid, blk_b.nreads + 1,
+        band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
+        seed_cap=seed_cap, upper_only=upper_only)
+    return {
+        "aread": np.asarray(ar), "bread": np.asarray(br),
+        "apos": np.asarray(sap), "bpos": np.asarray(sbp),
+        "cov": np.asarray(cov),
+        "nseeds": int(nseeds), "total_seeds": int(total_seeds),
+        "nhits": int(nhits), "total_hits": int(total_hits),
+    }

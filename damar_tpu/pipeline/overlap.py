@@ -1,0 +1,275 @@
+"""Block-pair overlap driver (daligner equivalent).
+
+Chains the device stages (SURVEY.md §3.2 call stack, re-designed):
+
+  seeding (ops.seeding)  ->  batched bidirectional extension
+  (ops.wave.extend_wave) ->  host dedupe/containment filter ->
+  batched trace-point pass (ops.wave.trace_wave) -> .las records
+
+For a block pair (A, B) both orientations of B are processed (COMP
+pass aligns A against the reverse-complemented B block; .las B
+coordinates are in complement space, matching the lineage convention).
+Mirrored records (B as A-read) are synthesized by coordinate reflection
+and their traces computed by a swapped-role trace pass, so a self-block
+comparison yields the full pile for every read, like the reference's
+symmetric output.
+
+Read ids in emitted .las records are ABSOLUTE untrimmed DB read ids
+(MARVEL convention).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from damar_tpu.core.blocks import ReadBlock, revcomp_block
+from damar_tpu.core.config import OverlapConfig
+from damar_tpu.formats.las import LasFile, Overlap, n_segments
+from damar_tpu.formats.oflags import OVL_COMP
+from damar_tpu.ops.seeding import find_seeds
+from damar_tpu.ops.wave import extend_wave, trace_wave
+
+
+@dataclass
+class Extent:
+    """A candidate local alignment in read-local coordinates."""
+    aread: int          # local ordinal in block A
+    bread: int          # local ordinal in block B
+    comp: bool
+    abpos: int
+    aepos: int
+    bbpos: int
+    bepos: int
+    diffs_est: int
+
+    def alen(self):
+        return self.aepos - self.abpos
+
+
+def _pad(a, size, fill):
+    out = np.full(size, fill, dtype=np.int32)
+    out[:len(a)] = a
+    return out
+
+
+def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
+                 cfg: OverlapConfig, comp: bool) -> list[Extent]:
+    """Bidirectional extension of all seeds, batched by cfg.seed_batch."""
+    n = seeds["nseeds"]
+    if n == 0:
+        return []
+    S = cfg.seed_batch
+    a_bases = jnp.asarray(blk_a.bases)
+    b_bases = jnp.asarray(blk_b.bases)
+    sa = blk_a.starts.astype(np.int64)
+    sb = blk_b.starts.astype(np.int64)
+    out: list[Extent] = []
+    for lo in range(0, n, S):
+        hi = min(lo + S, n)
+        ar = seeds["aread"][lo:hi]
+        br = seeds["bread"][lo:hi]
+        ap = seeds["apos"][lo:hi]
+        bp = seeds["bpos"][lo:hi]
+        astart = sa[ar]
+        aend = sa[ar + 1]
+        bstart = sb[br]
+        bend = sb[br + 1]
+        ao = jnp.asarray(_pad(ap, S, 0))
+        bo = jnp.asarray(_pad(bp, S, 0))
+        alim_f = jnp.asarray(_pad(aend - ap, S, 0))
+        blim_f = jnp.asarray(_pad(bend - bp, S, 0))
+        alim_r = jnp.asarray(_pad(ap - astart, S, 0))
+        blim_r = jnp.asarray(_pad(bp - bstart, S, 0))
+        kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
+                  diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
+        fva, fvb, fd, _ = extend_wave(a_bases, b_bases, ao, bo,
+                                      alim_f, blim_f, reverse=False, **kw)
+        rva, rvb, rd, _ = extend_wave(a_bases, b_bases, ao, bo,
+                                      alim_r, blim_r, reverse=True, **kw)
+        fva = np.asarray(fva)[:hi - lo]
+        fvb = np.asarray(fvb)[:hi - lo]
+        fd = np.asarray(fd)[:hi - lo]
+        rva = np.asarray(rva)[:hi - lo]
+        rvb = np.asarray(rvb)[:hi - lo]
+        rd = np.asarray(rd)[:hi - lo]
+        for i in range(hi - lo):
+            abp = int(ap[i] - astart[i] - rva[i])
+            aep = int(ap[i] - astart[i] + fva[i])
+            bbp = int(bp[i] - bstart[i] - rvb[i])
+            bep = int(bp[i] - bstart[i] + fvb[i])
+            if aep - abp <= 0 or bep - bbp <= 0:
+                continue
+            out.append(Extent(
+                aread=int(ar[i]), bread=int(br[i]), comp=comp,
+                abpos=abp, aepos=aep, bbpos=bbp, bepos=bep,
+                diffs_est=int(fd[i] + rd[i])))
+    return out
+
+
+def dedupe_extents(extents: list[Extent], min_len: int) -> list[Extent]:
+    """Drop short alignments, exact duplicates, and alignments whose A
+    and B intervals are both contained in another alignment of the same
+    (aread, bread, comp) pair (the reference's bridge/dedupe step)."""
+    from collections import defaultdict
+    groups: dict[tuple, list[Extent]] = defaultdict(list)
+    for e in extents:
+        if e.alen() >= min_len:
+            groups[(e.aread, e.bread, e.comp)].append(e)
+    out: list[Extent] = []
+    for g in groups.values():
+        g.sort(key=lambda e: (-(e.aepos - e.abpos), e.abpos, e.bbpos))
+        kept: list[Extent] = []
+        for e in g:
+            dominated = any(
+                k.abpos <= e.abpos and e.aepos <= k.aepos and
+                k.bbpos <= e.bbpos and e.bepos <= k.bepos
+                for k in kept)
+            if not dominated:
+                kept.append(e)
+        out.extend(kept)
+    return out
+
+
+def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
+                 coords: list[tuple], cfg: OverlapConfig):
+    """Run the trace pass for a batch of extents.
+
+    coords[i] = (aread, bread, abpos, aepos, bbpos, bepos) in the
+    role/orientation of THIS pass (may be mirrored).  Returns per-extent
+    (trace (nseg,2) int32 array, diffs) or None for inconsistent rows.
+    """
+    S = len(coords)
+    if S == 0:
+        return []
+    max_segs = cfg.max_read_len // cfg.tspace + 2
+    ar = np.array([c[0] for c in coords], np.int32)
+    br = np.array([c[1] for c in coords], np.int32)
+    abp = np.array([c[2] for c in coords], np.int32)
+    aep = np.array([c[3] for c in coords], np.int32)
+    bbp = np.array([c[4] for c in coords], np.int32)
+    bep = np.array([c[5] for c in coords], np.int32)
+    tr, nseg, dsum = trace_wave(
+        a_bases, b_bases,
+        jnp.asarray(a_starts[ar].astype(np.int32)),
+        jnp.asarray(b_starts[br].astype(np.int32)),
+        jnp.asarray(abp), jnp.asarray(bbp),
+        jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
+        tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
+    tr = np.asarray(tr)
+    nseg = np.asarray(nseg)
+    dsum = np.asarray(dsum)
+    out = []
+    for i in range(S):
+        ns = int(nseg[i])
+        t = tr[i, :ns].copy()
+        expect = n_segments(abp[i], aep[i], cfg.tspace)
+        if ns != expect or int(t[:, 1].sum()) != bep[i] - bbp[i] \
+                or (t < 0).any():
+            out.append(None)          # band lost the endpoint: drop
+        else:
+            out.append((t, int(dsum[i])))
+    return out
+
+
+def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
+                       cfg: OverlapConfig, self_block: bool,
+                       mask_a=None, mask_b=None,
+                       hit_cap: int = 1 << 21, seed_cap: int = 1 << 17,
+                       emit_mirrors: bool = True,
+                       ) -> tuple[LasFile, LasFile, dict]:
+    """Overlap all reads of block A against block B (both orientations).
+
+    Returns (las_a, las_b, stats): las_a holds records with A-block
+    reads as aread; las_b the mirrored records (B-block reads as
+    aread; equal to las_a for self comparisons where both land in the
+    same pile set).  For self_block, las_b contains the mirrors within
+    the same block and callers should merge las_a + las_b.
+    """
+    blk_b_rc = revcomp_block(blk_b)
+    blk_a_rc = revcomp_block(blk_a) if emit_mirrors else None
+    stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
+
+    all_exts: list[Extent] = []
+    for comp in (False, True):
+        bb = blk_b_rc if comp else blk_b
+        mb = mask_b  # mask intervals are strand-symmetric in this build
+        seeds = find_seeds(blk_a, bb, cfg, mask_a=mask_a, mask_b=mb,
+                           upper_only=self_block, hit_cap=hit_cap,
+                           seed_cap=seed_cap)
+        stats["seeds"] += seeds["nseeds"]
+        exts = extend_seeds(blk_a, bb, seeds, cfg, comp)
+        stats["extents"] += len(exts)
+        all_exts.extend(exts)
+    kept = dedupe_extents(all_exts, cfg.min_len)
+    stats["kept"] = len(kept)
+
+    a_bases = jnp.asarray(blk_a.bases)
+    b_bases_f = jnp.asarray(blk_b.bases)
+    b_bases_c = jnp.asarray(blk_b_rc.bases)
+    sa = blk_a.starts.astype(np.int64)
+    sb = blk_b.starts.astype(np.int64)
+    alen = blk_a.rlen
+    blen = blk_b.rlen
+
+    ovls_a: list[Overlap] = []
+    ovls_b: list[Overlap] = []
+    S = cfg.seed_batch
+
+    def emit(batch_exts, mirrored: bool):
+        """Trace + record emission for primary or mirrored roles."""
+        for comp in (False, True):
+            sel = [e for e in batch_exts if e.comp == comp]
+            for lo in range(0, len(sel), S):
+                chunk = sel[lo:lo + S]
+                if not mirrored:
+                    coords = [(e.aread, e.bread, e.abpos, e.aepos,
+                               e.bbpos, e.bepos) for e in chunk]
+                    res = _trace_batch(
+                        a_bases, b_bases_c if comp else b_bases_f,
+                        sa, sb, chunk, coords, cfg)
+                else:
+                    # mirror: A-side = B fwd; B-side = A fwd (non-comp)
+                    # or rc(A) (comp); reflected coordinates
+                    coords = []
+                    for e in chunk:
+                        bl = int(blen[e.bread])
+                        al = int(alen[e.aread])
+                        if not comp:
+                            coords.append((e.bread, e.aread,
+                                           e.bbpos, e.bepos,
+                                           e.abpos, e.aepos))
+                        else:
+                            coords.append((e.bread, e.aread,
+                                           bl - e.bepos, bl - e.bbpos,
+                                           al - e.aepos, al - e.abpos))
+                    res = _trace_batch(
+                        b_bases_f,
+                        jnp.asarray(blk_a_rc.bases) if comp else a_bases,
+                        sb, sa, chunk, coords, cfg)
+                for e, r, c in zip(chunk, res, coords):
+                    if r is None:
+                        stats["dropped_trace"] += 1
+                        continue
+                    t, d = r
+                    flags = OVL_COMP if comp else 0
+                    ov = Overlap(
+                        aread=int((blk_a.ids if not mirrored else
+                                   blk_b.ids)[c[0]]),
+                        bread=int((blk_b.ids if not mirrored else
+                                   blk_a.ids)[c[1]]),
+                        flags=flags, abpos=int(c[2]), aepos=int(c[3]),
+                        bbpos=int(c[4]), bepos=int(c[5]), diffs=d,
+                        trace=t)
+                    (ovls_a if not mirrored else ovls_b).append(ov)
+
+    emit(kept, mirrored=False)
+    if emit_mirrors:
+        emit(kept, mirrored=True)
+
+    las_a = LasFile(tspace=cfg.tspace, overlaps=ovls_a)
+    las_a.sort()
+    las_b = LasFile(tspace=cfg.tspace, overlaps=ovls_b)
+    las_b.sort()
+    return las_a, las_b, stats

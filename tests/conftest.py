@@ -1,16 +1,24 @@
-"""Test configuration: force an 8-device virtual CPU mesh.
+"""Test configuration: force a true 8-device virtual CPU mesh.
 
-All tests run on CPU with 8 virtual devices so sharding/collective
-paths are exercised without TPU hardware (SURVEY.md §4).  Must run
-before jax is imported anywhere.
+NOTE: this environment's sitecustomize registers an `axon` TPU backend
+in every Python process and force-sets jax_platforms="axon,cpu",
+OVERRIDING the JAX_PLATFORMS env var.  Tests must run on CPU (fast
+iteration + virtual 8-device sharding, SURVEY.md §4), so we override
+the config AFTER import, before any backend use — env vars alone are
+not enough here.
 """
 import os
 
+# still set the env vars for any subprocesses tests may spawn
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
