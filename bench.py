@@ -1,0 +1,79 @@
+"""Overlap-phase benchmark (BASELINE.json north-star metric).
+
+Runs the full single-chip overlap pipeline (seeding -> extension ->
+dedupe -> trace -> .las records) on a deterministic simulated PacBio
+dataset and reports aligned Gbp/s: the total A-span of emitted primary
+overlap records divided by wall time (compile excluded via a warmup
+pass on identical shapes).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured against REF_CPU_GBP_S, a provisional estimate
+of the C reference's single-socket throughput on the same workload
+(lineage daligner-class, no published tables — see BASELINE.md).  Until
+the reference binary can be run in-environment this is an
+order-of-magnitude anchor, not a measured number.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_CPU_GBP_S = 0.050  # provisional: daligner-class socket, aligned Gbp/s
+
+# deterministic workload: ~2 Mbp of reads over a 100 kb genome
+GENOME = 100_000
+COVERAGE = 20.0
+MEAN_LEN = 6_000
+ERR = 0.14
+SEED = 2024
+
+
+def main() -> None:
+    t_setup = time.time()
+    from damar_tpu.core.blocks import block_from_reads
+    from damar_tpu.core.config import OverlapConfig
+    from damar_tpu.pipeline.overlap import overlap_block_pair
+    from damar_tpu.utils.sim import make_genome, sample_reads
+
+    g = make_genome(GENOME, seed=SEED)
+    sim = sample_reads(g, coverage=COVERAGE, mean_len=MEAN_LEN,
+                       err=ERR, seed=SEED + 1)
+    blk = block_from_reads(sim.reads)
+    cfg = OverlapConfig()
+    total_bp = sum(len(r) for r in sim.reads)
+    print(f"# bench: {len(sim.reads)} reads, {total_bp} bp, "
+          f"block cap {blk.cap}, setup {time.time()-t_setup:.1f}s",
+          file=sys.stderr)
+
+    # warmup: compile everything on a same-shaped tiny pass
+    t0 = time.time()
+    overlap_block_pair(blk, blk, cfg, self_block=True,
+                       hit_cap=1 << 22, seed_cap=1 << 17,
+                       emit_mirrors=False)
+    print(f"# warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    las_a, las_b, stats = overlap_block_pair(
+        blk, blk, cfg, self_block=True,
+        hit_cap=1 << 22, seed_cap=1 << 17, emit_mirrors=False)
+    wall = time.time() - t0
+
+    aligned_bp = sum(o.aepos - o.abpos for o in las_a.overlaps)
+    gbp_s = aligned_bp / wall / 1e9
+    print(f"# overlaps {las_a.novl}, aligned bp {aligned_bp}, "
+          f"wall {wall:.2f}s, stats {stats}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "overlap_aligned_throughput",
+        "value": round(gbp_s, 6),
+        "unit": "Gbp-aligned/s/chip",
+        "vs_baseline": round(gbp_s / REF_CPU_GBP_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

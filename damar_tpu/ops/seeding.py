@@ -88,17 +88,24 @@ def match_hits(a_codes, a_pos, b_codes, b_pos, hit_cap: int,
 
 
 @partial(jax.jit, static_argnames=(
-    "band_shift", "hit_min", "kmer", "seed_cap", "upper_only"))
+    "band_shift", "hit_min", "kmer", "seed_cap", "upper_only",
+    "self_only", "min_diag", "max_diag"))
 def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
                     band_shift: int, hit_min: int, kmer: int,
-                    seed_cap: int, upper_only: bool):
+                    seed_cap: int, upper_only: bool,
+                    suppress_equal=False, self_only: bool = False,
+                    min_diag: int | None = None,
+                    max_diag: int | None = None):
     """Band hits by (read pair, diagonal/2^w) and emit anchor seeds for
     bands whose novel k-mer coverage reaches hit_min bases.
 
-    upper_only: keep only aread < bread pairs (self-block comparison:
-    each unordered pair is processed once; mirrors are synthesized at
-    emission).  Returns (aread, bread, apos, bpos, cov) seed arrays of
-    seed_cap + (nseeds, total_seeds).
+    upper_only (static): keep only aread < bread pairs (self-block
+    comparison: each unordered pair is processed once; mirrors are
+    synthesized at emission).  suppress_equal (traced bool): drop
+    aread == bread pairs — used by the ring sweep on its self-rotation,
+    where upper_only cannot be static per rotation.  Returns (aread,
+    bread, apos, bpos, cov) seed arrays of seed_cap + (nseeds,
+    total_seeds).
     """
     n = apos.shape[0]
     live = jnp.arange(n, dtype=jnp.int32) < nhits
@@ -106,6 +113,14 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
     br = b_read_id[jnp.maximum(bpos, 0)]
     if upper_only:
         live &= ar < br
+    if self_only:
+        # datander mode: a read against itself on a shifted diagonal
+        live &= ar == br
+    live &= ~(jnp.asarray(suppress_equal) & (ar == br))
+    if min_diag is not None:
+        live &= (apos - bpos) >= min_diag
+    if max_diag is not None:
+        live &= (apos - bpos) <= max_diag
     pair = jnp.where(live, ar * jnp.int32(nreads_b) + br, INT32_MAX)
     bcap = jnp.int32(b_read_id.shape[0])
     diag = apos - bpos + bcap                      # nonnegative
@@ -151,6 +166,35 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
         jnp.where(write, seg_sum[seg_id], 0))[:seed_cap]
     nseeds = jnp.minimum(total_seeds, seed_cap)
     return out_ar, out_br, out_ap, out_bp, out_cov, nseeds, total_seeds
+
+
+def find_tandem_seeds(blk, cfg, min_period: int = 8,
+                      max_period: int = 2000, hit_cap: int = 1 << 20,
+                      seed_cap: int = 1 << 15):
+    """Self-comparison seeds restricted to a near-diagonal band: a read
+    matching itself at positive offset p has tandem period p (the
+    datander mode, SURVEY.md §2.5; upstream DAMASKER datander.c —
+    upstream-path citation, reference mount empty)."""
+    import numpy as np
+    bases = jnp.asarray(blk.bases)
+    rid = jnp.asarray(blk.read_id)
+    c, p = build_index(bases, rid, cfg.kmer)
+    t = cfg.max_kmer_count or 128
+    apos, bpos, nhits, total_hits = match_hits(c, p, c, p,
+                                               hit_cap=hit_cap,
+                                               max_count=t)
+    ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
+        apos, bpos, nhits, rid, rid, blk.nreads + 1,
+        band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
+        seed_cap=seed_cap, upper_only=False, self_only=True,
+        min_diag=min_period, max_diag=max_period)
+    return {
+        "aread": np.asarray(ar), "bread": np.asarray(br),
+        "apos": np.asarray(sap), "bpos": np.asarray(sbp),
+        "cov": np.asarray(cov),
+        "nseeds": int(nseeds), "total_seeds": int(total_seeds),
+        "nhits": int(nhits), "total_hits": int(total_hits),
+    }
 
 
 def find_seeds(blk_a, blk_b, cfg, mask_a=None, mask_b=None,

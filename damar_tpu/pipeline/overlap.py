@@ -173,6 +173,41 @@ def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
     return out
 
 
+def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
+                cfg: OverlapConfig, only: list[Overlap] | None = None
+                ) -> int:
+    """Recompute trace arrays + diffs for records in-place (used after
+    LAstitch merges fragments, whose traces must span the merged
+    extent).  blk_a/blk_b: blocks containing the a-/b-reads (absolute
+    ids mapped via blk.ids).  Returns number of records dropped
+    (replaced trace inconsistent -> flagged discard)."""
+    from damar_tpu.formats.oflags import OVL_DISCARD
+    a_local = {int(i): j for j, i in enumerate(blk_a.ids)}
+    b_local = {int(i): j for j, i in enumerate(blk_b.ids)}
+    blk_b_rc = revcomp_block(blk_b)
+    a_bases = jnp.asarray(blk_a.bases)
+    sa = blk_a.starts.astype(np.int64)
+    sb = blk_b.starts.astype(np.int64)
+    dropped = 0
+    targets = only if only is not None else las.overlaps
+    S = cfg.seed_batch
+    for comp in (False, True):
+        sel = [o for o in targets if bool(o.flags & OVL_COMP) == comp]
+        bb = jnp.asarray((blk_b_rc if comp else blk_b).bases)
+        for lo in range(0, len(sel), S):
+            chunk = sel[lo:lo + S]
+            coords = [(a_local[o.aread], b_local[o.bread], o.abpos,
+                       o.aepos, o.bbpos, o.bepos) for o in chunk]
+            res = _trace_batch(a_bases, bb, sa, sb, None, coords, cfg)
+            for o, r in zip(chunk, res):
+                if r is None:
+                    o.flags |= OVL_DISCARD
+                    dropped += 1
+                else:
+                    o.trace, o.diffs = r
+    return dropped
+
+
 def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                        cfg: OverlapConfig, self_block: bool,
                        mask_a=None, mask_b=None,

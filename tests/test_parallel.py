@@ -1,0 +1,85 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: block sharding
++ ring-rotation overlap sweep (SURVEY.md §2.10).  Kept at tiny shapes —
+8 virtual devices share one physical CPU, so per-device work must be
+small (the real-scale path is exercised single-chip in test_overlap)."""
+import numpy as np
+import jax
+import pytest
+
+from damar_tpu.core.blocks import block_from_reads, round_up
+from damar_tpu.core.config import OverlapConfig
+from damar_tpu.parallel.distributed import (
+    distributed_overlap, make_mesh, shard_blocks)
+from damar_tpu.utils.sim import make_genome, sample_reads
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should give 8 cpu devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def tiny_sharded():
+    g = make_genome(6000, seed=0)
+    sim = sample_reads(g, coverage=3.0, mean_len=1200, err=0.12,
+                       seed=1, min_len=600)
+    n = len(sim.reads)
+    per = -(-n // 8)
+    groups = [np.arange(d * per, min((d + 1) * per, n)) for d in range(8)]
+    cap = round_up(max(sum(len(sim.reads[i]) for i in ids)
+                       for ids in groups) + 4, 4096)
+    blocks = [block_from_reads([sim.reads[i] for i in ids],
+                               ids=ids, cap=cap) for ids in groups]
+    return sim, blocks, groups
+
+
+class TestRingOverlap:
+    def test_all_pairs_meet(self, mesh8, tiny_sharded):
+        sim, blocks, groups = tiny_sharded
+        cfg = OverlapConfig(seed_batch=128, min_len=500,
+                            max_read_len=8192)
+        exts, counts, total = distributed_overlap(
+            blocks, cfg, mesh=mesh8, seed_cap=512, hit_cap=1 << 14)
+        assert exts.shape[:2] == (8, 8)
+        assert total[1] > 0, "no extents found"
+
+        found = set()
+        n_rows = 0
+        for d in range(8):
+            for j in range(8):
+                bblk = (d - j) % 8
+                for row in exts[d, j]:
+                    ar, br = int(row[0]), int(row[1])
+                    if ar < 0:
+                        continue
+                    n_rows += 1
+                    ga = int(groups[d][ar])
+                    gb = int(groups[bblk][br])
+                    assert ga != gb, "self-pair leaked through ring"
+                    found.add((ga, gb))
+        assert n_rows == int(total[1])
+        # precision: fwd-orientation extents should be true overlaps
+        bad = sum(1 for (a, b) in found
+                  if not sim.true_overlap(a, b, 200))
+        assert bad / max(len(found), 1) < 0.1, f"{bad}/{len(found)}"
+        # recall on same-strand pairs (ring pass is fwd-orientation only)
+        n = len(sim.reads)
+        nt = nf = 0
+        for a in range(n):
+            for b in range(n):
+                if a != b and sim.strand[a] == sim.strand[b] \
+                        and sim.true_overlap(a, b, 800):
+                    nt += 1
+                    if (a, b) in found:
+                        nf += 1
+        assert nf / max(nt, 1) > 0.8, f"ring recall {nf}/{nt}"
+
+    def test_shard_blocks_layout(self, mesh8, rng):
+        reads = [rng.integers(0, 4, 500).astype(np.uint8)
+                 for _ in range(16)]
+        cap = 1 << 13
+        blocks = [block_from_reads(reads[i::8], cap=cap) for i in range(8)]
+        bases, rid, starts = shard_blocks(blocks, mesh8)
+        assert bases.shape == (8, cap)
+        assert len(bases.sharding.device_set) == 8

@@ -1,0 +1,179 @@
+"""Scrubbing tests (BASELINE config 4: patch/trim/split from piles).
+
+The central property (the lineage's signature): patching reads from
+their alignment piles must REDUCE their error rate vs the true genome.
+"""
+import numpy as np
+import pytest
+
+from damar_tpu.core.blocks import block_from_reads
+from damar_tpu.core.config import OverlapConfig, ScrubConfig
+from damar_tpu.formats.las import LasFile, Overlap
+from damar_tpu.formats.oflags import OVL_COMP, OVL_DISCARD, OVL_STITCH
+from damar_tpu.pipeline import scrub
+from damar_tpu.pipeline.overlap import overlap_block_pair
+
+CFG = OverlapConfig(seed_batch=512)
+SCFG = ScrubConfig()
+
+
+@pytest.fixture(scope="module")
+def pile_result(small_sim):
+    from damar_tpu.formats.las import cat_las  # noqa
+    blk = block_from_reads(small_sim.reads)
+    las_a, las_b, stats = overlap_block_pair(
+        blk, blk, CFG, self_block=True,
+        hit_cap=1 << 20, seed_cap=1 << 15)
+    full = LasFile(tspace=CFG.tspace,
+                   overlaps=las_a.overlaps + las_b.overlaps)
+    full.sort()
+    rlen_of = {i: len(r) for i, r in enumerate(small_sim.reads)}
+    return small_sim, blk, full, rlen_of
+
+
+def lev(a, b):
+    prev = np.arange(len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = np.empty(len(b) + 1, int)
+        cur[0] = i
+        np_min = np.minimum
+        # vectorized row update (sub/del), then fix-up insertions
+        sub = prev[:-1] + (b != a[i - 1])
+        cur[1:] = np_min(prev[1:] + 1, sub)
+        for j in range(1, len(b) + 1):
+            if cur[j - 1] + 1 < cur[j]:
+                cur[j] = cur[j - 1] + 1
+        prev = cur
+    return prev[-1]
+
+
+class TestQTrim:
+    def test_quality_reflects_coverage(self, pile_result):
+        sim, blk, las, rlen_of = pile_result
+        qual, trim = scrub.q_and_trim(las, rlen_of, SCFG)
+        covered = sum((q < scrub.Q_NOCOV).sum() for q in qual.values())
+        total = sum(len(q) for q in qual.values())
+        assert covered / total > 0.8, f"only {covered}/{total} covered"
+        # median segment quality should reflect the ~25% pair error
+        allq = np.concatenate([q[q < scrub.Q_NOCOV]
+                               for q in qual.values()])
+        med = np.median(allq)
+        assert 10 < med < 40, med
+
+    def test_trim_within_read(self, pile_result):
+        sim, blk, las, rlen_of = pile_result
+        qual, trim = scrub.q_and_trim(las, rlen_of, SCFG)
+        for aread, (tb, te) in trim.items():
+            assert 0 <= tb <= te <= rlen_of[aread]
+
+
+class TestStitch:
+    def test_stitch_merges_split_alignment(self):
+        t = np.array([[5, 100]] * 5, np.int32)
+        o1 = Overlap(0, 1, 0, 0, 500, 0, 500, 25, t.copy())
+        o2 = Overlap(0, 1, 0, 520, 1020, 515, 1015, 25, t.copy())
+        far = Overlap(0, 1, 0, 3000, 3500, 2990, 3490, 25, t.copy())
+        las = LasFile(100, [o1, o2, far])
+        stitched, needs = scrub.stitch_las(las, fuzz=100)
+        assert stitched.novl == 2
+        merged = [o for o in stitched.overlaps if o.flags & OVL_STITCH]
+        assert len(merged) == 1
+        m = merged[0]
+        assert (m.abpos, m.aepos, m.bbpos, m.bepos) == (0, 1020, 0, 1015)
+        assert needs and needs[0] is m
+
+
+class TestFix:
+    def test_patching_restores_corrupted_segments(self, small_sim):
+        """Plant severe local corruption (quality dropouts) in a few
+        reads; the stitch -> retrace -> q -> fix pipeline must restore
+        those regions to near-normal identity, the lineage's core
+        'patch' capability (SURVEY.md §2.6 LAfix)."""
+        from damar_tpu.pipeline.overlap import retrace_las
+        import damar_tpu.formats.fasta as F
+        sim = small_sim
+        rng = np.random.default_rng(77)
+        reads = [r.copy() for r in sim.reads]
+        corrupted = {}
+        for i in range(len(reads)):
+            if len(reads[i]) >= 4000 and len(corrupted) < 4:
+                lo = 1500
+                hi = 1700
+                reads[i][lo:hi] = rng.integers(0, 4, hi - lo)
+                corrupted[i] = (lo, hi)
+        assert len(corrupted) >= 3
+        blk = block_from_reads(reads)
+        las_a, las_b, _ = overlap_block_pair(
+            blk, blk, CFG, self_block=True,
+            hit_cap=1 << 20, seed_cap=1 << 15)
+        las = LasFile(CFG.tspace, las_a.overlaps + las_b.overlaps)
+        las.sort()
+        rlen_of = {i: len(r) for i, r in enumerate(reads)}
+        # stitch across the corruption, recompute merged traces
+        stitched, needs = scrub.stitch_las(las, fuzz=300)
+        assert needs, "no stitched records (corruption did not split?)"
+        retrace_las(stitched, blk, blk, CFG, only=needs)
+        qual, trim = scrub.q_and_trim(stitched, rlen_of, SCFG)
+
+        def seqs_of(j, comp):
+            return F.revcomp(reads[j]) if comp else reads[j]
+
+        patched = scrub.fix_reads(stitched, seqs_of, rlen_of, qual,
+                                  SCFG, reads_to_fix=sorted(corrupted))
+        by_read = {}
+        for p in patched:
+            by_read.setdefault(p.src_read, []).append(p)
+        restored = 0
+        checked = 0
+        for i, (lo, hi) in corrupted.items():
+            parts = by_read.get(i, [])
+            # the read must NOT have been split at the corruption
+            span = [p for p in parts
+                    if p.src_interval[0] <= lo and hi <= p.src_interval[1]]
+            if not span:
+                continue
+            p = span[0]
+            checked += 1
+            # compare the corrupted window against the true genome
+            gg = np.concatenate([sim.genome, sim.genome])
+            truth_full = gg[sim.start[i]:sim.end[i]]
+            if sim.strand[i]:
+                truth_full = F.revcomp(truth_full)
+            L = len(reads[i])
+            w_lo, w_hi = lo - 100, hi + 100
+            glo = int(w_lo / L * len(truth_full))
+            ghi = int(w_hi / L * len(truth_full))
+            truth = truth_full[max(0, glo - 60):ghi + 60]
+            off = p.src_interval[0]
+            d_before = lev(reads[i][w_lo:w_hi], truth)
+            d_after = lev(p.seq[w_lo - off:w_hi - off], truth)
+            assert d_after < d_before * 0.8, \
+                f"read {i}: {d_before} -> {d_after}"
+            restored += 1
+        assert checked >= 2 and restored == checked, \
+            f"{restored}/{checked} restored ({len(corrupted)} planted)"
+
+
+class TestGapFilter:
+    def test_gap_detects_chimera(self):
+        # pile covering [0,1000) and [1200,2200) but not the middle
+        ovls = []
+        t = np.array([[5, 100]] * 10, np.int32)
+        for b in range(1, 5):
+            ovls.append(Overlap(0, b, 0, 0, 1000, 0, 1000, 50, t))
+            ovls.append(Overlap(0, b + 10, 0, 1200, 2200, 0, 1000, 50, t))
+        las = LasFile(100, ovls)
+        br = scrub.gap_breaks(las, {0: 2200}, SCFG)
+        assert 0 in br and 1000 <= br[0][0] <= 1200
+
+    def test_filter_classification(self):
+        t0 = np.zeros((0, 2), np.int32)
+        rlen = {0: 2000, 1: 2000, 2: 2000}
+        dove = Overlap(0, 1, 0, 1000, 2000, 0, 1000, 10, t0)
+        local = Overlap(0, 2, 0, 500, 1500, 500, 1500, 10, t0)
+        las = LasFile(100, [dove, local])
+        # build self-consistent traces so check passes elsewhere
+        f = scrub.filter_las(las, rlen, SCFG)
+        kinds = {(o.aread, o.bread): o.flags for o in f.overlaps}
+        assert not (kinds[(0, 1)] & OVL_DISCARD)
+        assert kinds[(0, 2)] & OVL_DISCARD
