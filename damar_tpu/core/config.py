@@ -58,6 +58,8 @@ class ScrubConfig:
     min_trim_len: int = 1000     # drop reads shorter than this after trim
     filter_min_len: int = 1000   # LAfilter: min overlap length kept
     filter_max_diff: float = 0.35  # max error rate of kept overlaps
+    filter_fuzz: int = 40        # dovetail end slop (matches wave
+                                 # endpoint p99 ~22, max ~40)
 
 
 @dataclass(frozen=True)

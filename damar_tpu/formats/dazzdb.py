@@ -215,6 +215,9 @@ class DazzDB:
             if b != 1:
                 raise ValueError("DB is not split; only block 1 exists")
             return 0, self.ureads
+        if not 1 <= b <= self.nblocks:
+            raise ValueError(
+                f"block {b} out of range (DB has {self.nblocks} blocks)")
         return int(self.block_u[b - 1]), int(self.block_u[b])
 
     def block_reads(self, b: int) -> np.ndarray:

@@ -1,0 +1,208 @@
+"""Pipeline planning and idempotent execution (L8, SURVEY.md §2.9:
+HPC.daligner-style job matrices; the reference's entire distributed
+story is independent jobs + file rendezvous).
+
+The TPU-native equivalents:
+  * plan_block_pairs: the N*(N+1)/2 block-pair matrix with per-pair
+    .las outputs and merge steps — as a data structure, not a shell
+    script (but render_script emits the shell form for parity).
+  * Manifest: done-marker bookkeeping so a restarted run resumes
+    exactly where it stopped (SURVEY.md §5.3: every stage idempotent,
+    file-checkpointed).
+  * run_overlap_plan: executes the matrix locally (single host,
+    sequential over pairs, device-parallel within a pair), writing
+    per-pair sorted .las + done markers, then merging per A-block.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class Job:
+    name: str
+    kind: str              # "overlap" | "merge" | "check"
+    args: dict
+    deps: list[str] = field(default_factory=list)
+
+
+def plan_block_pairs(db_root: str, nblocks: int,
+                     las_dir: str = ".") -> list[Job]:
+    """The block-pair job matrix + per-A-block merge tree."""
+    jobs: list[Job] = []
+    for i in range(1, nblocks + 1):
+        pair_outputs = []
+        for j in range(1, nblocks + 1):
+            if j < i:
+                continue  # pair (j, i) covers it symmetrically
+            name = f"overlap.{i}.{j}"
+            jobs.append(Job(
+                name=name, kind="overlap",
+                args=dict(db=db_root, a_block=i, b_block=j,
+                          out_a=os.path.join(
+                              las_dir, f"{db_root}.{i}.{db_root}.{j}.las"),
+                          out_b=os.path.join(
+                              las_dir, f"{db_root}.{j}.{db_root}.{i}.las")),
+            ))
+        ins = [os.path.join(las_dir, f"{db_root}.{i}.{db_root}.{j}.las")
+               for j in range(1, nblocks + 1)]
+        jobs.append(Job(
+            name=f"merge.{i}", kind="merge",
+            args=dict(inputs=ins,
+                      out=os.path.join(las_dir, f"{db_root}.{i}.las")),
+            deps=[f"overlap.{min(i, j)}.{max(i, j)}"
+                  for j in range(1, nblocks + 1)],
+        ))
+        jobs.append(Job(
+            name=f"check.{i}", kind="check",
+            args=dict(las=os.path.join(las_dir, f"{db_root}.{i}.las"),
+                      db=db_root),
+            deps=[f"merge.{i}"],
+        ))
+    return jobs
+
+
+def render_script(jobs: list[Job]) -> str:
+    """HPC.daligner-parity rendering: one shell line per job, phase
+    comments, using this package's CLI."""
+    lines = ["# damar_tpu job plan", "# phase 1: block-pair overlaps"]
+    for j in jobs:
+        if j.kind == "overlap":
+            a = j.args
+            lines.append(
+                f"python -m damar_tpu.cli daligner {a['db']} "
+                f"{a['a_block']} {a['b_block']}")
+    lines.append("# phase 2: merges")
+    for j in jobs:
+        if j.kind == "merge":
+            a = j.args
+            lines.append(
+                "python -m damar_tpu.cli lamerge " + a["out"] + " "
+                + " ".join(a["inputs"]))
+    lines.append("# phase 3: checks")
+    for j in jobs:
+        if j.kind == "check":
+            a = j.args
+            lines.append(f"python -m damar_tpu.cli lacheck {a['db']} "
+                         f"{a['las']}")
+    return "\n".join(lines) + "\n"
+
+
+class Manifest:
+    """Done-marker bookkeeping in a JSONL file: each completed job
+    appends one record; a restarted run skips completed jobs."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.done: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        self.done[rec["name"]] = rec
+
+    def is_done(self, name: str) -> bool:
+        return name in self.done
+
+    def mark(self, name: str, **info) -> None:
+        rec = {"name": name, **info}
+        self.done[name] = rec
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
+                     manifest_path: str = None, verbose: bool = True,
+                     mask_names: list[str] | None = None) -> dict:
+    """Execute the full overlap job matrix for a split DB, idempotently.
+
+    Returns stats.  Single-host execution; each pair runs the device
+    pipeline via overlap_block_pair (device-parallel within the pair).
+    """
+    import time
+    from damar_tpu.core.blocks import block_from_db
+    from damar_tpu.formats import dazzdb, las as lasmod, tracks
+    from damar_tpu.ops.kmers import mask_vector_from_track
+    from damar_tpu.pipeline.overlap import overlap_block_pair
+
+    db = dazzdb.DazzDB.open(db_path)
+    d, root = os.path.split(dazzdb.stub_path(db_path))
+    root = root[:-3]
+    las_dir = las_dir or d
+    manifest = Manifest(manifest_path or
+                        os.path.join(las_dir, f".{root}.overlap.manifest"))
+    n = max(db.nblocks, 1)
+    stats = {"pairs": 0, "skipped": 0, "overlaps": 0}
+    blocks = {}
+    masks = {}
+
+    def get_block(i):
+        if i not in blocks:
+            blocks[i] = block_from_db(db, i)
+            if mask_names:
+                ivs = None
+                blk = blocks[i]
+                per_read = [np.zeros(0, np.int32)] * blk.nreads
+                for name in mask_names:
+                    if not tracks.track_exists(db_path, name):
+                        continue
+                    t = tracks.read_track(db_path, name)
+                    for j, rid in enumerate(blk.ids):
+                        from damar_tpu.formats.tracks import \
+                            merge_interval_lists
+                        per_read[j] = merge_interval_lists(
+                            per_read[j], t.data[int(rid)])
+                masks[i] = mask_vector_from_track(
+                    per_read, blk.starts, blk.cap)
+        return blocks[i], masks.get(i)
+
+    for i in range(1, n + 1):
+        for j in range(i, n + 1):
+            name = f"overlap.{i}.{j}"
+            out_a = os.path.join(las_dir, f"{root}.{i}.{root}.{j}.las")
+            out_b = os.path.join(las_dir, f"{root}.{j}.{root}.{i}.las")
+            if manifest.is_done(name) and os.path.exists(out_a):
+                stats["skipped"] += 1
+                continue
+            t0 = time.time()
+            blk_a, mask_a = get_block(i)
+            blk_b, mask_b = get_block(j)
+            la, lb, st = overlap_block_pair(
+                blk_a, blk_b, cfg, self_block=(i == j),
+                mask_a=mask_a, mask_b=mask_b)
+            lasmod.write_las(out_a, la)
+            if i != j:
+                lasmod.write_las(out_b, lb)
+            else:
+                # self pair: mirrors belong to the same block pile set
+                both = lasmod.LasFile(cfg.tspace,
+                                      la.overlaps + lb.overlaps)
+                both.sort()
+                lasmod.write_las(out_a, both)
+            manifest.mark(name, novl=la.novl, wall=round(time.time() - t0, 2))
+            stats["pairs"] += 1
+            stats["overlaps"] += la.novl
+            if verbose:
+                print(f"# {name}: {la.novl} overlaps "
+                      f"({time.time() - t0:.1f}s) {st}")
+    # merge per A-block
+    for i in range(1, n + 1):
+        name = f"merge.{i}"
+        out = os.path.join(las_dir, f"{root}.{i}.las")
+        if manifest.is_done(name) and os.path.exists(out):
+            continue
+        ins = []
+        for j in range(1, n + 1):
+            p = os.path.join(las_dir, f"{root}.{i}.{root}.{j}.las")
+            if os.path.exists(p):
+                ins.append(p)
+        if ins:
+            lasmod.merge_las(ins, out)
+            manifest.mark(name, inputs=len(ins))
+    return stats

@@ -289,7 +289,7 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
             continue
         flags = o.flags
         olen = o.aepos - o.abpos
-        kind = classify(o, alen, blen)
+        kind = classify(o, alen, blen, cfg.filter_fuzz)
         if olen < cfg.filter_min_len:
             flags |= OVL_DISCARD
         if o.diffs > cfg.filter_max_diff * olen:

@@ -1,0 +1,199 @@
+"""Graph touring and contig emission (OGtour + tour2fasta equivalents,
+SURVEY.md §2.7; upstream touring/OGtour.py, tour2fasta.py —
+upstream-path citations, reference mount empty).
+
+Tours the transitively-reduced string graph: clips short spurs, pops
+simple bubbles, then walks maximal unbranched paths (and leftover
+cycles — circular genomes tour into circular contigs).  Each tour is
+an ordered list of (read, dir, cut) steps; tour2fasta concatenates the
+first read's oriented sequence with every subsequent read's oriented
+suffix [cut:], exactly the junction the overlap trace committed to.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from damar_tpu.pipeline.graph import Edge, StringGraph, Vertex
+
+
+@dataclass
+class Tour:
+    steps: list[tuple[Vertex, int]]   # (vertex, cut); cut=0 for first
+    circular: bool = False
+
+    def nreads(self) -> int:
+        return len(self.steps)
+
+
+def clip_spurs(g: StringGraph, max_len: int = 3) -> int:
+    """Remove short dead-end tips hanging off branch vertices
+    (sequencing-error spurs).
+
+    A branch is clipped ONLY when (a) it dead-ends within max_len
+    unbranched edges, AND (b) a sibling branch at the same vertex
+    continues strictly longer — a genuine contig end is a dead end too
+    and must survive.  Clipping stops when the vertex would drop below
+    one live out-edge."""
+    n_clip = 0
+    changed = True
+    while changed:
+        changed = False
+        ind = g.live_in_deg()
+
+        def walk_len(e, limit):
+            """(#unbranched edges reachable via e (capped), dead_end?)"""
+            path = [e]
+            cur = e.dst
+            while len(path) <= limit:
+                nxt = g.out_edges(cur)
+                if len(nxt) != 1 or ind.get(cur, 0) > 1:
+                    return len(path), (len(nxt) == 0), path
+                path.append(nxt[0])
+                cur = nxt[0].dst
+            return len(path), False, path
+
+        for v in list(g.edges):
+            outs = g.out_edges(v)
+            if len(outs) <= 1:
+                continue
+            walks = [walk_len(e, max_len) for e in outs]
+            longest = max(w[0] for w in walks)
+            for (ln, dead, path), e in zip(walks, outs):
+                if dead and ln <= max_len and ln < longest \
+                        and len(g.out_edges(v)) > 1:
+                    for pe in path:
+                        g.reduce_edge(pe)
+                        n_clip += 1
+                    changed = True
+    return n_clip
+
+
+def pop_bubbles(g: StringGraph, max_len: int = 8) -> int:
+    """Pop simple 2-branch bubbles: each branch walks unbranched until
+    the first RECONVERGENCE vertex (live in-degree >= 2); if both
+    branches reach the same one within max_len edges, the branch with
+    the smaller total overlap support is removed.  (Walking a fixed
+    edge count instead of stopping at reconvergence mis-pairs branches
+    that are offset by one edge — e.g. a triangle v->x->w vs v->w —
+    and pops real edges.)"""
+    n_pop = 0
+    changed = True
+    while changed:
+        changed = False
+        ind = g.live_in_deg()
+        for v in list(g.edges):
+            outs = g.out_edges(v)
+            if len(outs) != 2:
+                continue
+
+            def walk(e):
+                path = [e]
+                cur = e.dst
+                while len(path) <= max_len and ind.get(cur, 0) == 1:
+                    nxt = g.out_edges(cur)
+                    if len(nxt) != 1:
+                        break
+                    path.append(nxt[0])
+                    cur = nxt[0].dst
+                return path, cur
+
+            p1, end1 = walk(outs[0])
+            p2, end2 = walk(outs[1])
+            if end1 == end2 and ind.get(end1, 0) >= 2 \
+                    and len(p1) <= max_len and len(p2) <= max_len:
+                w1 = sum(e.olen for e in p1)
+                w2 = sum(e.olen for e in p2)
+                loser = p1 if w1 < w2 else p2
+                for e in loser:
+                    g.reduce_edge(e)
+                    n_pop += 1
+                changed = True
+                break  # in-degrees changed; restart with fresh counts
+    return n_pop
+
+
+def tour_graph(g: StringGraph) -> list[Tour]:
+    """Walk maximal unbranched paths, then leftover simple cycles.
+    Each contig is emitted once (its reverse-complement twin walk is
+    suppressed by marking twin vertices used)."""
+    ind = g.live_in_deg()
+    used: set[Vertex] = set()
+    tours: list[Tour] = []
+
+    def walk_from(v: Vertex, circular: bool) -> Tour | None:
+        if v in used:
+            return None
+        steps: list[tuple[Vertex, int]] = [(v, 0)]
+        used.add(v)
+        used.add(v.twin)
+        cur = v
+        while True:
+            outs = [e for e in g.out_edges(cur) if e.dst not in used]
+            live = g.out_edges(cur)
+            if len(live) != 1:
+                break
+            e = live[0]
+            if ind.get(e.dst, 0) != 1:
+                break
+            if e.dst in used:
+                # closed a cycle back to the start
+                if e.dst == v:
+                    return Tour(steps=steps + [(v, e.cut)],
+                                circular=True)
+                break
+            steps.append((e.dst, e.cut))
+            used.add(e.dst)
+            used.add(e.dst.twin)
+            cur = e.dst
+        return Tour(steps=steps, circular=False)
+
+    # linear path starts: out-deg >= 1, in-deg != 1 (or predecessor is a branch)
+    verts = set(g.edges.keys()) | {e.dst for es in g.edges.values()
+                                   for e in es if not e.reduced}
+    for v in sorted(verts, key=lambda u: (u.read, u.dir)):
+        if v in used:
+            continue
+        if ind.get(v, 0) != 1 and g.out_edges(v):
+            t = walk_from(v, circular=False)
+            if t:
+                tours.append(t)
+    # leftover cycles
+    for v in sorted(verts, key=lambda u: (u.read, u.dir)):
+        if v not in used and g.out_edges(v):
+            t = walk_from(v, circular=True)
+            if t:
+                tours.append(t)
+    return tours
+
+
+def tour_to_seq(tour: Tour, seq_of) -> np.ndarray:
+    """Emit the contig sequence: seq_of(read, dir) -> oriented codes."""
+    first_v, _ = tour.steps[0]
+    parts = [seq_of(first_v.read, first_v.dir)]
+    for v, cut in tour.steps[1:]:
+        s = seq_of(v.read, v.dir)
+        parts.append(s[cut:])
+    if tour.circular and len(tour.steps) > 1:
+        # final step re-enters the start vertex: its [cut:] suffix
+        # duplicates the contig start; drop it
+        parts.pop()
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+
+def assemble(las, rlen_of: dict[int, int], seq_of, fuzz: int = 25,
+             min_dovetail: int = 1000, spur_len: int = 3,
+             bubble_max: int = 8) -> tuple[list[np.ndarray], list[Tour],
+                                           StringGraph]:
+    """Full L6: graph -> reduce -> clean -> tour -> contig sequences."""
+    from damar_tpu.pipeline.graph import build_graph, transitive_reduction
+    g = build_graph(las, rlen_of, fuzz=fuzz, min_dovetail=min_dovetail)
+    transitive_reduction(g)
+    clip_spurs(g, spur_len)
+    pop_bubbles(g, bubble_max)
+    tours = tour_graph(g)
+    contigs = [tour_to_seq(t, seq_of) for t in tours]
+    # order by length, longest first
+    order = np.argsort([-len(c) for c in contigs])
+    return [contigs[i] for i in order], [tours[i] for i in order], g
