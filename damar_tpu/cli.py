@@ -388,27 +388,37 @@ def cmd_ogbuild(args):
 
 
 def cmd_assemble(args):
-    """ogbuild+ogtour+tour2fasta in one step (the common path)."""
+    """ogbuild+ogtour+tour2fasta in one step (the common path);
+    --polish runs pile consensus over each contig (L7)."""
     from damar_tpu.formats.fasta import revcomp, write_fasta
     from damar_tpu.formats.las import read_las
-    from damar_tpu.pipeline.touring import assemble
+    from damar_tpu.pipeline.touring import assemble, tour_layout
     db = _db(args.db)
     las = read_las(args.las)
+    rlen_of = _rlen_map(db)
 
     def seq_of(i, d):
         s = db.read_seq(i)
         return revcomp(s) if d else s
 
-    contigs, tours, g = assemble(las, _rlen_map(db), seq_of,
+    contigs, tours, g = assemble(las, rlen_of, seq_of,
                                  fuzz=args.fuzz,
                                  min_dovetail=args.min_dovetail)
+    if args.polish:
+        from damar_tpu.pipeline.consensus import full_layout, polish_contig
+        polished = []
+        for c, t in zip(contigs, tours):
+            lay = full_layout(tour_layout(t, seq_of), las, rlen_of)
+            polished.append(polish_contig(c, lay, seq_of))
+        contigs = polished
     write_fasta(args.out,
                 [f"contig_{k} len={len(c)} reads={t.nreads()} "
                  f"circular={t.circular}"
                  for k, (c, t) in enumerate(zip(contigs, tours))],
                 contigs)
     print(f"{args.out}: {len(contigs)} contigs, "
-          f"lengths {[len(c) for c in contigs[:10]]}")
+          f"lengths {[len(c) for c in contigs[:10]]}"
+          f"{' (polished)' if args.polish else ''}")
 
 
 # --- argparse wiring --------------------------------------------------------
@@ -498,7 +508,8 @@ def build_parser():
          A("--min-dovetail", type=int, default=1000))
     tool("assemble", cmd_assemble, A("db"), A("las"), A("out"),
          A("--fuzz", type=int, default=40),
-         A("--min-dovetail", type=int, default=1000))
+         A("--min-dovetail", type=int, default=1000),
+         A("--polish", action="store_true"))
     return p
 
 

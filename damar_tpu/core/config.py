@@ -27,6 +27,8 @@ class OverlapConfig:
     seed_batch: int = 2048      # seeds extended per kernel launch
     max_read_len: int = 65536   # static bound on read length in kernels
     diff_cost: int = 5          # score = antidiag - diff_cost * diffs
+    use_pallas: bool | None = None  # None = auto (Pallas on TPU,
+                                    # pure-JAX elsewhere)
     # (slope: true alignments at <=30% pair error gain ~1-5*eps/2 > 0
     #  per antidiagonal; random sequence (~0.48 edit rate) loses, so
     #  extension halts at overlap ends without a hard rule)

@@ -60,12 +60,8 @@ DEFAULT_BLOCK_MB = 200  # DBsplit -s default in the lineage âŸ¨VERIFY vs mountâŸ
 
 # --- 2-bit packing ---------------------------------------------------------
 
-def pack_2bit(codes: np.ndarray) -> np.ndarray:
-    """uint8 base codes (0..3) -> packed bytes, 4/byte, MSB-first.
-
-    Trailing partial byte is padded with code 0 ('a'), matching the
-    lineage's Compress_Read padding.
-    """
+def _pack_2bit_np(codes: np.ndarray) -> np.ndarray:
+    """Numpy reference implementation (see pack_2bit)."""
     codes = np.asarray(codes, dtype=np.uint8)
     n = len(codes)
     pad = (-n) % 4
@@ -75,8 +71,8 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
     return (q[:, 0] << 6 | q[:, 1] << 4 | q[:, 2] << 2 | q[:, 3]).astype(np.uint8)
 
 
-def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
-    """Packed bytes -> uint8 base codes (0..3), truncated to `length`."""
+def _unpack_2bit_np(packed: np.ndarray, length: int) -> np.ndarray:
+    """Numpy reference implementation (see unpack_2bit)."""
     packed = np.asarray(packed, dtype=np.uint8)
     out = np.empty((len(packed), 4), dtype=np.uint8)
     out[:, 0] = packed >> 6
@@ -84,6 +80,27 @@ def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
     out[:, 2] = (packed >> 2) & 3
     out[:, 3] = packed & 3
     return out.reshape(-1)[:length]
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """uint8 base codes (0..3) -> packed bytes, 4/byte, MSB-first.
+
+    Trailing partial byte is padded with code 0 ('a'), matching the
+    lineage's Compress_Read padding.  Uses the native codec when the
+    C library is available (damar_tpu.native), numpy otherwise.
+    """
+    from damar_tpu import native
+    if native.available():
+        return native.pack_2bit(codes)
+    return _pack_2bit_np(np.asarray(codes, dtype=np.uint8))
+
+
+def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
+    """Packed bytes -> uint8 base codes (0..3), truncated to `length`."""
+    from damar_tpu import native
+    if native.available():
+        return native.unpack_2bit(packed, length)
+    return _unpack_2bit_np(np.asarray(packed, dtype=np.uint8), length)
 
 
 # --- stub paths ------------------------------------------------------------

@@ -115,6 +115,9 @@ def write_las(path: str, las: LasFile) -> None:
             rec["bread"] = o.bread
             f.write(rec.tobytes())
             flat = trace.reshape(-1)
+            if flat.size and flat.min() < 0:
+                raise ValueError(
+                    f"negative trace value {flat.min()}; record {o}")
             if small:
                 if flat.size and flat.max() > 255:
                     raise ValueError(
@@ -222,6 +225,9 @@ def merge_las(paths: list[str], out: str) -> None:
     trees; here a full in-memory merge is fine for block-scale inputs,
     while remaining deterministic.
     """
+    from damar_tpu import native
+    if native.available() and native.las_merge(paths, out):
+        return
     import heapq
     lases = [read_las(p) for p in paths]
     tspaces = {l.tspace for l in lases if l.novl} or {lases[0].tspace}

@@ -1,0 +1,132 @@
+"""Native host-runtime bindings: build-on-demand C library + ctypes.
+
+The shared library is compiled from damar_native.c on first use (cached
+next to the source; rebuilt when the source changes) and loaded with
+ctypes.  All entry points have numpy fallbacks so the package works
+without a C toolchain; `available()` reports which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "damar_native.c")
+_LIB = None
+_TRIED = False
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_HERE, f"libdamar_native.{tag}.so")
+    if os.path.exists(so):
+        return so
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            r = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", so],
+                capture_output=True, timeout=120)
+            if r.returncode == 0:
+                return so
+        except (FileNotFoundError, subprocess.TimeoutExpired):
+            continue
+    return None
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        if os.environ.get("DAMAR_NO_NATIVE"):
+            return None
+        so = _build()
+        if so:
+            lib = ctypes.CDLL(so)
+            lib.pack2bit.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.unpack2bit.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.las_merge.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.c_char_p]
+            lib.las_merge.restype = ctypes.c_int
+            lib.las_scan.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.las_scan.restype = ctypes.c_int64
+            _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    if lib is None:
+        from damar_tpu.formats import dazzdb
+        return dazzdb._pack_2bit_np(codes)
+    out = np.empty((len(codes) + 3) // 4, dtype=np.uint8)
+    lib.pack2bit(_u8p(codes), len(codes), _u8p(out))
+    return out
+
+
+def unpack_2bit(packed: np.ndarray, length: int) -> np.ndarray:
+    lib = _lib()
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    if lib is None:
+        from damar_tpu.formats import dazzdb
+        return dazzdb._unpack_2bit_np(packed, length)
+    out = np.empty(length, dtype=np.uint8)
+    lib.unpack2bit(_u8p(packed), length, _u8p(out))
+    return out
+
+
+def las_merge(paths: list[str], out: str) -> bool:
+    """Streaming k-way merge of sorted .las files (LAmerge).  Returns
+    True on success; callers fall back to the Python merge on False."""
+    lib = _lib()
+    if lib is None:
+        return False
+    arr = (ctypes.c_char_p * len(paths))(
+        *[p.encode() for p in paths])
+    rc = lib.las_merge(arr, len(paths), out.encode())
+    if rc != 0 and os.path.exists(out):
+        os.remove(out)
+    return rc == 0
+
+
+def las_scan(path: str):
+    """Fast .las reader: (headers [n,10] int32, trace bytes, offsets)
+    or None when native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    size = os.path.getsize(path)
+    novl = int(np.fromfile(path, dtype="<i8", count=1)[0]) \
+        if size >= 12 else 0
+    headers = np.zeros((max(novl, 1), 10), dtype=np.int32)
+    trace = np.zeros(max(size, 1), dtype=np.uint8)
+    offs = np.zeros(novl + 1, dtype=np.int64)
+    n = lib.las_scan(
+        path.encode(),
+        headers.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8p(trace), size,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        raise IOError(f"las_scan({path}) failed: {n}")
+    return headers[:n], trace[:offs[n]], offs

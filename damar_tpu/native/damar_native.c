@@ -1,0 +1,191 @@
+/* Native host-side runtime for damar_tpu.
+ *
+ * The reference implements its entire host runtime in C (SURVEY.md §2:
+ * DB codec in db/DB.c, .las IO in dalign/align.c, merge in LAmerge.c —
+ * upstream-path citations, reference mount empty).  The TPU build keeps
+ * the compute path in JAX/Pallas but implements the same hot HOST
+ * paths natively: 2-bit base packing (ingest of multi-GB FASTA) and
+ * streaming k-way .las merge (tens of GB of overlap shards, the
+ * reference's LAmerge).  Python bindings are ctypes (no pybind11 in
+ * the image); damar_tpu.native builds this file on demand with cc -O3
+ * and falls back to the numpy implementations when no compiler exists.
+ *
+ * Build: cc -O3 -shared -fPIC damar_native.c -o libdamar_native.so
+ */
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+/* ---------------- 2-bit base codec ---------------- */
+
+void pack2bit(const uint8_t *codes, int64_t n, uint8_t *out) {
+    int64_t nb = n / 4;
+    for (int64_t i = 0; i < nb; i++) {
+        const uint8_t *c = codes + 4 * i;
+        out[i] = (uint8_t)((c[0] << 6) | (c[1] << 4) | (c[2] << 2) | c[3]);
+    }
+    int64_t rem = n - 4 * nb;
+    if (rem) {
+        uint8_t b = 0;
+        for (int64_t j = 0; j < rem; j++)
+            b |= (uint8_t)(codes[4 * nb + j] << (6 - 2 * j));
+        out[nb] = b;
+    }
+}
+
+void unpack2bit(const uint8_t *packed, int64_t n, uint8_t *out) {
+    int64_t nb = n / 4;
+    for (int64_t i = 0; i < nb; i++) {
+        uint8_t b = packed[i];
+        uint8_t *o = out + 4 * i;
+        o[0] = (uint8_t)(b >> 6);
+        o[1] = (uint8_t)((b >> 4) & 3);
+        o[2] = (uint8_t)((b >> 2) & 3);
+        o[3] = (uint8_t)(b & 3);
+    }
+    for (int64_t j = 4 * nb; j < n; j++)
+        out[j] = (uint8_t)((packed[j / 4] >> (6 - 2 * (j % 4))) & 3);
+}
+
+/* ---------------- streaming k-way .las merge ----------------
+ *
+ * Record layout (formats/las.py): header int64 novl + int32 tspace;
+ * then per record 40 bytes (tlen,diffs,abpos,bbpos,aepos,bepos i32;
+ * flags u32; aread,bread i32; 4 pad) + trace payload (tlen bytes when
+ * tspace <= 125 else tlen*2).  Sort key: (aread, bread, flags&COMP,
+ * abpos, aepos, bbpos).
+ */
+
+typedef struct {
+    FILE *f;
+    int64_t remaining;
+    int32_t rec[10];      /* current record header */
+    uint8_t *trace;       /* current trace payload */
+    int32_t tbytes;
+    int live;
+} Stream;
+
+static int stream_advance(Stream *s, int small) {
+    if (s->remaining <= 0) { s->live = 0; return 0; }
+    if (fread(s->rec, 4, 10, s->f) != 10) { s->live = 0; return -1; }
+    int32_t tlen = s->rec[0];
+    s->tbytes = small ? tlen : tlen * 2;
+    if (s->tbytes < 0) { s->live = 0; return -1; }
+    s->trace = (uint8_t *)realloc(s->trace, (size_t)(s->tbytes ? s->tbytes : 1));
+    if (s->tbytes && fread(s->trace, 1, (size_t)s->tbytes, s->f)
+            != (size_t)s->tbytes) { s->live = 0; return -1; }
+    s->remaining--;
+    return 1;
+}
+
+static int stream_less(const Stream *a, const Stream *b) {
+    /* key fields in rec[]: aread=7, bread=8, comp=flags&1 (rec[6]),
+       abpos=2, aepos=4, bbpos=3 */
+    const int32_t ka[6] = {a->rec[7], a->rec[8],
+                           (int32_t)(((uint32_t)a->rec[6]) & 1u),
+                           a->rec[2], a->rec[4], a->rec[3]};
+    const int32_t kb[6] = {b->rec[7], b->rec[8],
+                           (int32_t)(((uint32_t)b->rec[6]) & 1u),
+                           b->rec[2], b->rec[4], b->rec[3]};
+    for (int i = 0; i < 6; i++) {
+        if (ka[i] < kb[i]) return 1;
+        if (ka[i] > kb[i]) return 0;
+    }
+    return 0;   /* strict: ties keep the earlier stream (stable) */
+}
+
+/* returns 0 on success, negative error code otherwise */
+int las_merge(const char **inputs, int n_in, const char *output) {
+    if (n_in <= 0) return -1;
+    Stream *ss = (Stream *)calloc((size_t)n_in, sizeof(Stream));
+    int32_t tspace = -1;
+    int err = 0;
+    int64_t total = 0;
+    for (int i = 0; i < n_in && !err; i++) {
+        ss[i].f = fopen(inputs[i], "rb");
+        if (!ss[i].f) { err = -2; break; }
+        int64_t novl;
+        int32_t ts;
+        if (fread(&novl, 8, 1, ss[i].f) != 1 ||
+            fread(&ts, 4, 1, ss[i].f) != 1) { err = -3; break; }
+        if (tspace < 0 && novl > 0) tspace = ts;
+        else if (novl > 0 && ts != tspace) { err = -4; break; }
+        if (tspace < 0) tspace = ts;
+        ss[i].remaining = novl;
+        ss[i].live = 1;
+        total += novl;
+    }
+    int small = tspace <= 125;
+    for (int i = 0; i < n_in && !err; i++) {
+        int r = stream_advance(&ss[i], small);
+        if (r < 0) err = -5;
+    }
+    FILE *out = NULL;
+    if (!err) {
+        out = fopen(output, "wb");
+        if (!out) err = -6;
+    }
+    if (!err) {
+        fwrite(&total, 8, 1, out);
+        fwrite(&tspace, 4, 1, out);
+        int64_t written = 0;
+        for (;;) {
+            int best = -1;
+            for (int i = 0; i < n_in; i++) {
+                if (!ss[i].live) continue;
+                if (best < 0 || stream_less(&ss[i], &ss[best]))
+                    best = i;
+            }
+            if (best < 0) break;
+            fwrite(ss[best].rec, 4, 10, out);
+            if (ss[best].tbytes)
+                fwrite(ss[best].trace, 1, (size_t)ss[best].tbytes, out);
+            written++;
+            if (stream_advance(&ss[best], small) < 0) { err = -5; break; }
+        }
+        if (!err && written != total) err = -7;
+        fclose(out);
+    }
+    for (int i = 0; i < n_in; i++) {
+        if (ss[i].f) fclose(ss[i].f);
+        free(ss[i].trace);
+    }
+    free(ss);
+    return err;
+}
+
+/* ---------------- fast .las scan ----------------
+ * Fill caller-provided arrays with record headers; returns count or
+ * negative error.  Trace payloads are concatenated into trace_out
+ * (caller sizes it via the file size).
+ */
+int64_t las_scan(const char *path, int32_t *headers /* n x 10 */,
+                 uint8_t *trace_out, int64_t trace_cap,
+                 int64_t *trace_offsets /* n+1 */) {
+    FILE *f = fopen(path, "rb");
+    if (!f) return -2;
+    int64_t novl;
+    int32_t tspace;
+    if (fread(&novl, 8, 1, f) != 1 || fread(&tspace, 4, 1, f) != 1) {
+        fclose(f);
+        return -3;
+    }
+    int small = tspace <= 125;
+    int64_t toff = 0;
+    for (int64_t i = 0; i < novl; i++) {
+        if (fread(headers + 10 * i, 4, 10, f) != 10) { fclose(f); return -5; }
+        int32_t tlen = headers[10 * i];
+        int64_t tb = small ? tlen : (int64_t)tlen * 2;
+        if (toff + tb > trace_cap) { fclose(f); return -8; }
+        if (tb && fread(trace_out + toff, 1, (size_t)tb, f) != (size_t)tb) {
+            fclose(f);
+            return -5;
+        }
+        trace_offsets[i] = toff;
+        toff += tb;
+    }
+    trace_offsets[novl] = toff;
+    fclose(f);
+    return novl;
+}

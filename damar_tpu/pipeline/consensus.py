@@ -1,0 +1,268 @@
+"""Pile consensus / polishing (L7, SURVEY.md §2.8; upstream MARVEL
+corrector/ + msa/ — upstream-path citation, reference mount empty).
+
+Template-anchored consensus: every covering sequence is aligned to the
+template window (banded edit DP with full traceback), alignments are
+decomposed into per-template-column votes (match/sub base, deletion,
+insertions after the column), and the majority column calls produce the
+polished sequence.  This is the pbdagcon-style simplification of the
+reference's POA consensus — template-anchored, one round, optionally
+iterated.
+
+Used two ways (as in the lineage):
+  * polish_contig: after touring, each tour step records where its
+    read landed in the contig, so read windows map to contig windows
+    with NO extra alignment search;
+  * polish_read: a read pile from .las records maps B windows through
+    trace points.
+
+Host-side numpy in this round; per-window DPs are ~200x300 cells.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def banded_align_path(a: np.ndarray, b: np.ndarray, band: int = 64,
+                      semiglobal: bool = True
+                      ) -> list[tuple[int, int, int]]:
+    """Banded edit alignment of a (template) vs b; returns the path as
+    ops: (0=match/sub consuming a[i],b[j]; 1=del consuming a[i];
+    2=ins consuming b[j]).
+
+    semiglobal: leading/trailing b overhangs are free (b may extend
+    past the template on both sides without cost) — required when
+    covers carry margins, otherwise the margins become giant
+    end-insertions that poison consensus votes.  The returned path
+    covers all of a but only the aligned span of b."""
+    m, n = len(a), len(b)
+    INF = 1 << 30
+    width = 2 * band + 1
+    # D[i, k]: j = i + (n - m) adjusted... use diagonal offset around
+    # the (scaled) main diagonal
+    off = (n - m) // 2
+    D = np.full((m + 1, width), INF, np.int64)
+    ctr = band   # center the band at j - i == off: j - i spans
+                 # [off - band, off + band] (ctr = band - off would
+                 # center at 2*off, halving the usable drift tolerance)
+
+    def jcol(i, k):
+        return i + k - ctr + off
+
+    # row 0: j = k - ctr + off (free leading b when semiglobal)
+    for k in range(width):
+        j = jcol(0, k)
+        if 0 <= j <= n:
+            D[0, k] = 0 if semiglobal else j
+    for i in range(1, m + 1):
+        # vectorized row update in the band frame: j(i,k) = j(i-1,k)+1
+        # j(i,k) = i + k - ctr + off, so j(i-1,k) = j(i,k) - 1:
+        # D[i-1,k] is the diagonal predecessor; (i-1, j) lives at k+1
+        diag = D[i - 1]
+        upj = np.concatenate([D[i - 1][1:], [INF]])
+        js = i + np.arange(width) - ctr + off
+        valid = (js >= 0) & (js <= n)
+        sub = np.where((js >= 1) & (js <= n),
+                       np.where(b[np.clip(js - 1, 0, n - 1)] == a[i - 1],
+                                0, 1), INF)
+        best = np.minimum(diag + sub, upj + 1)
+        # left (ins): D[i, k-1] + 1 — prefix scan within the row
+        run = np.minimum.accumulate(
+            np.where(valid, best - np.arange(width), INF))
+        row = np.minimum(best, run + np.arange(width))
+        D[i] = np.where(valid, row, INF)
+    # traceback: global ends at (m, n); semiglobal at the cheapest
+    # column of the last row (free trailing b)
+    path: list[tuple[int, int, int]] = []
+    i = m
+    if semiglobal:
+        ks = np.arange(width)
+        jlast = m + ks - ctr + off
+        valid = (jlast >= 0) & (jlast <= n)
+        k = int(np.where(valid, D[m], INF).argmin())
+    else:
+        k = n - m + ctr - off      # k such that jcol(m, k) == n
+    while i > 0 or (not semiglobal and jcol(i, k) > 0):
+        j = jcol(i, k)
+        cur = D[i, k]
+        if i > 0 and 0 < j <= n and D[i - 1, k] + (
+                0 if b[j - 1] == a[i - 1] else 1) == cur:
+            path.append((0, i - 1, j - 1))
+            i, k = i - 1, k
+        elif i > 0 and k + 1 < width and D[i - 1, k + 1] + 1 == cur:
+            path.append((1, i - 1, j))
+            i, k = i - 1, k + 1
+        elif 0 < j <= n and k - 1 >= 0 and D[i, k - 1] + 1 == cur:
+            path.append((2, i, j - 1))
+            k = k - 1
+        elif semiglobal and i == 0:
+            break                  # free leading b overhang
+        else:  # band edge fallback
+            if i > 0:
+                path.append((1, i - 1, j))
+                i -= 1
+            else:
+                path.append((2, i, j - 1))
+                k -= 1
+    path.reverse()
+    return path
+
+
+def consensus_window(template: np.ndarray, covers: list[np.ndarray],
+                     band: int = 64, min_cov: int = 2) -> np.ndarray:
+    """Majority-vote consensus of sequences aligned to one template
+    window.  Columns: per template position, votes over {0..3 base,
+    4=delete}; insertions after a position vote as strings."""
+    m = len(template)
+    votes = np.zeros((m, 5), np.int32)
+    ins_votes: list[dict] = [dict() for _ in range(m + 1)]
+    n_cov = 0
+    for c in covers:
+        if len(c) == 0:
+            continue
+        path = banded_align_path(template, c, band)
+        n_cov += 1
+        pend: list[int] = []
+        last_i = 0
+        for op, i, j in path:
+            if op == 2:
+                pend.append(int(c[j]))
+                continue
+            if pend:
+                key = tuple(pend)
+                d = ins_votes[i]
+                d[key] = d.get(key, 0) + 1
+                pend = []
+            if op == 0:
+                votes[i, int(c[j])] += 1
+            else:
+                votes[i, 4] += 1
+            last_i = i
+        if pend:
+            key = tuple(pend)
+            d = ins_votes[m]
+            d[key] = d.get(key, 0) + 1
+    if n_cov < min_cov:
+        return template.copy()
+    # NOTE: the template does NOT vote.  In contig polishing the
+    # window's source read is always among the covers (it was laid
+    # out), so a template vote would double-count its errors; votes
+    # are a clean majority over the covering reads.
+    out: list[int] = []
+    half = n_cov / 2.0
+    for i in range(m):
+        ins = ins_votes[i]
+        if ins:
+            key, cnt = max(ins.items(), key=lambda kv: kv[1])
+            if cnt > half:
+                out.extend(key)
+        tot = votes[i].sum()
+        if tot == 0:
+            out.append(int(template[i]))
+            continue
+        call = int(np.argmax(votes[i]))
+        if call != 4:
+            out.append(call)
+        # template vote: the template itself is one voice only when
+        # coverage is thin
+    ins = ins_votes[m]
+    if ins:
+        key, cnt = max(ins.items(), key=lambda kv: kv[1])
+        if cnt > half:
+            out.extend(key)
+    return np.array(out, np.uint8)
+
+
+def full_layout(tour_lay: list[tuple[int, int, int]], las,
+                rlen_of: dict[int, int]) -> list[tuple[int, int, int]]:
+    """Extend a tour layout with every read overlapping a tour read
+    (contained reads carry most of the coverage): each extra read is
+    placed at the contig position implied by its best (longest)
+    overlap record with a tour read.  Positions are approximate to
+    within alignment indel drift — polish margins absorb that."""
+    from damar_tpu.formats.oflags import OVL_COMP
+    pos = {(r, d): p for r, d, p in tour_lay}
+    placed = {r for r, _, _ in tour_lay}
+    best: dict[int, tuple[int, int, int]] = {}
+    for o in las.overlaps:
+        if o.bread in placed or o.aread not in placed:
+            continue
+        alen = rlen_of[o.aread]
+        blen = rlen_of[o.bread]
+        comp = 1 if (o.flags & OVL_COMP) else 0
+        for d_t in (0, 1):
+            p_t = pos.get((o.aread, d_t))
+            if p_t is None:
+                continue
+            if d_t == 0:
+                start = p_t + o.abpos - o.bbpos
+                d_b = comp
+            else:
+                # A reversed in contig: A-coord x -> p_t + alen - x;
+                # B' runs antiparallel to its record orientation
+                start = p_t + (alen - o.aepos) - (blen - o.bepos)
+                d_b = 1 - comp
+            olen = o.aepos - o.abpos
+            cur = best.get(o.bread)
+            if cur is None or olen > cur[2]:
+                best[o.bread] = (d_b, start, olen)
+    out = list(tour_lay)
+    for r, (d_b, start, _) in best.items():
+        out.append((r, d_b, start))
+    return out
+
+
+def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
+                  seq_of, window: int = 500, margin: int = 80,
+                  band: int = 96, min_cov: int = 2) -> np.ndarray:
+    """Polish a toured contig with its own reads.
+
+    layout: [(read, dir, contig_start)] from touring.tour_layout —
+    read r (oriented) aligns to contig[start : start + len(read)].
+    Each contig window is re-called by consensus over the read slices
+    that cover it.
+    """
+    parts: list[np.ndarray] = []
+    n = len(contig)
+    for w0 in range(0, n, window):
+        w1 = min(w0 + window, n)
+        tmpl = contig[w0:w1]
+        covers = []
+        for read, d, start in layout:
+            s = seq_of(read, d)
+            end = start + len(s)
+            if start <= w0 and w1 <= end:
+                lo = w0 - start
+                hi = w1 - start
+                covers.append(s[max(0, lo - margin):hi + margin])
+        parts.append(consensus_window(tmpl, covers, band=band,
+                                      min_cov=min_cov))
+    return np.concatenate(parts) if parts else contig
+
+
+def polish_read(aread: int, las, seqs_of, rlen: int, window: int = 500,
+                band: int = 96, min_cov: int = 2) -> np.ndarray:
+    """Correct one read from its pile (corrector equivalent): covering
+    B windows are located through trace points, then consensus-voted
+    against the read as template."""
+    from damar_tpu.formats.oflags import OVL_COMP
+    template = seqs_of(aread, False)
+    parts = []
+    ts = las.tspace
+    pile = [o for o in las.overlaps if o.aread == aread]
+    for w0 in range(0, rlen, window):
+        w1 = min(w0 + window, rlen)
+        covers = []
+        for o in pile:
+            if o.abpos <= w0 and w1 <= o.aepos:
+                s0 = o.abpos // ts
+                cum = np.concatenate([[0], np.cumsum(o.trace[:, 1])])
+                seg_lo = w0 // ts
+                seg_hi = (w1 + ts - 1) // ts
+                lo = o.bbpos + int(cum[max(0, seg_lo - s0)])
+                hi = o.bbpos + int(cum[min(len(cum) - 1, seg_hi - s0)])
+                b = seqs_of(o.bread, bool(o.flags & OVL_COMP))
+                covers.append(b[lo:hi])
+        parts.append(consensus_window(template[w0:w1], covers,
+                                      band=band, min_cov=min_cov))
+    return np.concatenate(parts) if parts else template

@@ -32,6 +32,20 @@ from damar_tpu.ops.seeding import find_seeds
 from damar_tpu.ops.wave import extend_wave, trace_wave
 
 
+def _kernels(cfg: "OverlapConfig"):
+    """Select the DP kernel implementation: the fused Pallas kernels
+    on TPU-class backends, the pure-JAX reference elsewhere (Pallas
+    interpret mode on CPU is far slower than the XLA path)."""
+    import jax
+    use = cfg.use_pallas
+    if use is None:
+        use = jax.default_backend() not in ("cpu",)
+    if use:
+        from damar_tpu.ops.wave_pallas import extend_wave_pl, trace_wave_pl
+        return extend_wave_pl, trace_wave_pl
+    return extend_wave, trace_wave
+
+
 @dataclass
 class Extent:
     """A candidate local alignment in read-local coordinates."""
@@ -82,12 +96,13 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
         blim_f = jnp.asarray(_pad(bend - bp, S, 0))
         alim_r = jnp.asarray(_pad(ap - astart, S, 0))
         blim_r = jnp.asarray(_pad(bp - bstart, S, 0))
+        ext_fn, _ = _kernels(cfg)
         kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
                   diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
-        fva, fvb, fd, _ = extend_wave(a_bases, b_bases, ao, bo,
-                                      alim_f, blim_f, reverse=False, **kw)
-        rva, rvb, rd, _ = extend_wave(a_bases, b_bases, ao, bo,
-                                      alim_r, blim_r, reverse=True, **kw)
+        fva, fvb, fd, _ = ext_fn(a_bases, b_bases, ao, bo,
+                                 alim_f, blim_f, reverse=False, **kw)
+        rva, rvb, rd, _ = ext_fn(a_bases, b_bases, ao, bo,
+                                 alim_r, blim_r, reverse=True, **kw)
         fva = np.asarray(fva)[:hi - lo]
         fvb = np.asarray(fvb)[:hi - lo]
         fd = np.asarray(fd)[:hi - lo]
@@ -150,7 +165,8 @@ def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
     aep = np.array([c[3] for c in coords], np.int32)
     bbp = np.array([c[4] for c in coords], np.int32)
     bep = np.array([c[5] for c in coords], np.int32)
-    tr, nseg, dsum = trace_wave(
+    _, trace_fn = _kernels(cfg)
+    tr, nseg, dsum = trace_fn(
         a_bases, b_bases,
         jnp.asarray(a_starts[ar].astype(np.int32)),
         jnp.asarray(b_starts[br].astype(np.int32)),

@@ -182,6 +182,23 @@ def tour_to_seq(tour: Tour, seq_of) -> np.ndarray:
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
 
+def tour_layout(tour: Tour, seq_of) -> list[tuple[int, int, int]]:
+    """Contig coordinates of each tour read: [(read, dir, start)] —
+    read r oriented d aligns to contig[start : start + len(r)].
+    Feeds consensus.polish_contig without any alignment search."""
+    first = tour.steps[0][0]
+    layout = [(first.read, first.dir, 0)]
+    clen = len(seq_of(first.read, first.dir))
+    steps = tour.steps[1:-1] if (tour.circular and len(tour.steps) > 1) \
+        else tour.steps[1:]
+    for v, cut in steps:
+        L = len(seq_of(v.read, v.dir))
+        start = clen - cut
+        layout.append((v.read, v.dir, start))
+        clen = start + L
+    return layout
+
+
 def assemble(las, rlen_of: dict[int, int], seq_of, fuzz: int = 25,
              min_dovetail: int = 1000, spur_len: int = 3,
              bubble_max: int = 8) -> tuple[list[np.ndarray], list[Tour],

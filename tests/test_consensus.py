@@ -1,0 +1,101 @@
+"""Consensus/polishing tests (L7): contig polishing must cut the error
+rate several-fold; read correction likewise."""
+import numpy as np
+import pytest
+
+from damar_tpu.pipeline.consensus import (banded_align_path,
+                                          consensus_window,
+                                          polish_contig)
+from damar_tpu.utils.sim import mutate
+
+
+def lev(a, b):
+    prev = np.arange(len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = np.empty(len(b) + 1, int)
+        cur[0] = i
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[-1]
+
+
+class TestAlignPath:
+    def test_perfect(self, rng):
+        a = rng.integers(0, 4, 150).astype(np.uint8)
+        p = banded_align_path(a, a)
+        assert len(p) == 150 and all(op == 0 for op, _, _ in p)
+
+    def test_path_cost_reasonable(self, rng):
+        a = rng.integers(0, 4, 300).astype(np.uint8)
+        b = mutate(a, 0.15, rng)
+        p = banded_align_path(a, b, semiglobal=False)
+        cost = sum(1 for op, i, j in p if op != 0 or a[i] != b[j])
+        assert cost <= lev(a, b) + 5  # banded within slack of exact
+        # path must consume both sequences fully
+        assert sum(1 for op, _, _ in p if op in (0, 1)) == len(a)
+        assert sum(1 for op, _, _ in p if op in (0, 2)) == len(b)
+
+
+class TestConsensus:
+    def test_majority_recovers_truth(self, rng):
+        truth = rng.integers(0, 4, 400).astype(np.uint8)
+        template = mutate(truth, 0.14, rng)
+        covers = [mutate(truth, 0.14, rng) for _ in range(12)]
+        cons = consensus_window(template, covers, band=96)
+        e_before = lev(template, truth)
+        e_after = lev(cons, truth)
+        assert e_after < e_before * 0.5, (e_before, e_after)
+
+    def test_low_coverage_keeps_template(self, rng):
+        t = rng.integers(0, 4, 100).astype(np.uint8)
+        out = consensus_window(t, [], band=32)
+        np.testing.assert_array_equal(out, t)
+
+
+class TestPolishContig:
+    def test_polishing_improves_identity(self, rng):
+        """Contig built exactly the way tour_to_seq builds it (read
+        pieces concatenated at overlap cuts, layout in exact contig
+        coordinates); polishing with the tiling reads must cut the
+        error substantially."""
+        truth = rng.integers(0, 4, 6000).astype(np.uint8)
+        reads = {}
+        tstarts = list(range(0, 5000, 350))
+        for k, start in enumerate(tstarts):
+            reads[k] = mutate(truth[start:start + 2000], 0.12, rng)
+
+        def seq_of(i, d):
+            return reads[i]
+
+        # contig from every 4th read (like a tour through dovetails):
+        # append the part of each read past the previous read's end
+        tour_reads = list(range(0, len(tstarts), 4))  # stride 1400bp
+        layout = [(tour_reads[0], 0, 0)]
+        parts = [reads[tour_reads[0]]]
+        clen = len(reads[tour_reads[0]])
+        for k in tour_reads[1:]:
+            # true overlap = prev read end - this read start in truth
+            olap_truth = (tstarts[layout[-1][0]] + 2000) - tstarts[k]
+            cut = olap_truth  # approx cut in read coords (indels drift)
+            start = clen - cut
+            layout.append((k, 0, start))
+            parts.append(reads[k][cut:])
+            clen = start + len(reads[k])
+        contig = np.concatenate(parts)
+        # full coverage: place the remaining reads at their implied
+        # contig positions (what consensus.full_layout does from .las
+        # records in the real pipeline)
+        tour_pos = {k: p for k, _, p in layout}
+        for k, tstart in enumerate(tstarts):
+            if k in tour_pos:
+                continue
+            anchor = max(t for t in tour_reads if tstarts[t] <= tstart)
+            layout.append((k, 0,
+                           tour_pos[anchor] + tstart - tstarts[anchor]))
+        polished = polish_contig(contig, layout, seq_of, window=400,
+                                 margin=150, band=160)
+        e_before = lev(contig[:4000], truth[:4000])
+        e_after = lev(polished[:4000], truth[:4000])
+        assert e_after < e_before * 0.75, (e_before, e_after)

@@ -97,8 +97,8 @@ def _mk_ovl(rng, aread, bread, tspace=100, comp=False):
     trace = np.zeros((nseg, 2), dtype=np.int32)
     for s, asp in enumerate(aspans):
         drift = int(rng.integers(-3, 4))
-        trace[s, 1] = asp + drift
-        trace[s, 0] = abs(drift) + int(rng.integers(0, 5))
+        trace[s, 1] = max(asp + drift, 0)   # bspan can never go negative
+        trace[s, 0] = abs(trace[s, 1] - asp) + int(rng.integers(0, 5))
     bbpos = int(rng.integers(0, 100))
     bepos = bbpos + int(trace[:, 1].sum())
     return las.Overlap(
