@@ -34,6 +34,9 @@ SEED = 2024
 
 
 def main() -> None:
+    profile_dir = None
+    if "--profile" in sys.argv:
+        profile_dir = "/tmp/damar_profile"
     t_setup = time.time()
     from damar_tpu.core.blocks import block_from_reads
     from damar_tpu.core.config import OverlapConfig
@@ -57,11 +60,17 @@ def main() -> None:
                        emit_mirrors=False)
     print(f"# warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
     t0 = time.time()
     las_a, las_b, stats = overlap_block_pair(
         blk, blk, cfg, self_block=True,
         hit_cap=1 << 22, seed_cap=1 << 17, emit_mirrors=False)
     wall = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
+        print(f"# profile trace: {profile_dir}", file=sys.stderr)
 
     aligned_bp = sum(o.aepos - o.abpos for o in las_a.overlaps)
     gbp_s = aligned_bp / wall / 1e9

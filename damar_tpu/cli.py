@@ -141,7 +141,7 @@ def cmd_hpc_plan(args):
     from damar_tpu.formats.dazzdb import _root
     _, root = _root(args.db)
     sys.stdout.write(render_script(
-        plan_block_pairs(root, max(db.nblocks, 1))))
+        plan_block_pairs(root, max(db.nblocks, 1)), db_root=root))
 
 
 def cmd_overlap_all(args):
@@ -172,10 +172,25 @@ def cmd_lacat(args):
 
 
 def cmd_lashow(args):
-    from damar_tpu.formats.las import read_las, show_las
+    from damar_tpu.formats.las import (read_las, reconstruct_alignment,
+                                       show_las)
     las = read_las(args.las)
     print(f"# {args.las}: {las.novl} records, tspace {las.tspace}")
-    print(show_las(las, limit=args.limit))
+    if not args.align:
+        print(show_las(las, limit=args.limit))
+        return
+    from damar_tpu.formats.fasta import revcomp
+    db = _db(args.db)
+    for o in las.overlaps[:args.limit]:
+        c = "c" if o.comp else "n"
+        print(f"{o.aread:7d} {o.bread:7d} {c} "
+              f"[{o.abpos:7d}..{o.aepos:7d}] x "
+              f"[{o.bbpos:7d}..{o.bepos:7d}] ({o.diffs} diffs)")
+        aseq = db.read_seq(o.aread)
+        bseq = db.read_seq(o.bread)
+        if o.comp:
+            bseq = revcomp(bseq)
+        print(reconstruct_alignment(o, aseq, bseq, las.tspace))
 
 
 def cmd_lacheck(args):
@@ -421,6 +436,46 @@ def cmd_assemble(args):
           f"{' (polished)' if args.polish else ''}")
 
 
+def cmd_ctanalyze(args):
+    """Contig post-analysis (CT* equivalent): per-contig coverage/
+    support/termination + assembly N50 stats."""
+    from damar_tpu.formats.fasta import read_fasta, revcomp
+    from damar_tpu.formats.las import read_las
+    from damar_tpu.pipeline.contigs import assembly_stats, analyze_contig
+    from damar_tpu.pipeline.touring import assemble, tour_layout
+    from damar_tpu.pipeline.consensus import full_layout
+    db = _db(args.db)
+    las = read_las(args.las)
+    rlen_of = _rlen_map(db)
+
+    def seq_of(i, d):
+        s = db.read_seq(i)
+        return revcomp(s) if d else s
+
+    contigs, tours, g = assemble(las, rlen_of, seq_of, fuzz=args.fuzz,
+                                 min_dovetail=args.min_dovetail)
+    report = []
+    for c, t in zip(contigs, tours):
+        lay = full_layout(tour_layout(t, seq_of), las, rlen_of)
+        report.append(analyze_contig(c, t, lay, seq_of))
+    stats = assembly_stats([len(c) for c in contigs],
+                           genome_size=args.genome_size or None)
+    print(json.dumps({"assembly": stats, "contigs": report}, indent=2))
+
+
+def cmd_pipeline(args):
+    """Full assembly: mask -> overlap -> patch -> re-overlap -> scrub
+    -> assemble (the reference's planner-script workflow)."""
+    from damar_tpu.core.config import PipelineConfig
+    from damar_tpu.pipeline.run import run_pipeline
+    cfg = PipelineConfig(block_mb=args.block_size,
+                         min_read_len=args.cutoff)
+    rep = run_pipeline(args.fasta, args.workdir, cfg,
+                       polish=not args.no_polish)
+    print(json.dumps({"contigs": rep["phases"]["assemble"],
+                      "total_wall_s": rep["total_wall_s"]}))
+
+
 # --- argparse wiring --------------------------------------------------------
 
 def build_parser():
@@ -472,7 +527,9 @@ def build_parser():
     tool("lamerge", cmd_lamerge, A("out"), A("inputs", nargs="+"))
     tool("lacat", cmd_lacat, A("out"), A("inputs", nargs="+"))
     tool("lashow", cmd_lashow, A("las"),
-         A("--limit", type=int, default=30))
+         A("--limit", type=int, default=30),
+         A("-a", "--align", action="store_true"),
+         A("--db", default=None))
     tool("lacheck", cmd_lacheck, A("db"), A("las", nargs="+"),
          A("--limit", type=int, default=10))
     tool("lasplit", cmd_lasplit, A("db"), A("las"))
@@ -506,6 +563,15 @@ def build_parser():
     tool("ogbuild", cmd_ogbuild, A("db"), A("las"), A("out"),
          A("--fuzz", type=int, default=40),
          A("--min-dovetail", type=int, default=1000))
+    tool("ctanalyze", cmd_ctanalyze, A("db"), A("las"),
+         A("--fuzz", type=int, default=40),
+         A("--min-dovetail", type=int, default=1000),
+         A("--genome-size", type=int, default=0, dest="genome_size"))
+    tool("pipeline", cmd_pipeline, A("fasta"), A("workdir"),
+         A("-s", "--block-size", type=int, default=200,
+           dest="block_size"),
+         A("-x", "--cutoff", type=int, default=500),
+         A("--no-polish", action="store_true"))
     tool("assemble", cmd_assemble, A("db"), A("las"), A("out"),
          A("--fuzz", type=int, default=40),
          A("--min-dovetail", type=int, default=1000),

@@ -276,8 +276,18 @@ def create_db(path: str, fasta_paths: list[str]) -> DazzDB:
     Reads are appended in file order; origin = well/ordinal within file,
     fpulse = 0 (no pulse metadata for plain FASTA).
     """
-    from damar_tpu.formats.fasta import iter_fasta
+    from damar_tpu.formats.fasta import iter_fasta, iter_fastq
 
+    def records_of(fp):
+        if fp.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz")):
+            for h, codes, q in iter_fastq(fp):
+                yield h, codes, q
+        else:
+            for h, codes in iter_fasta(fp):
+                yield h, codes, None
+
+    quals: list = []
+    any_quals = False
     recs = []
     files: list[tuple[int, str, str]] = []
     bps_chunks: list[np.ndarray] = []
@@ -288,7 +298,9 @@ def create_db(path: str, fasta_paths: list[str]) -> DazzDB:
     for fp in fasta_paths:
         prolog = ""
         n_in_file = 0
-        for header, codes in iter_fasta(fp):
+        for header, codes, q in records_of(fp):
+            quals.append(q if q is not None else np.zeros(0, np.uint8))
+            any_quals = any_quals or q is not None
             if not prolog:
                 prolog = header.split()[0]
             rlen = len(codes)
@@ -329,6 +341,9 @@ def create_db(path: str, fasta_paths: list[str]) -> DazzDB:
         for ch in bps_chunks:
             f.write(ch.tobytes())
     _write_stub(path, files, None, None, DEFAULT_BLOCK_MB, 0, 1)
+    if any_quals:
+        from damar_tpu.formats.qv import fastq_to_qvs
+        fastq_to_qvs(path, quals)
     return DazzDB.open(path)
 
 

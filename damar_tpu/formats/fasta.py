@@ -79,6 +79,29 @@ def write_fasta(path: str, headers: list[str], seqs: list[np.ndarray],
                 f.write(txt[i:i + width] + "\n")
 
 
+def iter_fastq(path: str):
+    """Yield (header, codes, qual_u8) per FASTQ record (phred+33)."""
+    with _open(path) as f:
+        while True:
+            h = f.readline()
+            if not h:
+                return
+            seq = f.readline().rstrip()
+            f.readline()                      # '+'
+            q = f.readline().rstrip()
+            yield (h.rstrip()[1:], encode_seq(seq),
+                   np.frombuffer(q.encode(), dtype=np.uint8) - 33)
+
+
+def read_fastq(path: str):
+    hs, ss, qs = [], [], []
+    for h, s_, q in iter_fastq(path):
+        hs.append(h)
+        ss.append(s_)
+        qs.append(q)
+    return hs, ss, qs
+
+
 def revcomp(codes: np.ndarray) -> np.ndarray:
     """Reverse complement in 2-bit code space (complement = 3 - code)."""
     return (3 - codes[::-1]).astype(np.uint8)

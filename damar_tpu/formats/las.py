@@ -247,6 +247,51 @@ def cat_las(paths: list[str], out: str) -> None:
     write_las(out, LasFile(tspace=lases[0].tspace, overlaps=allov))
 
 
+def reconstruct_alignment(o: Overlap, aseq, bseq, tspace: int,
+                          width: int = 80) -> str:
+    """Render the base-level alignment of a record from its trace
+    points (LAshow -a equivalent): each trace segment pair is
+    re-aligned with a small banded DP (the trace guarantees the spans
+    and diff counts; the lineage does the same Compute_Trace +
+    Print_Alignment reconstruction).
+
+    aseq: A read codes; bseq: B read codes ALREADY complemented when
+    the record has the COMP flag (records store B' coordinates).
+    """
+    from damar_tpu.formats.fasta import decode_seq
+    from damar_tpu.pipeline.consensus import banded_align_path
+    a0, b0 = o.abpos, o.bbpos
+    top, mid, bot = [], [], []
+    for (d, bspan) in np.asarray(o.trace, dtype=np.int64):
+        a1 = min((a0 // tspace + 1) * tspace, o.aepos)
+        aw = aseq[a0:a1]
+        bw = bseq[b0:b0 + bspan]
+        path = banded_align_path(aw, bw, band=max(32, int(d) + 8),
+                                 semiglobal=False)
+        for op, i, j in path:
+            if op == 0:
+                top.append(decode_seq(aw[i:i + 1]))
+                bot.append(decode_seq(bw[j:j + 1]))
+                mid.append("|" if aw[i] == bw[j] else "*")
+            elif op == 1:
+                top.append(decode_seq(aw[i:i + 1]))
+                bot.append("-")
+                mid.append(" ")
+            else:
+                top.append("-")
+                bot.append(decode_seq(bw[j:j + 1]))
+                mid.append(" ")
+        a0, b0 = a1, b0 + int(bspan)
+    lines = []
+    t, m, b = "".join(top), "".join(mid), "".join(bot)
+    for k in range(0, len(t), width):
+        lines.append(f"  A {t[k:k + width]}")
+        lines.append(f"    {m[k:k + width]}")
+        lines.append(f"  B {b[k:k + width]}")
+        lines.append("")
+    return "\n".join(lines)
+
+
 def show_las(las: LasFile, limit: int | None = None) -> str:
     """Human-readable dump (LAshow header lines)."""
     lines = []

@@ -64,24 +64,39 @@ def match_hits(a_codes, a_pos, b_codes, b_pos, hit_cap: int,
     lo = jnp.searchsorted(a_codes, b_codes, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(a_codes, b_codes, side="right").astype(jnp.int32)
     count_a = hi - lo
-    # B-side run lengths (suppress high-frequency k-mers symmetrically)
-    blo = jnp.searchsorted(b_codes, b_codes, side="left").astype(jnp.int32)
-    bhi = jnp.searchsorted(b_codes, b_codes, side="right").astype(jnp.int32)
-    count_b = bhi - blo
+    # B-side run lengths via neighbor compare + segment sums (binary
+    # search over 21 dependent gather passes is far slower on TPU)
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             b_codes[1:] != b_codes[:-1]])
+    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    run_len = jax.ops.segment_sum(jnp.ones(n_b, jnp.int32), run_id,
+                                  num_segments=n_b,
+                                  indices_are_sorted=True)
+    count_b = run_len[run_id]
     ok = (b_codes != INVALID_CODE) & (count_a <= max_count) \
         & (count_b <= max_count)
     c = jnp.where(ok, count_a, 0)
     cum = jnp.cumsum(c, dtype=jnp.int32)           # inclusive
     total = cum[-1]
-    h = jnp.arange(hit_cap, dtype=jnp.int32)
-    bidx = jnp.searchsorted(cum, h, side="right").astype(jnp.int32)
-    bidx_c = jnp.minimum(bidx, n_b - 1)
-    prev = jnp.where(bidx_c > 0, cum[jnp.maximum(bidx_c - 1, 0)], 0)
-    off = h - prev
-    apos = a_pos[jnp.minimum(lo[bidx_c] + off, a_pos.shape[0] - 1)]
-    bpos = b_pos[bidx_c]
+    # materialize hit ordinals by run expansion: scatter each B tuple's
+    # index at its run start, then a cumulative max assigns every hit
+    # ordinal its source tuple — one scan instead of a 4M-query binary
+    # search (which costs ~log2(n) dependent gather passes)
+    starts = cum - c                               # exclusive prefix
+    # only tuples that actually emit hits may claim a run start: with
+    # c > 0 the starts are strictly increasing, so targets are unique
+    # (a c == 0 tuple shares its start with the next tuple and must
+    # not override its mark)
+    put = ok & (c > 0) & (starts < hit_cap)
+    tgt = jnp.where(put, starts, hit_cap)
+    mark = jnp.zeros(hit_cap + 1, jnp.int32).at[tgt].max(
+        jnp.where(put, jnp.arange(n_b, dtype=jnp.int32), 0))[:hit_cap]
+    bidx = jax.lax.cummax(mark)
+    off = jnp.arange(hit_cap, dtype=jnp.int32) - starts[bidx]
+    apos = a_pos[jnp.minimum(lo[bidx] + off, a_pos.shape[0] - 1)]
+    bpos = b_pos[bidx]
     nhits = jnp.minimum(total, hit_cap)
-    live = h < nhits
+    live = jnp.arange(hit_cap, dtype=jnp.int32) < nhits
     apos = jnp.where(live, apos, -1)
     bpos = jnp.where(live, bpos, -1)
     return apos, bpos, nhits, total
@@ -199,11 +214,14 @@ def find_tandem_seeds(blk, cfg, min_period: int = 8,
 
 def find_seeds(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
                upper_only: bool = False, hit_cap: int = 1 << 20,
-               seed_cap: int = 1 << 16):
+               seed_cap: int = 1 << 16, a_index=None):
     """Host-callable seeding driver for one (A block, B orientation).
 
     blk_a/blk_b: core.blocks.ReadBlock (B already rev-complemented for
-    the COMP pass).  Returns dict of numpy seed arrays + counts.
+    the COMP pass).  a_index: optional precomputed (codes, pos) from
+    build_index — the A side is identical across the fwd/comp passes
+    of a block pair, so callers compute it once.  Returns dict of
+    numpy seed arrays + counts.
     """
     import numpy as np
     a_bases = jnp.asarray(blk_a.bases)
@@ -212,7 +230,8 @@ def find_seeds(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     b_rid = jnp.asarray(blk_b.read_id)
     am = jnp.asarray(mask_a) if mask_a is not None else None
     bm = jnp.asarray(mask_b) if mask_b is not None else None
-    ac, ap = build_index(a_bases, a_rid, cfg.kmer, am)
+    ac, ap = a_index if a_index is not None \
+        else build_index(a_bases, a_rid, cfg.kmer, am)
     bc, bp = build_index(b_bases, b_rid, cfg.kmer, bm)
     t = cfg.max_kmer_count or 128
     apos, bpos, nhits, total_hits = match_hits(ac, ap, bc, bp,

@@ -74,23 +74,29 @@ def _row_update(D, x, bw, diag_valid, lane_valid, lane_iota):
     return jnp.where(lane_valid, Dn, INF)
 
 
-def _gather_chars(bases, origin, v0, length, reverse: bool):
+def _gather_chars(bases, origin, v0, length, reverse):
     """[S, length] chars at v-space positions v0.. v0+length-1.
 
     origin[S] are real base-array indices; out-of-range positions
     return clipped garbage that callers must mask via v-space limits.
+    reverse: static bool, or a traced bool array [S] for mixed-
+    direction batches (real index = origin - 1 - v when reversed).
     """
     v = v0[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]
-    idx = (origin[:, None] - 1 - v) if reverse else (origin[:, None] + v)
+    if isinstance(reverse, bool):
+        idx = (origin[:, None] - 1 - v) if reverse else (origin[:, None] + v)
+    else:
+        idx = jnp.where(reverse[:, None], origin[:, None] - 1 - v,
+                        origin[:, None] + v)
     return bases[jnp.clip(idx, 0, bases.shape[0] - 1)]
 
 
 @partial(jax.jit, static_argnames=(
     "reverse", "W", "R", "max_rows", "diff_cost", "xdrop"))
 def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
-                reverse: bool, W: int = 128, R: int = 32,
+                reverse: bool = False, W: int = 128, R: int = 32,
                 max_rows: int = 65536, diff_cost: int = 5,
-                xdrop: int = 60):
+                xdrop: int = 60, dirs=None):
     """Greedy banded extension of S seeds in one direction.
 
     a_bases/b_bases: uint8 block base arrays (global positions).
@@ -104,6 +110,7 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
     """
     S = aorigin.shape[0]
     CTR = W // 2
+    rv = reverse if dirs is None else dirs
     lane = jnp.arange(W, dtype=jnp.int32)[None, :]
     lane_iota = jnp.arange(W, dtype=jnp.int32)[None, :]
 
@@ -160,9 +167,9 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
 
     def chunk_body(st):
         v0a = jnp.full((S,), st["rtot"], jnp.int32)
-        a_chars = _gather_chars(a_bases, aorigin, v0a, R, reverse)
+        a_chars = _gather_chars(a_bases, aorigin, v0a, R, rv)
         v0b = st["rtot"] + st["boff"] - CTR
-        b_tile = _gather_chars(b_bases, borigin, v0b, R + W, reverse)
+        b_tile = _gather_chars(b_bases, borigin, v0b, R + W, rv)
         st, _, _ = jax.lax.fori_loop(
             0, R, row_body, (st, a_chars, b_tile))
         st["rtot"] = st["rtot"] + R

@@ -215,10 +215,15 @@ def _gather_i32(bases, origin, v0, length, reverse: bool):
 @functools.partial(jax.jit, static_argnames=(
     "reverse", "W", "R", "SB", "max_rows", "diff_cost", "xdrop"))
 def extend_wave_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
-                   reverse: bool, W: int = 128, R: int = 128,
+                   reverse: bool = False, W: int = 128, R: int = 128,
                    SB: int = 256, max_rows: int = 65536,
-                   diff_cost: int = 5, xdrop: int = 60):
-    """Pallas-backed drop-in for ops.wave.extend_wave (same returns)."""
+                   diff_cost: int = 5, xdrop: int = 60, dirs=None):
+    """Pallas-backed drop-in for ops.wave.extend_wave (same returns).
+
+    dirs: optional traced bool[S] per-seed direction (True = reverse),
+    overriding the static `reverse` — lets forward and reverse
+    extensions share one launch so batches stay length-homogeneous."""
+    rv = reverse if dirs is None else dirs
     S = aorigin.shape[0]
     CTR = W // 2
     lane0 = jnp.arange(W, dtype=jnp.int32)
@@ -233,9 +238,9 @@ def extend_wave_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
     def body(st):
         a_chars = _gather_i32(a_bases, aorigin,
                               jnp.full((S,), st["rtot"], jnp.int32),
-                              R, reverse)
+                              R, rv)
         v0b = st["rtot"] + st["boff"] - CTR
-        b_tile = _gather_i32(b_bases, borigin, v0b, R + W, reverse)
+        b_tile = _gather_i32(b_bases, borigin, v0b, R + W, rv)
         vb_base = st["rtot"] + 1 - CTR + st["boff"]
         p_base = jnp.full((S,), st["rtot"] + 1, jnp.int32)
         rows = jnp.clip(alim - st["rtot"], 0, R)

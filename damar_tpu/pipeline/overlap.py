@@ -70,7 +70,14 @@ def _pad(a, size, fill):
 
 def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
                  cfg: OverlapConfig, comp: bool) -> list[Extent]:
-    """Bidirectional extension of all seeds, batched by cfg.seed_batch."""
+    """Bidirectional extension of all seeds.
+
+    Forward and reverse extensions are independent work units; all 2n
+    units are sorted by their maximum possible extent (min of A/B room)
+    and batched together with per-unit directions — a batch runs until
+    its LONGEST unit finishes, so length-homogeneous batches cut the
+    wasted masked rows severalfold.
+    """
     n = seeds["nseeds"]
     if n == 0:
         return []
@@ -79,47 +86,55 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
     b_bases = jnp.asarray(blk_b.bases)
     sa = blk_a.starts.astype(np.int64)
     sb = blk_b.starts.astype(np.int64)
+    ar_all = seeds["aread"][:n]
+    br_all = seeds["bread"][:n]
+    ap_all = seeds["apos"][:n]
+    bp_all = seeds["bpos"][:n]
+    a0 = sa[ar_all]
+    a1 = sa[ar_all + 1]
+    b0 = sb[br_all]
+    b1 = sb[br_all + 1]
+    # unit arrays: [fwd units | rev units]
+    u_alim = np.concatenate([a1 - ap_all, ap_all - a0]).astype(np.int32)
+    u_blim = np.concatenate([b1 - bp_all, bp_all - b0]).astype(np.int32)
+    u_rev = np.concatenate([np.zeros(n, bool), np.ones(n, bool)])
+    u_seed = np.concatenate([np.arange(n), np.arange(n)])
+    u_ao = np.concatenate([ap_all, ap_all]).astype(np.int32)
+    u_bo = np.concatenate([bp_all, bp_all]).astype(np.int32)
+    bound = np.minimum(u_alim, u_blim)
+    order = np.argsort(bound, kind="stable")
+
+    ext_fn, _ = _kernels(cfg)
+    kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
+              diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
+    va = np.zeros(2 * n, np.int64)
+    vb = np.zeros(2 * n, np.int64)
+    vd = np.zeros(2 * n, np.int64)
+    for lo in range(0, 2 * n, S):
+        sel = order[lo:lo + S]
+        m = len(sel)
+        r_va, r_vb, r_d, _ = ext_fn(
+            a_bases, b_bases,
+            jnp.asarray(_pad(u_ao[sel], S, 0)),
+            jnp.asarray(_pad(u_bo[sel], S, 0)),
+            jnp.asarray(_pad(u_alim[sel], S, 0)),
+            jnp.asarray(_pad(u_blim[sel], S, 0)),
+            dirs=jnp.asarray(np.pad(u_rev[sel], (0, S - m))), **kw)
+        va[sel] = np.asarray(r_va)[:m]
+        vb[sel] = np.asarray(r_vb)[:m]
+        vd[sel] = np.asarray(r_d)[:m]
     out: list[Extent] = []
-    for lo in range(0, n, S):
-        hi = min(lo + S, n)
-        ar = seeds["aread"][lo:hi]
-        br = seeds["bread"][lo:hi]
-        ap = seeds["apos"][lo:hi]
-        bp = seeds["bpos"][lo:hi]
-        astart = sa[ar]
-        aend = sa[ar + 1]
-        bstart = sb[br]
-        bend = sb[br + 1]
-        ao = jnp.asarray(_pad(ap, S, 0))
-        bo = jnp.asarray(_pad(bp, S, 0))
-        alim_f = jnp.asarray(_pad(aend - ap, S, 0))
-        blim_f = jnp.asarray(_pad(bend - bp, S, 0))
-        alim_r = jnp.asarray(_pad(ap - astart, S, 0))
-        blim_r = jnp.asarray(_pad(bp - bstart, S, 0))
-        ext_fn, _ = _kernels(cfg)
-        kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
-                  diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
-        fva, fvb, fd, _ = ext_fn(a_bases, b_bases, ao, bo,
-                                 alim_f, blim_f, reverse=False, **kw)
-        rva, rvb, rd, _ = ext_fn(a_bases, b_bases, ao, bo,
-                                 alim_r, blim_r, reverse=True, **kw)
-        fva = np.asarray(fva)[:hi - lo]
-        fvb = np.asarray(fvb)[:hi - lo]
-        fd = np.asarray(fd)[:hi - lo]
-        rva = np.asarray(rva)[:hi - lo]
-        rvb = np.asarray(rvb)[:hi - lo]
-        rd = np.asarray(rd)[:hi - lo]
-        for i in range(hi - lo):
-            abp = int(ap[i] - astart[i] - rva[i])
-            aep = int(ap[i] - astart[i] + fva[i])
-            bbp = int(bp[i] - bstart[i] - rvb[i])
-            bep = int(bp[i] - bstart[i] + fvb[i])
-            if aep - abp <= 0 or bep - bbp <= 0:
-                continue
-            out.append(Extent(
-                aread=int(ar[i]), bread=int(br[i]), comp=comp,
-                abpos=abp, aepos=aep, bbpos=bbp, bepos=bep,
-                diffs_est=int(fd[i] + rd[i])))
+    for i in range(n):
+        abp = int(ap_all[i] - a0[i] - va[n + i])
+        aep = int(ap_all[i] - a0[i] + va[i])
+        bbp = int(bp_all[i] - b0[i] - vb[n + i])
+        bep = int(bp_all[i] - b0[i] + vb[i])
+        if aep - abp <= 0 or bep - bbp <= 0:
+            continue
+        out.append(Extent(
+            aread=int(ar_all[i]), bread=int(br_all[i]), comp=comp,
+            abpos=abp, aepos=aep, bbpos=bbp, bepos=bep,
+            diffs_est=int(vd[i] + vd[n + i])))
     return out
 
 
@@ -173,7 +188,12 @@ def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
         jnp.asarray(abp), jnp.asarray(bbp),
         jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
         tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
-    tr = np.asarray(tr)
+    # transfer only the used segment prefix (batches are length-sorted;
+    # shipping the full [S, max_segs, 2] buffer through the device
+    # link costs more than the compute for short batches)
+    ns_cap = max(n_segments(int(a), int(e), cfg.tspace)
+                 for a, e in zip(abp, aep))
+    tr = np.asarray(tr[:, :min(ns_cap + 1, max_segs)])
     nseg = np.asarray(nseg)
     dsum = np.asarray(dsum)
     out = []
@@ -209,6 +229,7 @@ def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
     S = cfg.seed_batch
     for comp in (False, True):
         sel = [o for o in targets if bool(o.flags & OVL_COMP) == comp]
+        sel.sort(key=lambda o: o.aepos - o.abpos)
         bb = jnp.asarray((blk_b_rc if comp else blk_b).bases)
         for lo in range(0, len(sel), S):
             chunk = sel[lo:lo + S]
@@ -243,12 +264,16 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
     all_exts: list[Extent] = []
+    from damar_tpu.ops.seeding import build_index
+    am = jnp.asarray(mask_a) if mask_a is not None else None
+    a_index = build_index(jnp.asarray(blk_a.bases),
+                          jnp.asarray(blk_a.read_id), cfg.kmer, am)
     for comp in (False, True):
         bb = blk_b_rc if comp else blk_b
         mb = mask_b  # mask intervals are strand-symmetric in this build
         seeds = find_seeds(blk_a, bb, cfg, mask_a=mask_a, mask_b=mb,
                            upper_only=self_block, hit_cap=hit_cap,
-                           seed_cap=seed_cap)
+                           seed_cap=seed_cap, a_index=a_index)
         stats["seeds"] += seeds["nseeds"]
         exts = extend_seeds(blk_a, bb, seeds, cfg, comp)
         stats["extents"] += len(exts)
@@ -272,6 +297,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         """Trace + record emission for primary or mirrored roles."""
         for comp in (False, True):
             sel = [e for e in batch_exts if e.comp == comp]
+            sel.sort(key=lambda e: e.aepos - e.abpos)
             for lo in range(0, len(sel), S):
                 chunk = sel[lo:lo + S]
                 if not mirrored:

@@ -66,10 +66,23 @@ def plan_block_pairs(db_root: str, nblocks: int,
     return jobs
 
 
-def render_script(jobs: list[Job]) -> str:
+def render_script(jobs: list[Job], db_root: str | None = None,
+                  with_masking: bool = True) -> str:
     """HPC.daligner-parity rendering: one shell line per job, phase
-    comments, using this package's CLI."""
-    lines = ["# damar_tpu job plan", "# phase 1: block-pair overlaps"]
+    comments, using this package's CLI.  with_masking prepends the
+    HPC.TANmask/HPC.REPmask-equivalent phase lines (dust + per-block
+    tandem detection, then repeat masking fed back into the job
+    matrix)."""
+    lines = ["# damar_tpu job plan"]
+    if with_masking and db_root:
+        lines += [
+            "# phase 0: masking (HPC.TANmask / HPC.REPmask equivalents)",
+            f"python -m damar_tpu.cli dbdust {db_root}",
+            f"python -m damar_tpu.cli datander {db_root}",
+            f"# (after a first overlap pass: python -m damar_tpu.cli "
+            f"repmask {db_root} {db_root}.1.las)",
+        ]
+    lines += ["# phase 1: block-pair overlaps"]
     for j in jobs:
         if j.kind == "overlap":
             a = j.args

@@ -1,0 +1,188 @@
+"""Full assembly pipeline driver (SURVEY.md §3.5: the reference's
+planner-script workflow as one idempotent in-process run).
+
+Phases (each file-checkpointed; a rerun resumes):
+  1. ingest   : FASTA -> DB -> split
+  2. mask     : DUST + tandem tracks
+  3. overlap1 : all-vs-all with soft masks -> per-block .las
+  4. patch    : stitch -> q/trim -> LAfix -> FIX DB (MARVEL's signature
+                round: fix reads, re-overlap)
+  5. overlap2 : all-vs-all on the fixed DB
+  6. scrub    : stitch -> q/trim -> repeat track -> filter
+  7. assemble : string graph -> tour -> contigs (+ optional polish)
+
+Returns a report dict; every artifact lands next to the DB.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+from damar_tpu.core.config import PipelineConfig
+
+
+def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
+                 polish: bool = True, verbose: bool = True) -> dict:
+    from damar_tpu.core.blocks import block_from_db
+    from damar_tpu.formats import dazzdb, las as lasmod, tracks
+    from damar_tpu.formats.fasta import revcomp, write_fasta
+    from damar_tpu.pipeline import masking, scrub
+    from damar_tpu.pipeline.consensus import full_layout, polish_contig
+    from damar_tpu.pipeline.overlap import retrace_las
+    from damar_tpu.pipeline.planner import run_overlap_plan
+    from damar_tpu.pipeline.touring import assemble, tour_layout
+
+    cfg = cfg or PipelineConfig()
+    os.makedirs(workdir, exist_ok=True)
+    report: dict = {"phases": {}}
+    t_all = time.time()
+
+    def log(msg):
+        if verbose:
+            print(f"# {msg}", flush=True)
+
+    def phase(name):
+        t0 = time.time()
+        def done(**info):
+            report["phases"][name] = {"wall_s": round(time.time() - t0, 2),
+                                      **info}
+            log(f"{name}: {report['phases'][name]}")
+        return done
+
+    # ---- 1. ingest --------------------------------------------------------
+    raw_db = os.path.join(workdir, "RAW.db")
+    d = phase("ingest")
+    if not os.path.exists(raw_db):
+        dazzdb.create_db(raw_db, [fasta])
+        dazzdb.db_split(raw_db, size_mb=cfg.block_mb,
+                        cutoff=cfg.min_read_len)
+    db = dazzdb.DazzDB.open(raw_db)
+    d(reads=db.ureads, bp=db.totlen, blocks=db.nblocks)
+
+    # ---- 2. mask ----------------------------------------------------------
+    d = phase("mask")
+    if not tracks.track_exists(raw_db, "dust"):
+        seqs = [db.read_seq(i) for i in range(db.ureads)]
+        tracks.write_track(raw_db, masking.dust_track(seqs, cfg.mask))
+    if not tracks.track_exists(raw_db, "tan"):
+        data = [np.zeros(0, np.int32)] * db.ureads
+        for b in range(1, max(db.nblocks, 1) + 1):
+            blk = block_from_db(db, b)
+            t = masking.tandem_track(blk, cfg.overlap, cfg.mask)
+            for j, rid in enumerate(blk.ids):
+                data[int(rid)] = t.data[j]
+        tracks.write_track(raw_db, tracks.Track("tan", data))
+    dust = tracks.read_track(raw_db, "dust")
+    tan = tracks.read_track(raw_db, "tan")
+    d(dust_bp=dust.masked_bp(), tan_bp=tan.masked_bp())
+
+    # ---- 3. overlap round 1 ----------------------------------------------
+    d = phase("overlap1")
+    st = run_overlap_plan(raw_db, cfg.overlap, verbose=False,
+                          mask_names=["dust", "tan"])
+    d(**st)
+
+    # ---- 4. patch ---------------------------------------------------------
+    d = phase("patch")
+    fix_db = os.path.join(workdir, "FIX.db")
+    fix_fasta = os.path.join(workdir, "FIX.fasta")
+    rlen_of = {i: int(db.reads["rlen"][i]) for i in range(db.ureads)}
+
+    def seqs_of_raw(i, comp):
+        s = db.read_seq(i)
+        return revcomp(s) if comp else s
+
+    if not os.path.exists(fix_db):
+        _, root = os.path.split(raw_db)
+        parts = []
+        for b in range(1, max(db.nblocks, 1) + 1):
+            p = os.path.join(workdir, f"RAW.{b}.las")
+            full = lasmod.read_las(p)
+            stitched, needs = scrub.stitch_las(full,
+                                               fuzz=cfg.scrub.stitch_fuzz)
+            if needs:
+                blk = block_from_db(db, b)
+                retrace_las(stitched, blk, blk, cfg.overlap, only=needs)
+            qual, trim = scrub.q_and_trim(stitched, rlen_of, cfg.scrub)
+            patched = scrub.fix_reads(stitched, seqs_of_raw, rlen_of,
+                                      qual, cfg.scrub)
+            parts.extend(patched)
+        write_fasta(fix_fasta,
+                    [f"fixed/{p.src_read}/{p.part}_{len(p.seq)}"
+                     for p in parts],
+                    [p.seq for p in parts])
+        dazzdb.create_db(fix_db, [fix_fasta])
+        dazzdb.db_split(fix_db, size_mb=cfg.block_mb,
+                        cutoff=cfg.min_read_len)
+    fdb = dazzdb.DazzDB.open(fix_db)
+    d(fixed_reads=fdb.ureads, fixed_bp=fdb.totlen)
+
+    # ---- 5. overlap round 2 ----------------------------------------------
+    d = phase("overlap2")
+    st = run_overlap_plan(fix_db, cfg.overlap, verbose=False)
+    d(**st)
+
+    # ---- 6. scrub ---------------------------------------------------------
+    d = phase("scrub")
+    frlen = {i: int(fdb.reads["rlen"][i]) for i in range(fdb.ureads)}
+
+    def seqs_of_fix(i, comp):
+        s = fdb.read_seq(i)
+        return revcomp(s) if comp else s
+
+    filt_path = os.path.join(workdir, "FIX.filtered.las")
+    if not os.path.exists(filt_path):
+        merged = []
+        for b in range(1, max(fdb.nblocks, 1) + 1):
+            p = os.path.join(workdir, f"FIX.{b}.las")
+            if os.path.exists(p):
+                merged.extend(lasmod.read_las(p).overlaps)
+        full = lasmod.LasFile(cfg.overlap.tspace, merged)
+        full.sort()
+        stitched, needs = scrub.stitch_las(full, fuzz=cfg.scrub.stitch_fuzz)
+        if needs and fdb.nblocks <= 1:
+            blk = block_from_db(fdb, 1)
+            retrace_las(stitched, blk, blk, cfg.overlap, only=needs)
+        idx = {i: i for i in range(fdb.ureads)}
+        rep = masking.repeat_track_relative(
+            stitched, fdb.reads["rlen"], idx, fdb.ureads,
+            cfg.mask.rep_low, cfg.mask.rep_high)
+        filt = scrub.filter_las(
+            stitched, frlen, cfg.scrub,
+            {i: rep.data[i] for i in range(fdb.ureads)})
+        lasmod.write_las(filt_path, filt)
+    filt = lasmod.read_las(filt_path)
+    from damar_tpu.formats.oflags import OVL_DISCARD
+    kept = sum(1 for o in filt.overlaps if not o.flags & OVL_DISCARD)
+    d(records=filt.novl, kept=kept)
+
+    # ---- 7. assemble ------------------------------------------------------
+    d = phase("assemble")
+    contigs, tours, graph = assemble(
+        filt, frlen, seqs_of_fix, fuzz=cfg.scrub.filter_fuzz,
+        min_dovetail=cfg.tour.min_dovetail,
+        spur_len=cfg.tour.spur_len, bubble_max=cfg.tour.bubble_max)
+    if polish:
+        out = []
+        for c, t in zip(contigs, tours):
+            lay = full_layout(tour_layout(t, seqs_of_fix), filt, frlen)
+            out.append(polish_contig(c, lay, seqs_of_fix))
+        contigs = out
+    contig_path = os.path.join(workdir, "CONTIGS.fasta")
+    write_fasta(contig_path,
+                [f"contig_{k} len={len(c)} reads={t.nreads()} "
+                 f"circular={t.circular}"
+                 for k, (c, t) in enumerate(zip(contigs, tours))],
+                contigs)
+    d(contigs=len(contigs),
+      lengths=[int(len(c)) for c in contigs[:10]],
+      circular=[bool(t.circular) for t in tours[:10]])
+
+    report["total_wall_s"] = round(time.time() - t_all, 2)
+    report["contig_fasta"] = contig_path
+    with open(os.path.join(workdir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report

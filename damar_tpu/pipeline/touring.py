@@ -169,17 +169,23 @@ def tour_graph(g: StringGraph) -> list[Tour]:
 
 
 def tour_to_seq(tour: Tour, seq_of) -> np.ndarray:
-    """Emit the contig sequence: seq_of(read, dir) -> oriented codes."""
+    """Emit the contig sequence: seq_of(read, dir) -> oriented codes.
+
+    Circular tours: the final step re-enters the start vertex; its
+    suffix is dropped AND the first read's prefix [0, cut) — which the
+    last read's tail already spells — is trimmed, so a circular contig
+    has ~genome length with no duplicated closure."""
     first_v, _ = tour.steps[0]
     parts = [seq_of(first_v.read, first_v.dir)]
     for v, cut in tour.steps[1:]:
         s = seq_of(v.read, v.dir)
         parts.append(s[cut:])
+    trim = 0
     if tour.circular and len(tour.steps) > 1:
-        # final step re-enters the start vertex: its [cut:] suffix
-        # duplicates the contig start; drop it
         parts.pop()
-    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        trim = tour.steps[-1][1]
+    seq = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+    return seq[trim:]
 
 
 def tour_layout(tour: Tour, seq_of) -> list[tuple[int, int, int]]:
@@ -187,8 +193,14 @@ def tour_layout(tour: Tour, seq_of) -> list[tuple[int, int, int]]:
     read r oriented d aligns to contig[start : start + len(r)].
     Feeds consensus.polish_contig without any alignment search."""
     first = tour.steps[0][0]
-    layout = [(first.read, first.dir, 0)]
-    clen = len(seq_of(first.read, first.dir))
+    trim = tour.steps[-1][1] if (tour.circular and len(tour.steps) > 1) \
+        else 0
+    # circular contigs are emitted with the first read's [0, trim)
+    # prefix removed (tour_to_seq), so every start shifts by -trim;
+    # the first read's (possibly negative) start is still correct:
+    # its first `trim` bases are simply not in the contig
+    layout = [(first.read, first.dir, -trim)]
+    clen = len(seq_of(first.read, first.dir)) - trim
     steps = tour.steps[1:-1] if (tour.circular and len(tour.steps) > 1) \
         else tour.steps[1:]
     for v, cut in steps:

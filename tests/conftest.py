@@ -24,9 +24,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture
+def rng(request):
+    """Per-test deterministic rng: a session-scoped generator made
+    test outcomes depend on execution ORDER (different state depending
+    on which tests ran before).  Seeding from the test id makes every
+    test reproducible in isolation and in any selection."""
+    import zlib
+    seed = zlib.crc32(request.node.nodeid.encode()) & 0xFFFFFFFF
+    return np.random.default_rng(seed)
 
 
 @pytest.fixture(scope="session")

@@ -32,7 +32,8 @@ def _mk(rng, a, b, comp=False):
     for s in range(nseg):
         a1 = min((a0 // 100 + 1) * 100, aepos)
         drift = int(rng.integers(-3, 4))
-        t[s] = [abs(drift) + int(rng.integers(0, 5)), (a1 - a0) + drift]
+        bspan = max((a1 - a0) + drift, 0)
+        t[s] = [abs(bspan - (a1 - a0)) + int(rng.integers(0, 5)), bspan]
         a0 = a1
     return las.Overlap(a, b, OVL_COMP if comp else 0, abpos, aepos,
                        5, 5 + int(t[:, 1].sum()), int(t[:, 0].sum()), t)

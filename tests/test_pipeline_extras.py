@@ -1,0 +1,111 @@
+"""Tests for QV storage, FASTQ ingestion, contig analysis, planner
+manifest, and the full pipeline driver (resume included)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from damar_tpu.formats import dazzdb, qv
+from damar_tpu.formats.fasta import decode_seq, read_fastq
+
+
+class TestQV:
+    def test_roundtrip(self, tmp_path, rng):
+        streams = [{"ins_qv": rng.integers(0, 40, 200).astype(np.uint8),
+                    "sub_qv": rng.integers(0, 20, 200).astype(np.uint8)}
+                   for _ in range(4)]
+        dbp = str(tmp_path / "Q.db")
+        open(dbp, "w").write("files =         0\n")
+        qv.write_qvs(dbp, streams)
+        back = qv.read_qvs(dbp)
+        assert len(back) == 4
+        for a, b in zip(streams, back):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+            assert "del_qv" not in b
+
+    def test_fastq_ingest_stores_qvs(self, tmp_path, rng):
+        fq = str(tmp_path / "r.fastq")
+        seqs, quals = [], []
+        with open(fq, "w") as f:
+            for i in range(3):
+                s = rng.integers(0, 4, 150).astype(np.uint8)
+                q = rng.integers(0, 41, 150)
+                seqs.append(s)
+                quals.append(q)
+                f.write(f"@r{i}\n{decode_seq(s)}\n+\n"
+                        + "".join(chr(33 + int(x)) for x in q) + "\n")
+        dbp = str(tmp_path / "F.db")
+        db = dazzdb.create_db(dbp, [fq])
+        assert db.ureads == 3
+        np.testing.assert_array_equal(db.read_seq(1), seqs[1])
+        st = qv.read_qvs(dbp)
+        np.testing.assert_array_equal(st[2]["ins_qv"], quals[2])
+
+
+class TestContigAnalysis:
+    def test_assembly_stats(self):
+        from damar_tpu.pipeline.contigs import assembly_stats
+        st = assembly_stats([50, 30, 20], genome_size=90)
+        assert st["n50"] == 50 and st["l50"] == 1
+        assert st["ng50"] == 50 and st["total_bp"] == 100
+        st2 = assembly_stats([50, 30, 20], genome_size=160)
+        assert st2["ng50"] == 30  # need 80: 50+30 reaches it
+
+    def test_coverage_profile(self):
+        from damar_tpu.pipeline.contigs import coverage_profile
+        seqs = {0: np.zeros(400, np.uint8), 1: np.zeros(400, np.uint8)}
+        layout = [(0, 0, 0), (1, 0, 200)]
+        cov = coverage_profile(600, layout, lambda r, d: seqs[r],
+                               bin_size=100)
+        assert cov.tolist() == [1, 1, 2, 2, 1, 1]
+
+
+class TestManifest:
+    def test_resume_skips_done(self, tmp_path):
+        from damar_tpu.pipeline.planner import Manifest
+        p = str(tmp_path / "m.jsonl")
+        m = Manifest(p)
+        assert not m.is_done("a")
+        m.mark("a", novl=5)
+        m2 = Manifest(p)   # reload from disk
+        assert m2.is_done("a") and m2.done["a"]["novl"] == 5
+
+    def test_plan_and_render(self):
+        from damar_tpu.pipeline.planner import (plan_block_pairs,
+                                                render_script)
+        jobs = plan_block_pairs("E", 3)
+        kinds = [j.kind for j in jobs]
+        assert kinds.count("overlap") == 6  # 3*(3+1)/2
+        assert kinds.count("merge") == 3
+        script = render_script(jobs)
+        assert "daligner E 1 2" in script and "lamerge" in script
+
+
+class TestFullPipeline:
+    def test_tiny_genome_end_to_end(self, tmp_path):
+        from damar_tpu.core.config import (OverlapConfig, PipelineConfig)
+        from damar_tpu.pipeline.run import run_pipeline
+        from damar_tpu.utils.sim import (make_genome, sample_reads,
+                                         write_sim_fasta)
+        g = make_genome(12_000, seed=81)
+        sim = sample_reads(g, coverage=10, mean_len=2500, err=0.13,
+                           seed=82)
+        fq = str(tmp_path / "reads.fasta")
+        write_sim_fasta(fq, sim)
+        cfg = PipelineConfig(
+            overlap=OverlapConfig(seed_batch=512), block_mb=1,
+            min_read_len=500)
+        rep = run_pipeline(fq, str(tmp_path / "asm"), cfg,
+                           polish=False, verbose=False)
+        a = rep["phases"]["assemble"]
+        assert a["contigs"] >= 1
+        assert a["lengths"][0] > 0.8 * len(g)
+        # resume: a second run must skip both overlap rounds
+        rep2 = run_pipeline(fq, str(tmp_path / "asm"), cfg,
+                            polish=False, verbose=False)
+        assert rep2["phases"]["overlap1"]["skipped"] == \
+            rep2["phases"]["overlap1"]["skipped"] + \
+            rep2["phases"]["overlap1"]["pairs"]
+        assert os.path.exists(str(tmp_path / "asm" / "report.json"))

@@ -132,7 +132,12 @@ class TestTrace:
         per-segment diffs >= |aspan - bspan| and <= exact lev + slack."""
         core = rng.integers(0, 4, 1200).astype(np.uint8)
         A = core
-        B = mutate(core, 0.2, rng)
+        # substitutions only: the test forces the trace through the
+        # endpoint (alim, blim), which must be a REACHABLE alignment
+        # endpoint; with indels the arbitrary 'len(B)-30' b-span can
+        # exceed the band at the final forced commit (the driver drops
+        # such records; here we want the exactness property instead)
+        B = mutate(core, 0.2, rng, ins_frac=0.0, del_frac=0.0)
         abpos, aepos = 37, 1163
         # align the exact A interval against the whole of B
         basesA = jnp.asarray(A)
@@ -141,19 +146,23 @@ class TestTrace:
         z = jnp.zeros(n, jnp.int32)
         live = np.zeros(n, np.int32)
         live[0] = 1
+        # with substitution-only noise, A and B are positionally
+        # aligned: the true alignment of A[abpos, aepos) is exactly
+        # B[abpos, aepos) — the trace starts ON the committed path
         tr, nseg, dsum = trace_wave(
             basesA, basesB, z, z,
-            jnp.full(n, abpos, jnp.int32), jnp.asarray(live * 10),
+            jnp.full(n, abpos, jnp.int32),
+            jnp.asarray(live * abpos),
             jnp.asarray(live * (aepos - abpos)),
-            jnp.asarray(live * (len(B) - 30)),
+            jnp.asarray(live * (aepos - abpos)),
             tspace=100, W=W)
         from damar_tpu.formats.las import n_segments
         ns = int(nseg[0])
         assert ns == n_segments(abpos, aepos, 100)
         t = np.asarray(tr)[0, :ns]
-        assert int(t[:, 1].sum()) == len(B) - 30  # == blim (the b-span)
+        assert int(t[:, 1].sum()) == aepos - abpos  # == blim (b-span)
         assert int(t[:, 0].sum()) == int(dsum[0])
-        a0, b0 = abpos, 10
+        a0, b0 = abpos, abpos
         for s in range(ns):
             a1 = min((a0 // 100 + 1) * 100, aepos)
             d, bs = int(t[s, 0]), int(t[s, 1])
