@@ -18,6 +18,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def invalid_code(k: int) -> int:
+    """Sentinel code for invalid k-mer windows: 4**k, one past the
+    largest valid code, so it sorts last with only 2k+1 key bits (the
+    radix sort pass count tracks significant bits)."""
+    return 1 << (2 * k)
+
+
+# retained for external callers; invalid_code(k) is what the seeding
+# radix path compares against
 INVALID_CODE = jnp.uint32(0xFFFFFFFF)
 
 
@@ -31,10 +40,11 @@ def kmer_codes(bases: jax.Array, read_id: jax.Array, k: int,
     mask:    optional bool[N], True = suppress k-mers starting here
 
     Returns (codes uint32[N], valid bool[N]); invalid positions have
-    code INVALID_CODE so a single sort moves them to the end.
+    code invalid_code(k) = 4**k so they sort to the end within 2k+1
+    key bits.
     """
     n = bases.shape[0]
-    b = bases.astype(jnp.uint32)
+    b = bases.astype(jnp.uint32) & 3
     code = jnp.zeros(n, dtype=jnp.uint32)
     for j in range(k):
         # roll wraps at the end; wrapped windows are invalid anyway
@@ -43,12 +53,12 @@ def kmer_codes(bases: jax.Array, read_id: jax.Array, k: int,
     # windows wrapping past the array end
     idx = jnp.arange(n)
     valid &= idx <= n - k
-    # padding bases (>=4) poison the code beyond 2k bits only if k*2<32;
-    # guard explicitly: window start must be a real base
+    # padding bases (>=4) are masked to 0 in the code accumulation;
+    # window start must be a real base
     valid &= bases < 4
     if mask is not None:
         valid &= ~mask
-    codes = jnp.where(valid, code, INVALID_CODE)
+    codes = jnp.where(valid, code, jnp.uint32(invalid_code(k)))
     return codes, valid
 
 

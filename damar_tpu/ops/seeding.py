@@ -3,22 +3,24 @@
 TPU-native re-design of the overlapper's Match_Filter stage
 (SURVEY.md §2.3, upstream dalign/filter.c — upstream-path citation,
 reference mount empty).  The reference does a multi-pass LSD radix sort
-of (code,pos) tuples then a scalar merge; here both index build and
-merge are fixed-shape vector programs:
+of (code,pos) tuples then a scalar merge; this build does the same —
+but as fixed-shape vector radix passes (ops.sort), because on this
+hardware XLA's comparator sort takes minutes to COMPILE per shape and
+jnp.searchsorted runs ~330 ms at 2M queries, while the cumsum+scatter
+radix pass runs ~0.1 ms:
 
-  1. build_index: lax.sort of (code, pos) — invalid codes sort to the
-     end as 0xFFFFFFFF.
-  2. match_hits: for every B tuple, the matching A run is located with
-     two vectorized searchsorted passes; hits are materialized into a
-     static-capacity buffer by inverting the cumulative hit count with
-     a searchsorted over implicit hit ordinals (two-phase count-then-
-     compact batching — no dynamic shapes anywhere).
+  1. build_index: stable radix sort of (code, pos) over 2k+1 key bits
+     — invalid codes are 4**k and sort to the end.
+  2. match_hits: per-B-tuple matching A runs located with ONE radix
+     merge of the two sorted code streams (ops.sort.merge_ranks); hits
+     are materialized into a static-capacity buffer by run expansion
+     (two-phase count-then-compact batching — no dynamic shapes).
   3. diagonal_filter: hits are double-bucketed into diagonal bands of
      width 2^w (each hit counted in its band and the next, covering
      band-straddling seeds, as the reference's adjacent-band counting
-     does), lex-sorted by (pair, band, apos), novel-coverage summed per
-     band segment, and bands with >= h covered bases emit one anchor
-     seed (the first hit of the band).
+     does), radix-sorted by (aread, bread, band, apos), novel-coverage
+     summed per band segment, and bands with >= h covered bases emit
+     one anchor seed (the first hit of the band).
 
 All outputs are (arrays-of-capacity, count, overflowed) triples.
 
@@ -32,9 +34,19 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from damar_tpu.ops.kmers import INVALID_CODE, kmer_codes
+from damar_tpu.ops.kmers import invalid_code, kmer_codes
+from damar_tpu.ops.sort import (merge_ranks, pack_fields,
+                                radix_sort_bits, radix_sort_packed,
+                                segment_sum_to_elements, unpack_field)
 
 INT32_MAX = jnp.int32(0x7FFFFFFF)
+
+
+def quantize_bits(n: int, step: int = 4) -> int:
+    """Bit width for values in [0, n], rounded up to a multiple of
+    `step` so nearby block sizes share one compiled sort."""
+    b = max(int(n).bit_length(), 1)
+    return -(-b // step) * step
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -42,42 +54,47 @@ def build_index(bases, read_id, k: int, mask=None):
     """Sorted k-mer index of a block: (codes_sorted, pos_sorted)."""
     codes, _ = kmer_codes(bases, read_id, k, mask)
     pos = jnp.arange(bases.shape[0], dtype=jnp.int32)
-    codes_s, pos_s = jax.lax.sort((codes, pos), num_keys=1)
+    codes_s, (pos_s,) = radix_sort_bits(codes, (pos,), 2 * k + 1)
     return codes_s, pos_s
 
 
-@partial(jax.jit, static_argnames=("hit_cap", "max_count"))
-def match_hits(a_codes, a_pos, b_codes, b_pos, hit_cap: int,
-               max_count: int = 128):
-    """Merge two sorted k-mer indexes into (apos, bpos) hit pairs.
+@partial(jax.jit, static_argnames=("k", "max_count"))
+def match_count(a_codes, a_pos, b_codes, b_pos, k: int,
+                max_count: int = 128):
+    """Count phase of the sorted-index merge: per-B-tuple matching A
+    run starts/lengths (radix merge of the sorted code streams; runs
+    longer than max_count on either side suppressed — the -t k-mer
+    frequency cutoff).  Returns (lo, c, cum, total): run start in A,
+    per-tuple emitted hit count, its inclusive prefix sum, and the
+    total — so callers can pick a right-sized hit buffer BEFORE
+    materializing (the fill sorts scale with the buffer, not the
+    hits)."""
+    n_b = b_codes.shape[0]
+    assert 2 * k + 2 <= 32, "merge key must fit 32 bits (k <= 15)"
+    lo, count_a = merge_ranks(a_codes, b_codes, 2 * k + 1)
+    # B-side run lengths via neighbor compare over the sorted stream
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             b_codes[1:] != b_codes[:-1]])
+    count_b = segment_sum_to_elements(jnp.ones(n_b, jnp.int32), first)
+    ok = (b_codes != jnp.uint32(invalid_code(k))) \
+        & (count_a <= max_count) & (count_b <= max_count)
+    c = jnp.where(ok, count_a, 0)
+    cum = jnp.cumsum(c, dtype=jnp.int32)           # inclusive
+    return lo, c, cum, cum[-1]
 
-    For each B tuple the matching A run [lo, hi) is found by binary
-    search; runs longer than max_count on either side are suppressed
-    (the -t k-mer frequency cutoff).  Hits are emitted in B-tuple-major
-    order into a buffer of hit_cap.
+
+@partial(jax.jit, static_argnames=("hit_cap",))
+def match_fill(a_pos, b_pos, lo, c, cum, hit_cap: int):
+    """Materialize (apos, bpos) hit pairs from a match_count result
+    into a buffer of hit_cap, B-tuple-major order.
 
     Returns (apos[i32 cap], bpos[i32 cap], nhits, total) — nhits is the
     number of valid entries (= min(total, hit_cap)); total > hit_cap
     means overflow and the caller should re-run with a bigger cap.
     """
-    n_b = b_codes.shape[0]
-    lo = jnp.searchsorted(a_codes, b_codes, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(a_codes, b_codes, side="right").astype(jnp.int32)
-    count_a = hi - lo
-    # B-side run lengths via neighbor compare + segment sums (binary
-    # search over 21 dependent gather passes is far slower on TPU)
-    first = jnp.concatenate([jnp.ones((1,), bool),
-                             b_codes[1:] != b_codes[:-1]])
-    run_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    run_len = jax.ops.segment_sum(jnp.ones(n_b, jnp.int32), run_id,
-                                  num_segments=n_b,
-                                  indices_are_sorted=True)
-    count_b = run_len[run_id]
-    ok = (b_codes != INVALID_CODE) & (count_a <= max_count) \
-        & (count_b <= max_count)
-    c = jnp.where(ok, count_a, 0)
-    cum = jnp.cumsum(c, dtype=jnp.int32)           # inclusive
+    n_b = b_pos.shape[0]
     total = cum[-1]
+    ok = c > 0
     # materialize hit ordinals by run expansion: scatter each B tuple's
     # index at its run start, then a cumulative max assigns every hit
     # ordinal its source tuple — one scan instead of a 4M-query binary
@@ -87,7 +104,7 @@ def match_hits(a_codes, a_pos, b_codes, b_pos, hit_cap: int,
     # c > 0 the starts are strictly increasing, so targets are unique
     # (a c == 0 tuple shares its start with the next tuple and must
     # not override its mark)
-    put = ok & (c > 0) & (starts < hit_cap)
+    put = ok & (starts < hit_cap)
     tgt = jnp.where(put, starts, hit_cap)
     mark = jnp.zeros(hit_cap + 1, jnp.int32).at[tgt].max(
         jnp.where(put, jnp.arange(n_b, dtype=jnp.int32), 0))[:hit_cap]
@@ -102,18 +119,33 @@ def match_hits(a_codes, a_pos, b_codes, b_pos, hit_cap: int,
     return apos, bpos, nhits, total
 
 
+def match_hits(a_codes, a_pos, b_codes, b_pos, k: int, hit_cap: int,
+               max_count: int = 128):
+    """Merge two sorted k-mer indexes into (apos, bpos) hit pairs
+    (count + fill in one call, fixed buffer).  See match_count /
+    match_fill."""
+    lo, c, cum, _total = match_count(a_codes, a_pos, b_codes, b_pos,
+                                     k=k, max_count=max_count)
+    return match_fill(a_pos, b_pos, lo, c, cum, hit_cap=hit_cap)
+
+
 @partial(jax.jit, static_argnames=(
-    "band_shift", "hit_min", "kmer", "seed_cap", "upper_only",
-    "self_only", "min_diag", "max_diag"))
+    "pos_bits", "read_bits", "band_shift", "hit_min", "kmer",
+    "seed_cap", "upper_only", "self_only", "min_diag", "max_diag"))
 def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
-                    band_shift: int, hit_min: int, kmer: int,
-                    seed_cap: int, upper_only: bool,
-                    suppress_equal=False, self_only: bool = False,
+                    pos_bits: int, read_bits: int, band_shift: int,
+                    hit_min: int, kmer: int, seed_cap: int,
+                    upper_only: bool, suppress_equal=False,
+                    self_only: bool = False,
                     min_diag: int | None = None,
                     max_diag: int | None = None):
     """Band hits by (read pair, diagonal/2^w) and emit anchor seeds for
     bands whose novel k-mer coverage reaches hit_min bases.
 
+    pos_bits/read_bits (static): significant bits of block base
+    positions / read ordinals — they set the radix pass count; the
+    (aread, bread, band, apos) key is bit-packed into uint32 words so
+    each pass permutes 3-4 arrays total.
     upper_only (static): keep only aread < bread pairs (self-block
     comparison: each unordered pair is processed once; mirrors are
     synthesized at emission).  suppress_equal (traced bool): drop
@@ -136,32 +168,44 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
         live &= (apos - bpos) >= min_diag
     if max_diag is not None:
         live &= (apos - bpos) <= max_diag
-    pair = jnp.where(live, ar * jnp.int32(nreads_b) + br, INT32_MAX)
+    dead_read = jnp.int32((1 << read_bits) - 1)    # sorts after all reads
+    ar_k = jnp.where(live, ar, dead_read)
+    br_k = jnp.where(live, br, dead_read)
     bcap = jnp.int32(b_read_id.shape[0])
     diag = apos - bpos + bcap                      # nonnegative
     bucket = (diag >> band_shift).astype(jnp.int32)
+    # diag < 2^(pos_bits+1); +2 covers the bucket+1 of the double pass
+    bucket_bits = pos_bits + 2 - band_shift
 
     # double-bucket: count each hit in its band and the next band up,
     # so a seed straddling a band boundary is seen whole in one of them
-    pair2 = jnp.concatenate([pair, pair])
+    ar2 = jnp.concatenate([ar_k, ar_k])
+    br2 = jnp.concatenate([br_k, br_k])
     bucket2 = jnp.concatenate([bucket, bucket + 1])
     apos2 = jnp.concatenate([apos, apos])
     bpos2 = jnp.concatenate([bpos, bpos])
-    pair_s, bucket_s, apos_s, bpos_s = jax.lax.sort(
-        (pair2, bucket2, apos2, bpos2), num_keys=3)
+    widths = (pos_bits, bucket_bits, read_bits, read_bits)
+    total_bits = sum(widths)
+    words = pack_fields(
+        (jnp.maximum(apos2, 0), bucket2, br2, ar2), widths)
+    words_s, (bpos_s,) = radix_sort_packed(words, (bpos2,), total_bits)
+    apos_s = unpack_field(words_s, 0, pos_bits)
+    bucket_s = unpack_field(words_s, pos_bits, bucket_bits)
+    br_s = unpack_field(words_s, pos_bits + bucket_bits, read_bits)
+    ar_s = unpack_field(words_s, pos_bits + bucket_bits + read_bits,
+                        read_bits)
 
     m = 2 * n
     first = jnp.concatenate([
         jnp.ones((1,), bool),
-        (pair_s[1:] != pair_s[:-1]) | (bucket_s[1:] != bucket_s[:-1])])
-    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+        (ar_s[1:] != ar_s[:-1]) | (br_s[1:] != br_s[:-1])
+        | (bucket_s[1:] != bucket_s[:-1])])
     prev_apos = jnp.concatenate([apos_s[:1], apos_s[:-1]])
     cov = jnp.where(first, kmer,
                     jnp.minimum(apos_s - prev_apos, kmer)).astype(jnp.int32)
     cov = jnp.maximum(cov, 0)
-    seg_sum = jax.ops.segment_sum(cov, seg_id, num_segments=m,
-                                  indices_are_sorted=True)
-    good = (seg_sum[seg_id] >= hit_min) & (pair_s != INT32_MAX)
+    seg_sum = segment_sum_to_elements(cov, first)
+    good = (seg_sum >= hit_min) & (ar_s != dead_read)
     rep = first & good                              # one seed per band
 
     # compact representatives into the seed buffer
@@ -170,17 +214,33 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
     write = rep & (posn < seed_cap)
     tgt = jnp.where(write, posn, seed_cap)          # dump row at seed_cap
     out_ar = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, a_read_id[jnp.maximum(apos_s, 0)], -1))[:seed_cap]
+        jnp.where(write, ar_s, -1))[:seed_cap]
     out_br = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, b_read_id[jnp.maximum(bpos_s, 0)], -1))[:seed_cap]
+        jnp.where(write, br_s, -1))[:seed_cap]
     out_ap = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
         jnp.where(write, apos_s, -1))[:seed_cap]
     out_bp = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
         jnp.where(write, bpos_s, -1))[:seed_cap]
     out_cov = jnp.zeros(seed_cap + 1, jnp.int32).at[tgt].set(
-        jnp.where(write, seg_sum[seg_id], 0))[:seed_cap]
+        jnp.where(write, seg_sum, 0))[:seed_cap]
     nseeds = jnp.minimum(total_seeds, seed_cap)
     return out_ar, out_br, out_ap, out_bp, out_cov, nseeds, total_seeds
+
+
+def _pos_bits(*caps: int) -> int:
+    return max(int(c - 1).bit_length() for c in caps)
+
+
+def _sized_hits(a_pos, b_pos, lo, c, cum, total: int, hit_cap: int,
+                floor: int = 1 << 17):
+    """Pick the smallest power-of-two hit buffer >= total (bounded by
+    hit_cap) and materialize — the banding sorts scale with the buffer
+    size, so right-sizing is a big win on sparse block pairs."""
+    cap = floor
+    while cap < total and cap < hit_cap:
+        cap *= 2
+    cap = min(cap, hit_cap)
+    return match_fill(a_pos, b_pos, lo, c, cum, hit_cap=cap)
 
 
 def find_tandem_seeds(blk, cfg, min_period: int = 8,
@@ -195,11 +255,14 @@ def find_tandem_seeds(blk, cfg, min_period: int = 8,
     rid = jnp.asarray(blk.read_id)
     c, p = build_index(bases, rid, cfg.kmer)
     t = cfg.max_kmer_count or 128
-    apos, bpos, nhits, total_hits = match_hits(c, p, c, p,
-                                               hit_cap=hit_cap,
-                                               max_count=t)
+    lo, cnt, cum, total = match_count(c, p, c, p, k=cfg.kmer,
+                                      max_count=t)
+    apos, bpos, nhits, total_hits = _sized_hits(
+        p, p, lo, cnt, cum, int(total), hit_cap)
     ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
         apos, bpos, nhits, rid, rid, blk.nreads + 1,
+        pos_bits=_pos_bits(blk.cap),
+        read_bits=quantize_bits(blk.nreads + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
         seed_cap=seed_cap, upper_only=False, self_only=True,
         min_diag=min_period, max_diag=max_period)
@@ -234,10 +297,14 @@ def find_seeds(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         else build_index(a_bases, a_rid, cfg.kmer, am)
     bc, bp = build_index(b_bases, b_rid, cfg.kmer, bm)
     t = cfg.max_kmer_count or 128
-    apos, bpos, nhits, total_hits = match_hits(ac, ap, bc, bp,
-                                               hit_cap=hit_cap, max_count=t)
+    lo, cnt, cum, total = match_count(ac, ap, bc, bp, k=cfg.kmer,
+                                      max_count=t)
+    apos, bpos, nhits, total_hits = _sized_hits(
+        ap, bp, lo, cnt, cum, int(total), hit_cap)
     ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
         apos, bpos, nhits, a_rid, b_rid, blk_b.nreads + 1,
+        pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
+        read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
         seed_cap=seed_cap, upper_only=upper_only)
     return {

@@ -1,0 +1,200 @@
+"""TPU-native stable radix sort and sorted-stream helpers.
+
+The reference overlapper's seeding stage is built on a multi-pass LSD
+radix sort of k-mer tuples (SURVEY.md §2.3, upstream dalign/filter.c
+Sort_Kmers — upstream-path citation, reference mount empty).  This
+module is the TPU equivalent, and exists for hard measured reasons on
+this hardware:
+
+  * XLA's comparator sort (jax.lax.sort) takes MINUTES to compile at
+    multi-million-element shapes (no persistent-cache hits on this
+    backend), per shape bucket;
+  * jnp.searchsorted over 2M queries runs ~330 ms;
+  * while cumsum and 1D unique-index scatter run ~0.03-0.04 ms at 4M.
+
+So: stable LSD radix passes built from cumsum + permutation-scatter,
+fully UNROLLED (an earlier lax.fori_loop variant compiled in seconds
+but ran the in-loop scatters ~100x slower — XLA only vectorizes the
+permutation well when the pass chain is unrolled), with 2-bit digits
+to halve the pass count, and multi-field keys bit-packed into uint32
+words (pack_fields) so each pass permutes 2-3 arrays instead of one
+per field.
+
+All functions are shape-static and deterministic.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _split_by_digit(dig, nd: int, arrays):
+    """One stable counting-sort pass by digit value in [0, nd).
+
+    Returns arrays permuted so digit values ascend, ties in order.
+    """
+    n = dig.shape[0]
+    cums = [jnp.cumsum((dig == v).astype(jnp.int32)) for v in range(nd)]
+    pos = jnp.zeros(n, jnp.int32)
+    acc = jnp.int32(0)
+    for v in range(nd):
+        pos = jnp.where(dig == v, acc + cums[v] - 1, pos)
+        acc = acc + cums[v][-1]
+    return tuple(
+        jnp.zeros_like(a).at[pos].set(a, unique_indices=True)
+        for a in arrays)
+
+
+def _radix_passes(arrays, key_index: int, bits: int):
+    """`bits` stable radix passes (2-bit digits) on arrays[key_index],
+    permuting all arrays.  Unrolled: compile cost scales with bits, but
+    the scatters stay vectorized (in-loop scatters do not)."""
+    if bits <= 0:
+        return arrays
+    for b in range(0, bits, 2):
+        if b + 2 <= bits:
+            dig = ((arrays[key_index] >> b) & 3).astype(jnp.int32)
+            arrays = _split_by_digit(dig, 4, arrays)
+        else:
+            dig = ((arrays[key_index] >> b) & 1).astype(jnp.int32)
+            arrays = _split_by_digit(dig, 2, arrays)
+    return tuple(arrays)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def radix_sort_bits(key, payloads, bits: int):
+    """Stable ascending sort of `key` (uint32/int32, values < 2**bits)
+    carrying payload arrays.  Returns (key_sorted, payloads_sorted)."""
+    arrays = _radix_passes((key,) + tuple(payloads), 0, bits)
+    return arrays[0], tuple(arrays[1:])
+
+
+@partial(jax.jit, static_argnames=("bits_list",))
+def radix_sort_multi(keys, payloads, bits_list: tuple):
+    """Stable lexicographic sort by multiple integer keys.
+
+    keys: tuple of arrays, MOST significant first (like lax.sort's
+    num_keys order); bits_list[i] = significant bits of keys[i].
+    LSD: sort by the least significant key first.  Returns
+    (keys_sorted tuple, payloads_sorted tuple).
+    """
+    nk = len(keys)
+    arrays = tuple(keys) + tuple(payloads)
+    for ki in range(nk - 1, -1, -1):
+        arrays = _radix_passes(arrays, ki, bits_list[ki])
+    return arrays[:nk], arrays[nk:]
+
+
+def pack_fields(fields, widths):
+    """Bit-concatenate integer fields (LSB-first list, each < 2**w)
+    into a tuple of uint32 words (word 0 = least significant)."""
+    total = sum(widths)
+    nw = -(-total // 32)
+    words = [jnp.zeros_like(fields[0], dtype=jnp.uint32)
+             for _ in range(nw)]
+    off = 0
+    for f, w in zip(fields, widths):
+        f = f.astype(jnp.uint32)
+        wi, bi = off // 32, off % 32
+        words[wi] = words[wi] | (f << bi)    # bits >= 32 drop out
+        if bi + w > 32:
+            words[wi + 1] = words[wi + 1] | (f >> (32 - bi))
+        off += w
+    return tuple(words)
+
+
+def unpack_field(words, offset: int, width: int):
+    """Extract a field packed by pack_fields, as int32."""
+    mask = jnp.uint32((1 << width) - 1) if width < 32 \
+        else jnp.uint32(0xFFFFFFFF)
+    wi, bi = offset // 32, offset % 32
+    v = words[wi] >> bi
+    if bi + width > 32:
+        v = v | (words[wi + 1] << (32 - bi))
+    return (v & mask).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("total_bits",))
+def radix_sort_packed(words, payloads, total_bits: int):
+    """Stable sort by a multi-word key from pack_fields (word 0 least
+    significant): LSD passes word by word.  Returns (words, payloads)
+    sorted."""
+    nw = len(words)
+    arrays = tuple(words) + tuple(payloads)
+    for wi in range(nw):
+        bits = min(32, total_bits - 32 * wi)
+        arrays = _radix_passes(arrays, wi, bits)
+    return arrays[:nw], arrays[nw:]
+
+
+def seg_starts_from_first(first):
+    """Per-element index of its segment's first element, given the
+    boolean run-break flags of a sorted stream (first[0] must be True).
+    One cummax — no scatter, no segment_sum."""
+    n = first.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    return jax.lax.cummax(jnp.where(first, idx, 0))
+
+
+def segment_sum_to_elements(values, first):
+    """For a sorted stream with run-break flags `first`, return
+    per-element totals of their segment (what the pile tools get from
+    segment_sum + gather, but via cumsum + two gathers: XLA's
+    scatter-add segment_sum runs ~40 ms at 4M, this ~1 ms).
+
+    Each element's segment total = cum[last_of_seg] - cum[first_of_seg
+    - 1], where cum is the inclusive cumsum of `values`.
+    """
+    n = values.shape[0]
+    cum = jnp.cumsum(values, dtype=values.dtype)
+    starts = seg_starts_from_first(first)             # [n] first idx of seg
+    # last element of each segment: next segment's first - 1; for the
+    # final segment it's n-1.  Compute via reversed cummin of "next
+    # first index".
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nxt = jnp.where(first, idx, n)                    # candidate seg starts
+    # next start AFTER my position: reverse cummin over nxt shifted
+    rev_min = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]))))
+    last = rev_min - 1                                # [n] last idx of seg
+    base = jnp.where(starts > 0, cum[jnp.maximum(starts - 1, 0)], 0)
+    return cum[last] - base
+
+
+def merge_ranks(a_codes, b_codes, bits: int):
+    """For sorted a_codes and sorted b_codes, compute per-b-element
+    (lo, count) where lo = searchsorted(a_codes, b, 'left') and count =
+    number of equal a codes — via ONE radix merge instead of binary
+    search (measured: searchsorted 2M = ~330 ms; this ~15 ms).
+
+    Codes must be < 2**bits with bits <= 31 (key packs code<<1|side).
+    Returns (lo int32[nb], count int32[nb]).
+    """
+    na = a_codes.shape[0]
+    nb = b_codes.shape[0]
+    side = jnp.concatenate([jnp.zeros(na, jnp.uint32),
+                            jnp.ones(nb, jnp.uint32)])
+    code = jnp.concatenate([a_codes.astype(jnp.uint32),
+                            b_codes.astype(jnp.uint32)])
+    key = (code << 1) | side                           # a's before b's
+    # a-elements carry an out-of-range slot so the write-back drops them
+    orig = jnp.concatenate([jnp.full(na, nb, jnp.int32),
+                            jnp.arange(nb, dtype=jnp.int32)])
+    key_s, (side_s, orig_s) = radix_sort_bits(
+        key, (side.astype(jnp.int32), orig), bits + 1)
+    is_a = side_s == 0
+    ia = is_a.astype(jnp.int32)
+    na_before = jnp.cumsum(ia) - ia                    # exclusive count
+    # run-break flags on code value (ignore the side bit)
+    code_s = key_s >> 1
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             code_s[1:] != code_s[:-1]])
+    starts = seg_starts_from_first(first)
+    lo_all = na_before[starts]          # a's with code < mine
+    cnt_all = na_before - lo_all        # for b: equal a's all precede it
+    buf = jnp.zeros(nb + 1, jnp.int32)
+    lo = buf.at[jnp.minimum(orig_s, nb)].set(lo_all)[:nb]
+    cnt = buf.at[jnp.minimum(orig_s, nb)].set(cnt_all)[:nb]
+    return lo, cnt

@@ -74,6 +74,24 @@ def _row_update(D, x, bw, diag_valid, lane_valid, lane_iota):
     return jnp.where(lane_valid, Dn, INF)
 
 
+def reduce_best_lanes(bs_l, bva_l, bvb_l, bd_l):
+    """Collapse per-lane best trackers to the global best per seed,
+    deterministic tie-break: max score, then min va, then min vb.
+    (Given score, va and vb, the diff count is determined, so the
+    tuple is fully reproducible.)  Returns (va, vb, d, score)."""
+    s = jnp.max(bs_l, axis=1)
+    at = bs_l == s[:, None]
+    va = jnp.min(jnp.where(at, bva_l, INF), axis=1)
+    at &= bva_l == va[:, None]
+    vb = jnp.min(jnp.where(at, bvb_l, INF), axis=1)
+    at &= bvb_l == vb[:, None]
+    d = jnp.min(jnp.where(at, bd_l, INF), axis=1)
+    none = s <= 0
+    z = jnp.zeros_like(s)
+    return (jnp.where(none, z, va), jnp.where(none, z, vb),
+            jnp.where(none, z, d), jnp.where(none, z, s))
+
+
 def _gather_chars(bases, origin, v0, length, reverse):
     """[S, length] chars at v-space positions v0.. v0+length-1.
 
@@ -116,15 +134,15 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
 
     lane0 = jnp.arange(W, dtype=jnp.int32)
     D0 = jnp.where(lane0 >= CTR, lane0 - CTR, INF)[None, :].repeat(S, 0)
+    zl = jnp.zeros((S, W), jnp.int32)
     state = dict(
         D=D0,
         boff=jnp.zeros(S, jnp.int32),
         rtot=jnp.int32(0),
         active=alim > 0,
-        best_score=jnp.zeros(S, jnp.int32),
-        best_va=jnp.zeros(S, jnp.int32),
-        best_vb=jnp.zeros(S, jnp.int32),
-        best_d=jnp.zeros(S, jnp.int32),
+        # per-LANE best trackers: elementwise updates per row (no
+        # cross-lane reductions in the hot loop); reduced once at exit
+        bs_l=zl, bva_l=zl, bvb_l=zl, bd_l=zl,
     )
 
     def row_body(r, carry):
@@ -138,28 +156,17 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
         row_active = st["active"] & (t < alim)
         Dn = _row_update(st["D"], x, bw, diag_valid, lane_valid, lane_iota)
         D = jnp.where(row_active[:, None], Dn, st["D"])
-        # score tracking (valid lanes only)
+        # per-lane score tracking (valid lanes only)
         p = (t + 1) + v_b
         score = jnp.where(lane_valid & (D < INF), p - diff_cost * D,
                           -INF)
-        j_best = jnp.argmax(score, axis=1)
-        s_best = jnp.take_along_axis(score, j_best[:, None], 1)[:, 0]
-        improve = row_active & (s_best > st["best_score"])
+        improve = row_active[:, None] & (score > st["bs_l"])
         st = dict(st)
         st["D"] = D
-        st["best_score"] = jnp.where(improve, s_best, st["best_score"])
-        st["best_va"] = jnp.where(improve, t + 1, st["best_va"])
-        st["best_vb"] = jnp.where(
-            improve,
-            jnp.take_along_axis(v_b, j_best[:, None], 1)[:, 0],
-            st["best_vb"])
-        st["best_d"] = jnp.where(
-            improve,
-            jnp.take_along_axis(D, j_best[:, None], 1)[:, 0],
-            st["best_d"])
-        # X-drop / end-of-read deactivation
-        st["active"] = st["active"] & (
-            s_best >= st["best_score"] - xdrop) & (t + 1 < alim)
+        st["bs_l"] = jnp.where(improve, score, st["bs_l"])
+        st["bva_l"] = jnp.where(improve, t + 1, st["bva_l"])
+        st["bvb_l"] = jnp.where(improve, v_b, st["bvb_l"])
+        st["bd_l"] = jnp.where(improve, D, st["bd_l"])
         return st, a_chars, b_tile
 
     def chunk_cond(st):
@@ -173,6 +180,20 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
         st, _, _ = jax.lax.fori_loop(
             0, R, row_body, (st, a_chars, b_tile))
         st["rtot"] = st["rtot"] + R
+        # X-drop at chunk granularity: stop when the final row's best
+        # score fell more than xdrop below the all-time best.  (Per-row
+        # deactivation saved no vector work — rows are masked, not
+        # skipped — so the chunk boundary is the natural check point.)
+        t_fin = st["rtot"] - 1
+        v_b = (t_fin + 1) + lane - CTR + st["boff"][:, None]
+        lane_valid = (v_b >= 0) & (v_b <= blim[:, None])
+        score_fin = jnp.where(lane_valid & (st["D"] < INF),
+                              (t_fin + 1) + v_b - diff_cost * st["D"],
+                              -INF)
+        smax_fin = jnp.max(score_fin, axis=1)
+        bs_glob = jnp.max(st["bs_l"], axis=1)
+        st["active"] = st["active"] & (smax_fin >= bs_glob - xdrop) \
+            & (st["rtot"] < alim)
         # recenter band on the best (minimum-distance) column
         Dv = st["D"]
         jmin = jnp.argmin(Dv, axis=1).astype(jnp.int32)
@@ -188,7 +209,8 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
         return st
 
     st = jax.lax.while_loop(chunk_cond, chunk_body, state)
-    return st["best_va"], st["best_vb"], st["best_d"], st["best_score"]
+    return reduce_best_lanes(st["bs_l"], st["bva_l"], st["bvb_l"],
+                             st["bd_l"])
 
 
 @partial(jax.jit, static_argnames=("tspace", "W", "max_segs"))

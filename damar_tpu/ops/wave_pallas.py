@@ -34,99 +34,112 @@ INF_I = 1 << 20  # plain int for in-kernel use (jnp scalars become
 # captured constants, which pallas_call rejects)
 
 
-def _shift_right_iota(u, s, lane, fill):
-    rolled = pltpu.roll(u, s, axis=1)
-    return jnp.where(lane >= s, rolled, fill)
-
-
-def _shift_left_iota(u, s, lane, W, fill):
-    rolled = pltpu.roll(u, W - s, axis=1)   # pltpu.roll requires s >= 0
-    return jnp.where(lane < W - s, rolled, fill)
+def _roll_left(x, s: int):
+    """Rotate lanes left by static s (pltpu.roll rotates right)."""
+    W = x.shape[1]
+    return pltpu.roll(x, W - s, axis=1)
 
 
 def _dp_rows_kernel(D_ref, a_ref, b_ref, vbb_ref, pb_ref, blim_ref,
-                    rows_ref, act_ref, bs_ref, bva_ref, bvb_ref, bd_ref,
-                    Do_ref, act_o_ref, bs_o_ref, bva_o_ref, bvb_o_ref,
-                    bd_o_ref, *, R: int, W: int, diff_cost: int,
-                    xdrop: int, track_best: bool):
-    """Fixed-lane-frame DP: lane L corresponds to the FIXED b-position
-    v_b = (vbb - 1) + L for the whole chunk, so the per-row diagonal
-    transition is a static shift-right and the B compare characters
-    load once — no dynamic lane slicing (which Mosaic cannot lower).
-    The active W-wide band slides across the lanes via masks: after
-    row r the sliding-frame lane j lives at L = r + 1 + j.  The A
-    character for row r is extracted with a masked reduction over the
-    lane-major a_ref.  All per-seed quantities stay 2D [SB, 1]
-    (Mosaic cannot reshape 1D vectors).
+                    rows_ref, act_ref, cont_ref, bs_ref, bva_ref,
+                    bvb_ref, bd_ref, Do_ref, act_o_ref, bs_o_ref,
+                    bva_o_ref, bvb_o_ref, bd_o_ref, drift_o_ref, *,
+                    R: int, W: int, diff_cost: int, xdrop: int,
+                    track_best: bool, recenter: bool):
+    """Band-frame DP: lane j of D always holds band position j; after
+    in-chunk row r, lane j corresponds to v_b = vbb + r + j (the frame
+    advances implicitly with the row index, not by shifting lanes).
+    The A character and B compare window are consumed by rotating the
+    loop-carried a/b registers one lane per row, so every DP op runs
+    at width W instead of R+W.  Masked rows keep D unchanged — which
+    freezes that seed's frame at its last active row, exactly the
+    pure-JAX ops.wave semantics.  All per-seed quantities stay 2D
+    [SB, 1] (Mosaic cannot reshape 1D vectors).
+
+    recenter: fold the between-chunk band recentering (argmin column ->
+    variable per-seed roll) into the kernel tail; drift_o reports the
+    applied shift so the caller can update boff.
     """
     SB, Wb = b_ref.shape
     Ra = a_ref.shape[1]
-    laneB = jax.lax.broadcasted_iota(jnp.int32, (SB, Wb), 1)
-    laneA = jax.lax.broadcasted_iota(jnp.int32, (SB, Ra), 1)
-    vbb = vbb_ref[:]            # [SB, 1] sliding-frame base
+    assert R + W <= Wb, (R, W, Wb)
+    assert R <= Ra, (R, Ra)
+    CTR = W // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SB, W), 1)
+    vbb = vbb_ref[:]            # [SB, 1] band base: v_b = vbb + r + j
     pb = pb_ref[:]
     blim = blim_ref[:]
     rows = rows_ref[:]
-    a_all = a_ref[:]
-    # compare char for lane L is tile[L-1] (tile[k] = B''[v0b + k])
-    bcmp = _shift_right_iota(b_ref[:], 1, laneB, 0)
-    v_b = (vbb - 1) + laneB                   # fixed per lane
-    vb_ok = (v_b >= 0) & (v_b <= blim)
-    diag_ok = (v_b >= 1) & (v_b <= blim)
-
-    # place the incoming sliding-frame band at lanes [0, W)
-    D0 = jnp.where(laneB < W,
-                   jnp.pad(D_ref[:], ((0, 0), (0, Wb - W)),
-                           constant_values=INF_I), INF_I)
 
     def body(r, carry):
-        D, act_i, bs, bva, bvb, bd = carry
-        act = act_i != 0          # bools stay transient: i1 vectors
-        # cannot be loop-carried (Mosaic relayout limitation)
-        row_active = act & (r < rows)                     # [SB, 1]
-        x = jnp.sum(jnp.where(laneA == r, a_all, 0), axis=1,
-                    keepdims=True)                        # [SB, 1]
-        win = (laneB >= r + 1) & (laneB < r + 1 + W)
-        diag_valid = diag_ok & win
-        sub = jnp.where(diag_valid & (bcmp == x), 0, 1)
-        sub = jnp.where(diag_valid, sub, INF_I)
-        diag = _shift_right_iota(D, 1, laneB, INF_I) + sub
-        tmp = jnp.minimum(diag, D + 1)
-        u = tmp - laneB
+        D, areg, breg, bs, bva, bvb, bd = carry
+        row_active = (act_ref[:] != 0) & (r < rows)       # [SB, 1]
+        x = jax.lax.slice_in_dim(areg, 0, 1, axis=1)      # [SB, 1]
+        bcmp = jax.lax.slice_in_dim(breg, 0, W, axis=1)   # [SB, W]
+        v_b = vbb + r + lane
+        lane_valid = (v_b >= 0) & (v_b <= blim)
+        diag_valid = lane_valid & (v_b >= 1)
+        sub = jnp.where(diag_valid,
+                        jnp.where(bcmp == x, 0, 1), INF_I)
+        Dl = jnp.where(lane < W - 1, _roll_left(D, 1), INF_I)
+        tmp = jnp.minimum(D + sub, Dl + 1)
+        u = tmp - lane
         s = 1
-        while s < Wb:
-            u = jnp.minimum(u, _shift_right_iota(u, s, laneB, INF_I))
+        while s < W:
+            us = jnp.where(lane >= s, pltpu.roll(u, s, axis=1), INF_I)
+            u = jnp.minimum(u, us)
             s *= 2
-        Dn = jnp.where(vb_ok & win, u + laneB, INF_I)
-        # masked rows: the sliding frame still advances one lane per
-        # row, so an idle seed's band must SHIFT without a DP update —
-        # this keeps every band at lanes [R, R+W) at kernel exit and
-        # reproduces the sliding-frame "keep D" semantics exactly.
-        D = jnp.where(row_active, Dn,
-                      _shift_right_iota(D, 1, laneB, INF_I))
+        Dn = jnp.where(lane_valid, u + lane, INF_I)
+        D = jnp.where(row_active, Dn, D)
         if track_best:
-            score = jnp.where(win & vb_ok & (D < INF_I),
+            # per-LANE best trackers: elementwise only — cross-lane
+            # reductions (max/argmax) run once in the kernel tail, not
+            # every row
+            score = jnp.where(lane_valid & (D < INF_I),
                               (pb + r) + v_b - diff_cost * D, -INF_I)
-            smax = jnp.max(score, axis=1, keepdims=True)
-            at_best = score == smax
-            vb_best = jnp.min(jnp.where(at_best, v_b, INF_I), axis=1,
-                              keepdims=True)
-            d_best = jnp.min(jnp.where(at_best, D, INF_I), axis=1,
-                             keepdims=True)
-            improve = row_active & (smax > bs)
-            bs = jnp.where(improve, smax, bs)
+            improve = row_active & (score > bs)
+            bs = jnp.where(improve, score, bs)
             bva = jnp.where(improve, pb + r, bva)
-            bvb = jnp.where(improve, vb_best, bvb)
-            bd = jnp.where(improve, d_best, bd)
-            act = act & ~(row_active & (smax < bs - xdrop))
-        return D, act.astype(jnp.int32), bs, bva, bvb, bd
+            bvb = jnp.where(improve, v_b, bvb)
+            bd = jnp.where(improve, D, bd)
+        return (D, _roll_left(areg, 1), _roll_left(breg, 1),
+                bs, bva, bvb, bd)
 
-    assert R + W <= Wb, (R, W, Wb)
-    init = (D0, act_ref[:], bs_ref[:], bva_ref[:],
-            bvb_ref[:], bd_ref[:])
-    D, act, bs, bva, bvb, bd = jax.lax.fori_loop(0, R, body, init)
-    # every band (active or idled) now sits at lanes [R, R+W)
-    Do_ref[:] = jax.lax.slice_in_dim(D, R, R + W, axis=1)
+    init = (D_ref[:], a_ref[:], b_ref[:], bs_ref[:],
+            bva_ref[:], bvb_ref[:], bd_ref[:])
+    D, _, _, bs, bva, bvb, bd = jax.lax.fori_loop(0, R, body, init)
+    act = act_ref[:]
+    if track_best:
+        # X-drop at chunk granularity (per-row deactivation saves no
+        # masked vector work): final-row best vs all-time best
+        v_b = vbb + (rows - 1) + lane
+        lane_valid = (v_b >= 0) & (v_b <= blim)
+        score_fin = jnp.where(lane_valid & (D < INF_I),
+                              (pb + rows - 1) + v_b - diff_cost * D,
+                              -INF_I)
+        smax = jnp.max(score_fin, axis=1, keepdims=True)
+        bs_glob = jnp.max(bs, axis=1, keepdims=True)
+        act = (act != 0) & (smax >= bs_glob - xdrop)
+        act = act.astype(jnp.int32)
+    if recenter:
+        # recenter the band on the (first) minimum-distance column for
+        # seeds that continue into the next chunk
+        m = jnp.min(D, axis=1, keepdims=True)
+        jmin = jnp.min(jnp.where(D == m, lane, INF_I), axis=1,
+                       keepdims=True)
+        go = (act != 0) & (cont_ref[:] != 0) & (m < INF_I)
+        drift = jnp.where(go, jmin - CTR, 0)              # [SB, 1]
+        sh = jnp.where(drift < 0, drift + W, drift)       # mod W
+        k = 1
+        while k < W:
+            D = jnp.where((sh & k) != 0, _roll_left(D, k), D)
+            k *= 2
+        ok = (lane + drift >= 0) & (lane + drift < W)
+        D = jnp.where(ok, D, INF_I)
+        drift_o_ref[:] = drift
+    else:
+        drift_o_ref[:] = jnp.zeros((SB, 1), jnp.int32)
+    Do_ref[:] = D
     act_o_ref[:] = act
     bs_o_ref[:] = bs
     bva_o_ref[:] = bva
@@ -140,25 +153,37 @@ def _interpret() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "R", "W", "SB", "diff_cost", "xdrop", "track_best"))
+    "R", "W", "SB", "diff_cost", "xdrop", "track_best", "recenter"))
 def dp_rows(D, a_chars, b_tile, vb_base, p_base, blim, rows_limit,
             active, best_s, best_va, best_vb, best_d, R: int,
             W: int = 128, SB: int = 256, diff_cost: int = 5,
-            xdrop: int = 60, track_best: bool = True):
+            xdrop: int = 60, track_best: bool = True,
+            recenter: bool = False, cont=None):
     """Run R DP rows over all seeds with VMEM-resident band state.
 
     D [S, W] i32; a_chars [S, Ra>=R] i32; b_tile [S, Wb>=R+W] i32;
-    per-seed i32 vectors for the v-space bases, limits and trackers.
-    Returns (D, active, best_s, best_va, best_vb, best_d).
+    per-seed i32 vectors for the v-space bases and limits; best_* are
+    PER-LANE trackers [S, W] when track_best (reduced by the caller
+    via ops.wave.reduce_best_lanes), or [S] dummies otherwise.
+    recenter/cont: fold the between-chunk band recentering into the
+    kernel for seeds continuing into the next chunk (cont[S] bool).
+    Returns (D, active, best_s, best_va, best_vb, best_d, drift).
     """
     S0 = D.shape[0]
     S = -(-S0 // SB) * SB
+    if cont is None:
+        cont = jnp.zeros(S0, jnp.int32)
+    cont = cont.astype(jnp.int32)
+    col = lambda x: x.reshape(x.shape[0], 1) if x.ndim == 1 else x
+    best_s, best_va = col(best_s), col(best_va)
+    best_vb, best_d = col(best_vb), col(best_d)
     if S != S0:
         padn = lambda x: jnp.pad(x, [(0, S - S0)] + [(0, 0)] *
                                  (x.ndim - 1))
         D, a_chars, b_tile = padn(D), padn(a_chars), padn(b_tile)
         vb_base, p_base, blim = padn(vb_base), padn(p_base), padn(blim)
-        rows_limit, active = padn(rows_limit), padn(active)
+        rows_limit, active, cont = (padn(rows_limit), padn(active),
+                                    padn(cont))
         best_s, best_va = padn(best_s), padn(best_va)
         best_vb, best_d = padn(best_vb), padn(best_d)
     grid = (S // SB,)
@@ -166,31 +191,32 @@ def dp_rows(D, a_chars, b_tile, vb_base, p_base, blim, rows_limit,
                                    memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((SB, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    tspec = [bspec(x.shape[1]) if x.shape[1] > 1 else vspec
+             for x in (best_s, best_va, best_vb, best_d)]
+    tshape = [jax.ShapeDtypeStruct(x.shape, jnp.int32)
+              for x in (best_s, best_va, best_vb, best_d)]
     kernel = functools.partial(
         _dp_rows_kernel, R=R, W=W, diff_cost=diff_cost, xdrop=xdrop,
-        track_best=track_best)
-    col = lambda x: x.reshape(S, 1)
+        track_best=track_best, recenter=recenter)
+    colv = lambda x: x.reshape(S, 1)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[bspec(W), bspec(a_chars.shape[1]),
                   bspec(b_tile.shape[1]), vspec, vspec, vspec, vspec,
-                  vspec, vspec, vspec, vspec, vspec],
-        out_specs=(bspec(W), vspec, vspec, vspec, vspec, vspec),
-        out_shape=(
-            jax.ShapeDtypeStruct((S, W), jnp.int32),
-            jax.ShapeDtypeStruct((S, 1), jnp.int32),
-            jax.ShapeDtypeStruct((S, 1), jnp.int32),
-            jax.ShapeDtypeStruct((S, 1), jnp.int32),
-            jax.ShapeDtypeStruct((S, 1), jnp.int32),
-            jax.ShapeDtypeStruct((S, 1), jnp.int32),
-        ),
+                  vspec, vspec] + tspec,
+        out_specs=(bspec(W), vspec) + tuple(tspec) + (vspec,),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((S, W), jnp.int32),
+             jax.ShapeDtypeStruct((S, 1), jnp.int32)] + tshape +
+            [jax.ShapeDtypeStruct((S, 1), jnp.int32)]),
         interpret=_interpret(),
-    )(D, col(a_chars) if False else a_chars, b_tile, col(vb_base),
-      col(p_base), col(blim), col(rows_limit),
-      col(active.astype(jnp.int32)), col(best_s), col(best_va),
-      col(best_vb), col(best_d))
-    out = (out[0],) + tuple(o.reshape(S) for o in out[1:])
+    )(D, a_chars, b_tile, colv(vb_base),
+      colv(p_base), colv(blim), colv(rows_limit),
+      colv(active.astype(jnp.int32)), colv(cont), best_s,
+      best_va, best_vb, best_d)
+    out = tuple(o.reshape(S) if o.ndim == 2 and o.shape[1] == 1 else o
+                for o in out)
     if S != S0:
         out = tuple(o[:S0] for o in out)
     return out
@@ -206,10 +232,50 @@ def _pad_cols(x, m: int):
     return jnp.pad(x, ((0, 0), (0, target - w)))
 
 
-def _gather_i32(bases, origin, v0, length, reverse: bool):
-    from damar_tpu.ops.wave import _gather_chars
-    return _gather_chars(bases, origin, v0, length,
-                         reverse).astype(jnp.int32)
+def _pack_bases(bases_u8):
+    """uint8 base codes -> int32 words, 16 bases per word (2 bits each,
+    base i of word w at bits [2i, 2i+2)).  The PAD_BASE sentinel (4)
+    packs as 0; wave kernels never read unmasked out-of-read positions
+    (validity comes from alim/blim lane masks, not the sentinel)."""
+    n = bases_u8.shape[0]
+    m = -(-n // 16) * 16
+    if m != n:
+        bases_u8 = jnp.pad(bases_u8, (0, m - n))
+    w = (bases_u8.reshape(-1, 16).astype(jnp.int32)) & 3
+    shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, :]
+    return jnp.sum(w << shifts, axis=1).astype(jnp.int32)
+
+
+def _gather_packed(words, origin, v0, length: int, reverse):
+    """[S, length] int32 chars at v-space positions v0..v0+length-1,
+    gathered WORD-wise from the packed base array (16x fewer gathered
+    elements than a byte gather — the XLA byte gather was the dominant
+    cost of the whole wave path).  Word misalignment is fixed with a
+    4-step binary roll; per-word index clipping preserves alignment of
+    in-range words, and out-of-range chars are garbage the callers mask
+    via v-space limits (same contract as ops.wave._gather_chars).
+    reverse: static bool or traced bool[S] (mixed-direction batches)."""
+    nw = length // 16 + 2
+    if isinstance(reverse, bool):
+        start = (origin - v0 - length) if reverse else (origin + v0)
+    else:
+        start = jnp.where(reverse, origin - v0 - length, origin + v0)
+    w0 = start >> 4                    # arithmetic shift: floors negatives
+    j0 = start & 15                    # nonnegative remainder
+    widx = w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    words_g = words[jnp.clip(widx, 0, words.shape[0] - 1)]
+    rep = jnp.repeat(words_g, 16, axis=1)             # [S, nw*16]
+    sh = (2 * (jnp.arange(nw * 16, dtype=jnp.int32) & 15))[None, :]
+    chars = (rep >> sh) & 3
+    for k in (1, 2, 4, 8):             # left-roll by j0 in binary steps
+        chars = jnp.where((j0[:, None] & k) != 0,
+                          jnp.roll(chars, -k, axis=1), chars)
+    chars = chars[:, :length]
+    if isinstance(reverse, bool):
+        return chars[:, ::-1] if reverse else chars
+    return jnp.where(reverse[:, None], chars[:, ::-1], chars)
+
+
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -226,48 +292,43 @@ def extend_wave_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
     rv = reverse if dirs is None else dirs
     S = aorigin.shape[0]
     CTR = W // 2
+    a_words = _pack_bases(a_bases)
+    b_words = _pack_bases(b_bases)
     lane0 = jnp.arange(W, dtype=jnp.int32)
     D0 = jnp.where(lane0 >= CTR, lane0 - CTR, INF)[None, :].repeat(S, 0)
     z = jnp.zeros(S, jnp.int32)
+    zl = jnp.zeros((S, W), jnp.int32)
     state = dict(D=D0, boff=z, rtot=jnp.int32(0), active=alim > 0,
-                 bs=z, bva=z, bvb=z, bd=z)
+                 bs=zl, bva=zl, bvb=zl, bd=zl)
 
     def cond(st):
         return jnp.any(st["active"]) & (st["rtot"] < max_rows)
 
     def body(st):
-        a_chars = _gather_i32(a_bases, aorigin,
-                              jnp.full((S,), st["rtot"], jnp.int32),
-                              R, rv)
+        a_chars = _gather_packed(a_words, aorigin,
+                                 jnp.full((S,), st["rtot"], jnp.int32),
+                                 R, rv)
         v0b = st["rtot"] + st["boff"] - CTR
-        b_tile = _gather_i32(b_bases, borigin, v0b, R + W, rv)
+        b_tile = _gather_packed(b_words, borigin, v0b, R + W, rv)
         vb_base = st["rtot"] + 1 - CTR + st["boff"]
         p_base = jnp.full((S,), st["rtot"] + 1, jnp.int32)
         rows = jnp.clip(alim - st["rtot"], 0, R)
-        D, act, bs, bva, bvb, bd = dp_rows(
+        cont = (st["rtot"] + R) < alim
+        D, act, bs, bva, bvb, bd, drift = dp_rows(
             st["D"], a_chars, _pad_cols(b_tile, 128), vb_base, p_base,
             blim, rows, st["active"], st["bs"], st["bva"], st["bvb"],
             st["bd"], R=R, W=W, SB=SB, diff_cost=diff_cost,
-            xdrop=xdrop, track_best=True)
+            xdrop=xdrop, track_best=True, recenter=True, cont=cont)
         rtot = st["rtot"] + R
         active = (act != 0) & (rtot < alim)
-        # recenter band on the minimum-distance column
-        jmin = jnp.argmin(D, axis=1).astype(jnp.int32)
-        drift = jnp.where(active & (jnp.min(D, axis=1) < INF),
-                          jmin - CTR, 0)
-
-        def _roll_row(row, s):
-            rolled = jnp.roll(row, -s)
-            idx = jnp.arange(W, dtype=jnp.int32)
-            ok = (idx + s >= 0) & (idx + s < W)
-            return jnp.where(ok, rolled, INF)
-
-        return dict(D=jax.vmap(_roll_row)(D, drift),
-                    boff=st["boff"] + drift, rtot=rtot, active=active,
-                    bs=bs, bva=bva, bvb=bvb, bd=bd)
+        return dict(D=D, boff=st["boff"] + drift, rtot=rtot,
+                    active=active, bs=bs, bva=bva, bvb=bvb, bd=bd)
 
     st = jax.lax.while_loop(cond, body, state)
-    return st["bva"], st["bvb"], st["bd"], st["bs"]
+    from damar_tpu.ops.wave import reduce_best_lanes
+    va, vb, d, sc = reduce_best_lanes(st["bs"], st["bva"], st["bvb"],
+                                      st["bd"])
+    return va, vb, d, sc
 
 
 @functools.partial(jax.jit, static_argnames=("tspace", "W", "SB",
@@ -280,6 +341,8 @@ def trace_wave_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
     CTR = W // 2
     lane = jnp.arange(W, dtype=jnp.int32)[None, :]
     lane0 = jnp.arange(W, dtype=jnp.int32)
+    a_words = _pack_bases(a_bases)
+    b_words = _pack_bases(b_bases)
     aorigin = astart + abpos
     borigin = bstart + bbpos
 
@@ -300,15 +363,15 @@ def trace_wave_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
     def body(st):
         live = st["done"] < alim
         seg_rows = jnp.where(live, seg_rows_of(st["done"]), 0)
-        a_chars = _gather_i32(a_bases, aorigin, st["done"], tspace,
-                              False)
+        a_chars = _gather_packed(a_words, aorigin, st["done"], tspace,
+                                 False)
         v0b = st["done"] + st["boff"] - CTR
-        b_tile = _gather_i32(b_bases, borigin, v0b, tspace + W, False)
+        b_tile = _gather_packed(b_words, borigin, v0b, tspace + W, False)
         vb_base = st["done"] + 1 - CTR + st["boff"]
-        D, _, _, _, _, _ = dp_rows(
+        D = dp_rows(
             st["D"], _pad_cols(a_chars, 128), _pad_cols(b_tile, 128),
             vb_base, z, blim, seg_rows, live, z, z, z, z,
-            R=tspace, W=W, SB=SB, track_best=False)
+            R=tspace, W=W, SB=SB, track_best=False)[0]
         va = st["done"] + seg_rows
         at_end = live & (va == alim)
         commit = live

@@ -78,14 +78,17 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
         a_codes, a_pos = _index(a_bases, a_rid)
         b_codes, b_pos = _index(b_bases, b_rid)
         apos, bpos, nhits, _tot = match_hits(
-            a_codes, a_pos, b_codes, b_pos, hit_cap=hit_cap,
+            a_codes, a_pos, b_codes, b_pos, k=cfg.kmer, hit_cap=hit_cap,
             max_count=cfg.max_kmer_count or 128)
         nr_b = b_starts.shape[0]  # nreads+1 upper bound (static)
+        pos_bits = int(a_bases.shape[0] - 1).bit_length()
+        from damar_tpu.ops.seeding import quantize_bits
         ar, br, sap, sbp, cov, nseeds, _ts = diagonal_filter(
             apos, bpos, nhits, a_rid, b_rid, nr_b,
+            pos_bits=pos_bits, read_bits=quantize_bits(nr_b),
             band_shift=cfg.band_shift, hit_min=cfg.hit_min,
-            kmer=cfg.kmer, seed_cap=seed_cap, upper_only=False,
-            suppress_equal=is_self)
+            kmer=cfg.kmer, seed_cap=seed_cap,
+            upper_only=False, suppress_equal=is_self)
         live = jnp.arange(seed_cap) < nseeds
         ar_c = jnp.maximum(ar, 0)
         br_c = jnp.maximum(br, 0)
@@ -114,9 +117,11 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
         return ext, jnp.stack([nseeds, ok.sum().astype(jnp.int32)])
 
     def _index(bases, rid):
+        from damar_tpu.ops.sort import radix_sort_bits
         codes, _ = kmer_codes(bases, rid, cfg.kmer)
         pos = jnp.arange(bases.shape[0], dtype=jnp.int32)
-        return jax.lax.sort((codes, pos), num_keys=1)
+        cs, (ps,) = radix_sort_bits(codes, (pos,), 2 * cfg.kmer + 1)
+        return cs, ps
 
     def sweep(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts):
         # squeeze the sharded leading axis (shard_map gives [1, ...])

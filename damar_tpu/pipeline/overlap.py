@@ -110,6 +110,10 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
     va = np.zeros(2 * n, np.int64)
     vb = np.zeros(2 * n, np.int64)
     vd = np.zeros(2 * n, np.int64)
+    # launch every batch before harvesting any: JAX dispatch is async,
+    # so the device queue stays full instead of paying a host round
+    # trip per batch
+    pending = []
     for lo in range(0, 2 * n, S):
         sel = order[lo:lo + S]
         m = len(sel)
@@ -120,6 +124,8 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
             jnp.asarray(_pad(u_alim[sel], S, 0)),
             jnp.asarray(_pad(u_blim[sel], S, 0)),
             dirs=jnp.asarray(np.pad(u_rev[sel], (0, S - m))), **kw)
+        pending.append((sel, m, r_va, r_vb, r_d))
+    for sel, m, r_va, r_vb, r_d in pending:
         va[sel] = np.asarray(r_va)[:m]
         vb[sel] = np.asarray(r_vb)[:m]
         vd[sel] = np.asarray(r_d)[:m]
@@ -162,18 +168,27 @@ def dedupe_extents(extents: list[Extent], min_len: int) -> list[Extent]:
     return out
 
 
-def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
-                 coords: list[tuple], cfg: OverlapConfig):
-    """Run the trace pass for a batch of extents.
+def _trace_launch(a_bases, b_bases, a_starts, b_starts,
+                  coords: list[tuple], cfg: OverlapConfig):
+    """Launch (async) the trace pass for a batch of extents.
 
     coords[i] = (aread, bread, abpos, aepos, bbpos, bepos) in the
-    role/orientation of THIS pass (may be mirrored).  Returns per-extent
-    (trace (nseg,2) int32 array, diffs) or None for inconsistent rows.
+    role/orientation of THIS pass (may be mirrored).  Returns a pending
+    handle for _trace_finish — callers queue several launches before
+    harvesting so the device never waits on the host round trip.
     """
     S = len(coords)
     if S == 0:
-        return []
-    max_segs = cfg.max_read_len // cfg.tspace + 2
+        return None
+    # bucket the trace buffer to the batch's real segment need (batches
+    # are length-sorted, so the bucket is tight); power-of-two buckets
+    # keep the compile cache small
+    need = max(n_segments(c[2], c[3], cfg.tspace) for c in coords) + 2
+    cap_segs = cfg.max_read_len // cfg.tspace + 2
+    max_segs = 8
+    while max_segs < min(need, cap_segs):
+        max_segs *= 2
+    max_segs = min(max_segs, cap_segs)
     ar = np.array([c[0] for c in coords], np.int32)
     br = np.array([c[1] for c in coords], np.int32)
     abp = np.array([c[2] for c in coords], np.int32)
@@ -193,11 +208,22 @@ def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
     # link costs more than the compute for short batches)
     ns_cap = max(n_segments(int(a), int(e), cfg.tspace)
                  for a, e in zip(abp, aep))
-    tr = np.asarray(tr[:, :min(ns_cap + 1, max_segs)])
-    nseg = np.asarray(nseg)
-    dsum = np.asarray(dsum)
+    return dict(tr=tr[:, :min(ns_cap + 1, max_segs)], nseg=nseg,
+                dsum=dsum, abp=abp, aep=aep, bbp=bbp, bep=bep, S=S)
+
+
+def _trace_finish(pend, cfg: OverlapConfig):
+    """Harvest one _trace_launch: per-extent (trace (nseg,2) int32,
+    diffs) or None for rows whose band lost the endpoint."""
+    if pend is None:
+        return []
+    tr = np.asarray(pend["tr"])
+    nseg = np.asarray(pend["nseg"])
+    dsum = np.asarray(pend["dsum"])
+    abp, aep, bbp, bep = (pend["abp"], pend["aep"], pend["bbp"],
+                          pend["bep"])
     out = []
-    for i in range(S):
+    for i in range(pend["S"]):
         ns = int(nseg[i])
         t = tr[i, :ns].copy()
         expect = n_segments(abp[i], aep[i], cfg.tspace)
@@ -207,6 +233,14 @@ def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts: list[Extent],
         else:
             out.append((t, int(dsum[i])))
     return out
+
+
+def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts, coords,
+                 cfg: OverlapConfig):
+    """Synchronous launch+finish (used by retrace_las)."""
+    return _trace_finish(
+        _trace_launch(a_bases, b_bases, a_starts, b_starts, coords, cfg),
+        cfg)
 
 
 def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
@@ -293,8 +327,10 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     ovls_b: list[Overlap] = []
     S = cfg.seed_batch
 
-    def emit(batch_exts, mirrored: bool):
-        """Trace + record emission for primary or mirrored roles."""
+    def launch(batch_exts, mirrored: bool):
+        """Queue trace launches for primary or mirrored roles; returns
+        pending (handle, chunk, coords, comp, mirrored) tuples."""
+        out = []
         for comp in (False, True):
             sel = [e for e in batch_exts if e.comp == comp]
             sel.sort(key=lambda e: e.aepos - e.abpos)
@@ -303,9 +339,9 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                 if not mirrored:
                     coords = [(e.aread, e.bread, e.abpos, e.aepos,
                                e.bbpos, e.bepos) for e in chunk]
-                    res = _trace_batch(
+                    pend = _trace_launch(
                         a_bases, b_bases_c if comp else b_bases_f,
-                        sa, sb, chunk, coords, cfg)
+                        sa, sb, coords, cfg)
                 else:
                     # mirror: A-side = B fwd; B-side = A fwd (non-comp)
                     # or rc(A) (comp); reflected coordinates
@@ -321,29 +357,33 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                             coords.append((e.bread, e.aread,
                                            bl - e.bepos, bl - e.bbpos,
                                            al - e.aepos, al - e.abpos))
-                    res = _trace_batch(
+                    pend = _trace_launch(
                         b_bases_f,
                         jnp.asarray(blk_a_rc.bases) if comp else a_bases,
-                        sb, sa, chunk, coords, cfg)
-                for e, r, c in zip(chunk, res, coords):
-                    if r is None:
-                        stats["dropped_trace"] += 1
-                        continue
-                    t, d = r
-                    flags = OVL_COMP if comp else 0
-                    ov = Overlap(
-                        aread=int((blk_a.ids if not mirrored else
-                                   blk_b.ids)[c[0]]),
-                        bread=int((blk_b.ids if not mirrored else
-                                   blk_a.ids)[c[1]]),
-                        flags=flags, abpos=int(c[2]), aepos=int(c[3]),
-                        bbpos=int(c[4]), bepos=int(c[5]), diffs=d,
-                        trace=t)
-                    (ovls_a if not mirrored else ovls_b).append(ov)
+                        sb, sa, coords, cfg)
+                out.append((pend, chunk, coords, comp, mirrored))
+        return out
 
-    emit(kept, mirrored=False)
+    pending = launch(kept, mirrored=False)
     if emit_mirrors:
-        emit(kept, mirrored=True)
+        pending += launch(kept, mirrored=True)
+    for pend, chunk, coords, comp, mirrored in pending:
+        res = _trace_finish(pend, cfg)
+        for e, r, c in zip(chunk, res, coords):
+            if r is None:
+                stats["dropped_trace"] += 1
+                continue
+            t, d = r
+            flags = OVL_COMP if comp else 0
+            ov = Overlap(
+                aread=int((blk_a.ids if not mirrored else
+                           blk_b.ids)[c[0]]),
+                bread=int((blk_b.ids if not mirrored else
+                           blk_a.ids)[c[1]]),
+                flags=flags, abpos=int(c[2]), aepos=int(c[3]),
+                bbpos=int(c[4]), bepos=int(c[5]), diffs=d,
+                trace=t)
+            (ovls_a if not mirrored else ovls_b).append(ov)
 
     las_a = LasFile(tspace=cfg.tspace, overlaps=ovls_a)
     las_a.sort()

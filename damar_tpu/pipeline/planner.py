@@ -66,8 +66,36 @@ def plan_block_pairs(db_root: str, nblocks: int,
     return jobs
 
 
+def plan_masking(db_root: str, nblocks: int) -> list[Job]:
+    """The HPC.TANmask / HPC.REPmask-equivalent job list: dust +
+    per-block tandem masking (independent block jobs + a track merge),
+    then a coverage-based repeat-mask round fed by each block's merged
+    overlaps (the reference's 3-round coarse-to-fine REPmask collapses
+    to one round here because the overlap matrix is a single plan)."""
+    jobs: list[Job] = []
+    jobs.append(Job(name="dust", kind="mask",
+                    args=dict(cmd="dbdust", db=db_root)))
+    for i in range(1, nblocks + 1):
+        jobs.append(Job(name=f"tan.{i}", kind="mask",
+                        args=dict(cmd="datander", db=db_root, block=i)))
+    jobs.append(Job(name="tan.merge", kind="mask",
+                    args=dict(cmd="tkmerge", db=db_root, track="tan"),
+                    deps=[f"tan.{i}" for i in range(1, nblocks + 1)]))
+    for i in range(1, nblocks + 1):
+        jobs.append(Job(
+            name=f"rep.{i}", kind="mask",
+            args=dict(cmd="repmask", db=db_root, block=i,
+                      las=f"{db_root}.{i}.las"),
+            deps=[f"merge.{i}"]))
+    jobs.append(Job(name="rep.merge", kind="mask",
+                    args=dict(cmd="tkmerge", db=db_root, track="rep"),
+                    deps=[f"rep.{i}" for i in range(1, nblocks + 1)]))
+    return jobs
+
+
 def render_script(jobs: list[Job], db_root: str | None = None,
-                  with_masking: bool = True) -> str:
+                  with_masking: bool = True, nblocks: int | None = None
+                  ) -> str:
     """HPC.daligner-parity rendering: one shell line per job, phase
     comments, using this package's CLI.  with_masking prepends the
     HPC.TANmask/HPC.REPmask-equivalent phase lines (dust + per-block
@@ -75,13 +103,25 @@ def render_script(jobs: list[Job], db_root: str | None = None,
     matrix)."""
     lines = ["# damar_tpu job plan"]
     if with_masking and db_root:
-        lines += [
-            "# phase 0: masking (HPC.TANmask / HPC.REPmask equivalents)",
-            f"python -m damar_tpu.cli dbdust {db_root}",
-            f"python -m damar_tpu.cli datander {db_root}",
-            f"# (after a first overlap pass: python -m damar_tpu.cli "
-            f"repmask {db_root} {db_root}.1.las)",
-        ]
+        nb = nblocks or max(
+            (j.args.get("a_block", 1) for j in jobs
+             if j.kind == "overlap"), default=1)
+        lines.append("# phase 0: masking "
+                     "(HPC.TANmask / HPC.REPmask equivalents)")
+        for j in plan_masking(db_root, nb):
+            a = j.args
+            if a["cmd"] == "dbdust":
+                lines.append(f"python -m damar_tpu.cli dbdust {db_root}")
+            elif a["cmd"] == "datander":
+                lines.append(f"python -m damar_tpu.cli datander "
+                             f"{db_root} -b {a['block']}")
+            elif a["cmd"] == "tkmerge":
+                lines.append(f"python -m damar_tpu.cli tkmerge "
+                             f"{db_root} {a['track']}")
+            elif a["cmd"] == "repmask":
+                lines.append(f"# after merge.{a['block']}: "
+                             f"python -m damar_tpu.cli repmask "
+                             f"{db_root} {a['las']}")
     lines += ["# phase 1: block-pair overlaps"]
     for j in jobs:
         if j.kind == "overlap":
