@@ -231,6 +231,33 @@ def _pos_bits(*caps: int) -> int:
     return max(int(c - 1).bit_length() for c in caps)
 
 
+@partial(jax.jit, static_argnames=("out_cap", "upper_only"))
+def compact_hits(apos, bpos, nhits, a_rid, b_rid, out_cap: int,
+                 upper_only: bool, suppress_equal=False):
+    """Drop pair-filtered hits (a==b self matches, lower-triangle
+    duplicates) and compact survivors into a smaller buffer BEFORE the
+    banding sort — the sort cost scales with buffer size, and on a
+    self-block forward pass read-vs-itself hits are the large
+    majority.  Returns (apos, bpos, n, total); total > out_cap means
+    the caller must retry with a bigger out_cap."""
+    n = apos.shape[0]
+    live = jnp.arange(n, dtype=jnp.int32) < nhits
+    ar = a_rid[jnp.maximum(apos, 0)]
+    br = b_rid[jnp.maximum(bpos, 0)]
+    if upper_only:
+        live &= ar < br
+    live &= ~(jnp.asarray(suppress_equal) & (ar == br))
+    posn = jnp.cumsum(live.astype(jnp.int32)) - 1
+    total = posn[-1] + 1
+    write = live & (posn < out_cap)
+    tgt = jnp.where(write, posn, out_cap)
+    oa = jnp.full(out_cap + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(write, apos, -1))[:out_cap]
+    ob = jnp.full(out_cap + 1, -1, jnp.int32).at[tgt].set(
+        jnp.where(write, bpos, -1))[:out_cap]
+    return oa, ob, jnp.minimum(total, out_cap), total
+
+
 def _sized_hits(a_pos, b_pos, lo, c, cum, total: int, hit_cap: int,
                 floor: int = 1 << 17):
     """Pick the smallest power-of-two hit buffer >= total (bounded by
@@ -272,6 +299,83 @@ def find_tandem_seeds(blk, cfg, min_period: int = 8,
         "cov": np.asarray(cov),
         "nseeds": int(nseeds), "total_seeds": int(total_seeds),
         "nhits": int(nhits), "total_hits": int(total_hits),
+    }
+
+
+def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
+                   upper_only: bool = False, hit_cap: int = 1 << 20,
+                   seed_cap: int = 1 << 16, a_index=None,
+                   dev_arrays=None, raw_hint: int | None = None,
+                   compact_cap: int | None = None):
+    """Device-resident seeding for one (A block, B orientation).
+
+    Unlike find_seeds, performs NO host synchronization: the hit
+    buffer is statically sized from the block's base count (quantized
+    pow2, capped at hit_cap) instead of from a device->host readback
+    of the exact hit total — on a tunneled device a single scalar sync
+    costs ~30 ms and serializes the pipeline.  Returns a dict of
+    DEVICE arrays: aread/bread/apos/bpos/cov [seed_cap], nseeds,
+    total_seeds, total_hits, overflow (0-d device scalars; fetch
+    once, late) + host ints raw_cap/compact_cap.  overflow=True means
+    a buffer was too small: retry with raw_hint/compact_cap >= the
+    reported totals.
+
+    dev_arrays: optional (a_bases, a_rid, b_bases, b_rid) already on
+    device (callers keep blocks resident across orientations).
+    """
+    if dev_arrays is not None:
+        a_bases, a_rid, b_bases, b_rid = dev_arrays
+    else:
+        a_bases = jnp.asarray(blk_a.bases)
+        a_rid = jnp.asarray(blk_a.read_id)
+        b_bases = jnp.asarray(blk_b.bases)
+        b_rid = jnp.asarray(blk_b.read_id)
+    am = jnp.asarray(mask_a) if mask_a is not None else None
+    bm = jnp.asarray(mask_b) if mask_b is not None else None
+    ac, ap = a_index if a_index is not None \
+        else build_index(a_bases, a_rid, cfg.kmer, am)
+    bc, bp = build_index(b_bases, b_rid, cfg.kmer, bm)
+    t = cfg.max_kmer_count or 128
+    lo, cnt, cum, total = match_count(ac, ap, bc, bp, k=cfg.kmer,
+                                      max_count=t)
+    # static raw-hit buffer: a self-block forward pass produces ~1.2
+    # hits per base (each read matches itself); other passes far
+    # fewer.  Overflow is reported for the caller to retry bigger
+    # (checked in its one late sync).
+    nb = b_bases.shape[0]
+    want_raw = min(raw_hint or 2 * nb, hit_cap)
+    cap = 1 << 17
+    while cap < want_raw:
+        cap *= 2
+    cap = min(cap, hit_cap)
+    apos, bpos, nhits, total_hits = match_fill(ap, bp, lo, cnt, cum,
+                                               hit_cap=cap)
+    # pair-filter + compact before the banding sort (its cost scales
+    # with buffer size); non-filtering callers keep the raw buffer
+    if upper_only or bool(compact_cap):
+        ccap = 1 << 17
+        want_c = min(compact_cap or max(nb // 4, 1 << 17), hit_cap)
+        while ccap < want_c:
+            ccap *= 2
+        apos, bpos, nhits, total_c = compact_hits(
+            apos, bpos, nhits, a_rid, b_rid, out_cap=ccap,
+            upper_only=upper_only)
+        overflow = (total_hits > cap) | (total_c > ccap)
+    else:
+        ccap = cap
+        total_c = total_hits
+        overflow = total_hits > cap
+    ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
+        apos, bpos, nhits, a_rid, b_rid, blk_b.nreads + 1,
+        pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
+        read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
+        band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
+        seed_cap=seed_cap, upper_only=False)
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": cov, "nseeds": nseeds, "total_seeds": total_seeds,
+        "total_hits": total_hits, "total_compact": total_c,
+        "overflow": overflow, "raw_cap": cap, "compact_cap": ccap,
     }
 
 

@@ -20,7 +20,9 @@ Read ids in emitted .las records are ABSOLUTE untrimmed DB read ids
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +70,39 @@ def _pad(a, size, fill):
     return out
 
 
+def _round_slice(n: int, q: int = 1024) -> int:
+    """Round a prefix length up to a q multiple (bounded shape-bucket
+    count for the device slice kernels)."""
+    return max(q, -(-n // q) * q)
+
+
+def fetch_seeds(seeds_dev: dict) -> dict:
+    """One-sync harvest of a find_seeds_dev result: reads all counts
+    as one stacked scalar fetch, then pulls the five seed arrays as
+    ONE stacked device->host transfer of the live prefix only."""
+    counts = np.asarray(jnp.stack(
+        [seeds_dev["nseeds"], seeds_dev["total_seeds"],
+         seeds_dev["total_hits"], seeds_dev["total_compact"],
+         seeds_dev["overflow"].astype(jnp.int32)]))
+    n = int(counts[0])
+    out = {"nseeds": n, "total_seeds": int(counts[1]),
+           "total_hits": int(counts[2]), "total_compact": int(counts[3]),
+           "overflow": bool(counts[4]),
+           "raw_cap": seeds_dev["raw_cap"],
+           "compact_cap": seeds_dev["compact_cap"]}
+    if n == 0:
+        for k in ("aread", "bread", "apos", "bpos", "cov"):
+            out[k] = np.zeros(0, np.int32)
+        return out
+    m = min(_round_slice(n), seeds_dev["aread"].shape[0])
+    stacked = np.asarray(jnp.stack(
+        [seeds_dev[k][:m] for k in
+         ("aread", "bread", "apos", "bpos", "cov")]))
+    for i, k in enumerate(("aread", "bread", "apos", "bpos", "cov")):
+        out[k] = stacked[i][:n]
+    return out
+
+
 def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
                  cfg: OverlapConfig, comp: bool) -> list[Extent]:
     """Bidirectional extension of all seeds.
@@ -78,12 +113,30 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
     its LONGEST unit finishes, so length-homogeneous batches cut the
     wasted masked rows severalfold.
     """
+    pend = extend_seeds_launch(blk_a, blk_b, seeds, cfg, comp)
+    return extend_seeds_harvest(pend)
+
+
+def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
+                        seeds: dict, cfg: OverlapConfig, comp: bool,
+                        dev_bases=None) -> dict | None:
+    """Dispatch all extension batches asynchronously.
+
+    Returns a pending handle for extend_seeds_harvest.  Results stay
+    on device; the harvest concatenates them there and performs ONE
+    device->host transfer — per-batch readbacks would serialize on
+    the device link round-trip latency.
+    dev_bases: optional (a_bases_dev, b_bases_dev) already uploaded.
+    """
     n = seeds["nseeds"]
     if n == 0:
-        return []
+        return None
     S = cfg.seed_batch
-    a_bases = jnp.asarray(blk_a.bases)
-    b_bases = jnp.asarray(blk_b.bases)
+    if dev_bases is not None:
+        a_bases, b_bases = dev_bases
+    else:
+        a_bases = jnp.asarray(blk_a.bases)
+        b_bases = jnp.asarray(blk_b.bases)
     sa = blk_a.starts.astype(np.int64)
     sb = blk_b.starts.astype(np.int64)
     ar_all = seeds["aread"][:n]
@@ -98,22 +151,17 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
     u_alim = np.concatenate([a1 - ap_all, ap_all - a0]).astype(np.int32)
     u_blim = np.concatenate([b1 - bp_all, bp_all - b0]).astype(np.int32)
     u_rev = np.concatenate([np.zeros(n, bool), np.ones(n, bool)])
-    u_seed = np.concatenate([np.arange(n), np.arange(n)])
     u_ao = np.concatenate([ap_all, ap_all]).astype(np.int32)
     u_bo = np.concatenate([bp_all, bp_all]).astype(np.int32)
     bound = np.minimum(u_alim, u_blim)
-    order = np.argsort(bound, kind="stable")
+    order = np.argsort(bound, kind="stable").astype(np.int64)
 
     ext_fn, _ = _kernels(cfg)
     kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
               diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
-    va = np.zeros(2 * n, np.int64)
-    vb = np.zeros(2 * n, np.int64)
-    vd = np.zeros(2 * n, np.int64)
-    # launch every batch before harvesting any: JAX dispatch is async,
-    # so the device queue stays full instead of paying a host round
-    # trip per batch
-    pending = []
+    # launch every batch before harvesting any: dispatch is async, so
+    # the device queue stays full
+    results = []
     for lo in range(0, 2 * n, S):
         sel = order[lo:lo + S]
         m = len(sel)
@@ -124,24 +172,49 @@ def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
             jnp.asarray(_pad(u_alim[sel], S, 0)),
             jnp.asarray(_pad(u_blim[sel], S, 0)),
             dirs=jnp.asarray(np.pad(u_rev[sel], (0, S - m))), **kw)
-        pending.append((sel, m, r_va, r_vb, r_d))
-    for sel, m, r_va, r_vb, r_d in pending:
-        va[sel] = np.asarray(r_va)[:m]
-        vb[sel] = np.asarray(r_vb)[:m]
-        vd[sel] = np.asarray(r_d)[:m]
-    out: list[Extent] = []
-    for i in range(n):
-        abp = int(ap_all[i] - a0[i] - va[n + i])
-        aep = int(ap_all[i] - a0[i] + va[i])
-        bbp = int(bp_all[i] - b0[i] - vb[n + i])
-        bep = int(bp_all[i] - b0[i] + vb[i])
-        if aep - abp <= 0 or bep - bbp <= 0:
-            continue
-        out.append(Extent(
-            aread=int(ar_all[i]), bread=int(br_all[i]), comp=comp,
-            abpos=abp, aepos=aep, bbpos=bbp, bepos=bep,
-            diffs_est=int(vd[i] + vd[n + i])))
-    return out
+        results.append((m, r_va, r_vb, r_d))
+    # single device-side concat of all batch results (fetched once)
+    stacked = jnp.concatenate(
+        [jnp.stack([r_va[:], r_vb[:], r_d[:]]) for m, r_va, r_vb, r_d
+         in results], axis=1)
+    return dict(stacked=stacked, order=order, n=n, S=S, comp=comp,
+                ar=ar_all, br=br_all, ap=ap_all, bp=bp_all,
+                a0=a0, b0=b0)
+
+
+def extend_seeds_harvest(pend: dict | None) -> list[Extent]:
+    """Fetch one extend_seeds_launch (single transfer) and build the
+    per-seed extents (vectorized; Extent objects only for survivors)."""
+    if pend is None:
+        return []
+    n, S = pend["n"], pend["S"]
+    res = np.asarray(pend["stacked"])          # [3, batches*S]
+    # undo batch padding: batch i covered order[i*S:(i+1)*S]
+    va = np.zeros(2 * n, np.int64)
+    vb = np.zeros(2 * n, np.int64)
+    vd = np.zeros(2 * n, np.int64)
+    order = pend["order"]
+    nb = -(-2 * n // S)
+    for i in range(nb):
+        sel = order[i * S:(i + 1) * S]
+        va[sel] = res[0, i * S:i * S + len(sel)]
+        vb[sel] = res[1, i * S:i * S + len(sel)]
+        vd[sel] = res[2, i * S:i * S + len(sel)]
+    ap_l = pend["ap"] - pend["a0"]             # read-local seed pos
+    bp_l = pend["bp"] - pend["b0"]
+    abp = ap_l - va[n:]
+    aep = ap_l + va[:n]
+    bbp = bp_l - vb[n:]
+    bep = bp_l + vb[:n]
+    good = (aep - abp > 0) & (bep - bbp > 0)
+    diffs = vd[:n] + vd[n:]
+    comp = pend["comp"]
+    ar, br = pend["ar"], pend["br"]
+    return [Extent(aread=int(ar[i]), bread=int(br[i]), comp=comp,
+                   abpos=int(abp[i]), aepos=int(aep[i]),
+                   bbpos=int(bbp[i]), bepos=int(bep[i]),
+                   diffs_est=int(diffs[i]))
+            for i in np.nonzero(good)[0]]
 
 
 def dedupe_extents(extents: list[Extent], min_len: int) -> list[Extent]:
@@ -166,6 +239,26 @@ def dedupe_extents(extents: list[Extent], min_len: int) -> list[Extent]:
                 kept.append(e)
         out.extend(kept)
     return out
+
+
+@partial(jax.jit, static_argnames=("total_cap",))
+def _pack_trace_jit(tr, expect, total_cap: int):
+    """Compact a padded trace buffer [S, segs, 2] into a ragged-concat
+    [total_cap, 2] using host-known per-row segment counts `expect`
+    [S] — shipping only real segments through the device link instead
+    of the padded buffer."""
+    S = expect.shape[0]
+    starts = jnp.cumsum(expect) - expect                 # exclusive
+    total = starts[-1] + expect[-1]
+    ind = jnp.zeros(total_cap, jnp.int32).at[
+        jnp.minimum(starts, total_cap - 1)].add(
+        jnp.where(expect > 0, 1, 0))
+    row = jnp.cumsum(ind) - 1                            # [total_cap]
+    row = jnp.clip(row, 0, S - 1)
+    j = jnp.arange(total_cap, dtype=jnp.int32)
+    seg = jnp.clip(j - starts[row], 0, tr.shape[1] - 1)
+    out = tr[row, seg]                                   # [total_cap, 2]
+    return jnp.where((j < total)[:, None], out, -1)
 
 
 def _trace_launch(a_bases, b_bases, a_starts, b_starts,
@@ -203,13 +296,37 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts,
         jnp.asarray(abp), jnp.asarray(bbp),
         jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
         tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
-    # transfer only the used segment prefix (batches are length-sorted;
-    # shipping the full [S, max_segs, 2] buffer through the device
-    # link costs more than the compute for short batches)
-    ns_cap = max(n_segments(int(a), int(e), cfg.tspace)
-                 for a, e in zip(abp, aep))
-    return dict(tr=tr[:, :min(ns_cap + 1, max_segs)], nseg=nseg,
-                dsum=dsum, abp=abp, aep=aep, bbp=bbp, bep=bep, S=S)
+    expect = np.array([n_segments(int(a), int(e), cfg.tspace)
+                       for a, e in zip(abp, aep)], np.int32)
+    total_cap = _round_slice(int(expect.sum()), 2048)
+    packed = _pack_trace_jit(tr, jnp.asarray(expect), total_cap)
+    return dict(packed=packed, nseg=nseg, dsum=dsum, expect=expect,
+                abp=abp, aep=aep, bbp=bbp, bep=bep, S=S)
+
+
+def _finish_from_host(packed, nseg, dsum, pend, cfg: OverlapConfig):
+    """Build per-extent (trace, diffs) results from fetched host
+    arrays (vectorized validation)."""
+    expect = pend["expect"]
+    offs = np.concatenate([[0], np.cumsum(expect)])
+    bbp, bep = pend["bbp"], pend["bep"]
+    nz = offs[:-1] < offs[1:]
+    bsum = np.zeros(pend["S"], np.int64)
+    tmin = np.zeros(pend["S"], np.int64)
+    if offs[-1] > 0:
+        bsum[nz] = np.add.reduceat(
+            packed[:offs[-1], 1], offs[:-1][nz])
+        tmin[nz] = np.minimum.reduceat(
+            packed[:offs[-1], :].min(axis=1), offs[:-1][nz])
+    ok = (nseg == expect) & (bsum == (bep - bbp)) & (tmin >= 0)
+    out = []
+    for i in range(pend["S"]):
+        if not ok[i]:
+            out.append(None)          # band lost the endpoint: drop
+        else:
+            out.append((packed[offs[i]:offs[i + 1]].copy(),
+                        int(dsum[i])))
+    return out
 
 
 def _trace_finish(pend, cfg: OverlapConfig):
@@ -217,21 +334,35 @@ def _trace_finish(pend, cfg: OverlapConfig):
     diffs) or None for rows whose band lost the endpoint."""
     if pend is None:
         return []
-    tr = np.asarray(pend["tr"])
+    packed = np.asarray(pend["packed"])
     nseg = np.asarray(pend["nseg"])
     dsum = np.asarray(pend["dsum"])
-    abp, aep, bbp, bep = (pend["abp"], pend["aep"], pend["bbp"],
-                          pend["bep"])
-    out = []
-    for i in range(pend["S"]):
-        ns = int(nseg[i])
-        t = tr[i, :ns].copy()
-        expect = n_segments(abp[i], aep[i], cfg.tspace)
-        if ns != expect or int(t[:, 1].sum()) != bep[i] - bbp[i] \
-                or (t < 0).any():
-            out.append(None)          # band lost the endpoint: drop
-        else:
-            out.append((t, int(dsum[i])))
+    return _finish_from_host(packed, nseg, dsum, pend, cfg)
+
+
+def _trace_harvest_all(pends: list, cfg: OverlapConfig) -> list:
+    """Harvest many _trace_launch handles with TWO device->host
+    transfers total (one for all packed traces, one for all counts) —
+    per-launch readbacks each pay the device link round trip."""
+    live = [p for p in pends if p is not None]
+    if not live:
+        return [[] for _ in pends]
+    packed_all = np.asarray(jnp.concatenate(
+        [p["packed"] for p in live]))
+    counts_all = np.asarray(jnp.concatenate(
+        [jnp.stack([p["nseg"], p["dsum"]], axis=1) for p in live]))
+    out, po, co = [], 0, 0
+    for p in pends:
+        if p is None:
+            out.append([])
+            continue
+        tc = p["packed"].shape[0]
+        packed = packed_all[po:po + tc]
+        nseg = counts_all[co:co + p["S"], 0]
+        dsum = counts_all[co:co + p["S"], 1]
+        po += tc
+        co += p["S"]
+        out.append(_finish_from_host(packed, nseg, dsum, p, cfg))
     return out
 
 
@@ -297,19 +428,44 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     blk_a_rc = revcomp_block(blk_a) if emit_mirrors else None
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
-    all_exts: list[Extent] = []
-    from damar_tpu.ops.seeding import build_index
+    from damar_tpu.ops.seeding import build_index, find_seeds_dev
     am = jnp.asarray(mask_a) if mask_a is not None else None
-    a_index = build_index(jnp.asarray(blk_a.bases),
-                          jnp.asarray(blk_a.read_id), cfg.kmer, am)
+    a_bases_d = jnp.asarray(blk_a.bases)
+    a_rid_d = jnp.asarray(blk_a.read_id)
+    a_index = build_index(a_bases_d, a_rid_d, cfg.kmer, am)
+    # dispatch both orientations' seeding before any host sync, then
+    # fetch, then dispatch both extension launch sets, then harvest:
+    # the device link round trips overlap with device compute
+    orient = []
     for comp in (False, True):
         bb = blk_b_rc if comp else blk_b
         mb = mask_b  # mask intervals are strand-symmetric in this build
-        seeds = find_seeds(blk_a, bb, cfg, mask_a=mask_a, mask_b=mb,
-                           upper_only=self_block, hit_cap=hit_cap,
-                           seed_cap=seed_cap, a_index=a_index)
+        kw = dict(mask_a=mask_a, mask_b=mb, upper_only=self_block,
+                  hit_cap=hit_cap, seed_cap=seed_cap, a_index=a_index,
+                  dev_arrays=(a_bases_d, a_rid_d,
+                              jnp.asarray(bb.bases),
+                              jnp.asarray(bb.read_id)))
+        # a self-block forward pass is dominated by read-vs-itself
+        # hits that the compact step drops before the banding sort
+        if self_block and not comp:
+            kw["raw_hint"] = 2 * blk_b.cap
+        orient.append((comp, bb, find_seeds_dev(blk_a, bb, cfg, **kw),
+                       kw))
+    all_exts: list[Extent] = []
+    pends = []
+    for comp, bb, sd, kw in orient:
+        seeds = fetch_seeds(sd)
+        while seeds["overflow"] and (seeds["raw_cap"] < hit_cap
+                                     or seeds["compact_cap"] < hit_cap):
+            kw = dict(kw, raw_hint=2 * seeds["total_hits"],
+                      compact_cap=2 * seeds["total_compact"])
+            seeds = fetch_seeds(find_seeds_dev(blk_a, bb, cfg, **kw))
         stats["seeds"] += seeds["nseeds"]
-        exts = extend_seeds(blk_a, bb, seeds, cfg, comp)
+        pends.append((comp, extend_seeds_launch(
+            blk_a, bb, seeds, cfg, comp,
+            dev_bases=(a_bases_d, jnp.asarray(bb.bases)))))
+    for comp, pend in pends:
+        exts = extend_seeds_harvest(pend)
         stats["extents"] += len(exts)
         all_exts.extend(exts)
     kept = dedupe_extents(all_exts, cfg.min_len)
@@ -367,8 +523,9 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     pending = launch(kept, mirrored=False)
     if emit_mirrors:
         pending += launch(kept, mirrored=True)
-    for pend, chunk, coords, comp, mirrored in pending:
-        res = _trace_finish(pend, cfg)
+    all_res = _trace_harvest_all([p[0] for p in pending], cfg)
+    for (pend, chunk, coords, comp, mirrored), res in zip(pending,
+                                                          all_res):
         for e, r, c in zip(chunk, res, coords):
             if r is None:
                 stats["dropped_trace"] += 1
