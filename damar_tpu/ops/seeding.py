@@ -4,10 +4,11 @@ TPU-native re-design of the overlapper's Match_Filter stage
 (SURVEY.md §2.3, upstream dalign/filter.c — upstream-path citation,
 reference mount empty).  The reference does a multi-pass LSD radix sort
 of (code,pos) tuples then a scalar merge; this build does the same —
-but as fixed-shape vector radix passes (ops.sort), because on this
-hardware XLA's comparator sort takes minutes to COMPILE per shape and
-jnp.searchsorted runs ~330 ms at 2M queries, while the cumsum+scatter
-radix pass runs ~0.1 ms:
+but through ops.sort's stable-sort API (XLA comparator sort by
+default, measured ~5-10 ms at 4M keys on the real chip; a
+cumsum+scatter radix fallback for compile-dominated runs), and with
+the scalar merge replaced by a sorted-stream radix merge
+(jnp.searchsorted runs ~700 ms at these shapes — never used):
 
   1. build_index: stable radix sort of (code, pos) over 2k+1 key bits
      — invalid codes are 4**k and sort to the end.

@@ -1,33 +1,41 @@
-"""TPU-native stable radix sort and sorted-stream helpers.
+"""TPU-native stable sorts and sorted-stream helpers.
 
 The reference overlapper's seeding stage is built on a multi-pass LSD
 radix sort of k-mer tuples (SURVEY.md §2.3, upstream dalign/filter.c
 Sort_Kmers — upstream-path citation, reference mount empty).  This
-module is the TPU equivalent, and exists for hard measured reasons on
-this hardware:
+module provides the TPU equivalent with TWO interchangeable backends
+behind one stable-sort API:
 
-  * XLA's comparator sort (jax.lax.sort) takes MINUTES to compile at
-    multi-million-element shapes (no persistent-cache hits on this
-    backend), per shape bucket;
-  * jnp.searchsorted over 2M queries runs ~330 ms;
-  * while cumsum and 1D unique-index scatter run ~0.03-0.04 ms at 4M.
+  * "xla" (default): jax.lax.sort (is_stable=True).  Measured on the
+    real TPU chip: ~5-10 ms for 4M keys + payloads — 30-100x faster
+    than anything composed from scatters (a single 4M scatter costs
+    ~25-40 ms; a 29-bit radix chain needs dozens).  Its cost is
+    compile time: ~20-45 s per distinct (shape, operand-count)
+    bucket, paid once per process and excluded by warmup — the right
+    trade for production runs where one process sweeps many same-
+    shaped block pairs.
+  * "radix" (DAMAR_SORT=radix): stable LSD radix passes built from
+    cumsum + permutation-scatter, fully UNROLLED, 2-bit digits.
+    Compiles in seconds; runs ~360-1300 ms at seeding shapes.  Kept
+    for compile-dominated situations (one-shot tiny jobs, debugging).
 
-So: stable LSD radix passes built from cumsum + permutation-scatter,
-fully UNROLLED (an earlier lax.fori_loop variant compiled in seconds
-but ran the in-loop scatters ~100x slower — XLA only vectorizes the
-permutation well when the pass chain is unrolled), with 2-bit digits
-to halve the pass count, and multi-field keys bit-packed into uint32
-words (pack_fields) so each pass permutes 2-3 arrays instead of one
-per field.
+Other measured costs shaping this module (TPU chip, 4M elements):
+jnp.searchsorted ~700 ms (never use); cumsum/cummax ~sub-ms; gather
+~35 ms; scatter ~25-40 ms.
 
-All functions are shape-static and deterministic.
+All functions are shape-static, stable, and deterministic.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _use_xla_sort() -> bool:
+    return os.environ.get("DAMAR_SORT", "xla") != "radix"
 
 
 def _split_by_digit(dig, nd: int, arrays):
@@ -67,6 +75,10 @@ def _radix_passes(arrays, key_index: int, bits: int):
 def radix_sort_bits(key, payloads, bits: int):
     """Stable ascending sort of `key` (uint32/int32, values < 2**bits)
     carrying payload arrays.  Returns (key_sorted, payloads_sorted)."""
+    if _use_xla_sort():
+        out = jax.lax.sort((key,) + tuple(payloads), num_keys=1,
+                           is_stable=True)
+        return out[0], tuple(out[1:])
     arrays = _radix_passes((key,) + tuple(payloads), 0, bits)
     return arrays[0], tuple(arrays[1:])
 
@@ -81,6 +93,10 @@ def radix_sort_multi(keys, payloads, bits_list: tuple):
     (keys_sorted tuple, payloads_sorted tuple).
     """
     nk = len(keys)
+    if _use_xla_sort():
+        out = jax.lax.sort(tuple(keys) + tuple(payloads), num_keys=nk,
+                           is_stable=True)
+        return out[:nk], out[nk:]
     arrays = tuple(keys) + tuple(payloads)
     for ki in range(nk - 1, -1, -1):
         arrays = _radix_passes(arrays, ki, bits_list[ki])
@@ -122,6 +138,11 @@ def radix_sort_packed(words, payloads, total_bits: int):
     significant): LSD passes word by word.  Returns (words, payloads)
     sorted."""
     nw = len(words)
+    if _use_xla_sort():
+        # lax.sort keys are most-significant first
+        out = jax.lax.sort(tuple(reversed(words)) + tuple(payloads),
+                           num_keys=nw, is_stable=True)
+        return tuple(reversed(out[:nw])), out[nw:]
     arrays = tuple(words) + tuple(payloads)
     for wi in range(nw):
         bits = min(32, total_bits - 32 * wi)
