@@ -36,8 +36,9 @@ import jax
 import jax.numpy as jnp
 
 from damar_tpu.ops.kmers import invalid_code, kmer_codes
-from damar_tpu.ops.sort import (merge_ranks, pack_fields,
-                                radix_sort_bits, radix_sort_packed,
+from damar_tpu.ops.sort import (compact_flagged, merge_ranks,
+                                pack_fields, radix_sort_bits,
+                                radix_sort_packed, seg_starts_from_first,
                                 segment_sum_to_elements, unpack_field)
 
 INT32_MAX = jnp.int32(0x7FFFFFFF)
@@ -81,6 +82,28 @@ def match_count(a_codes, a_pos, b_codes, b_pos, k: int,
         & (count_a <= max_count) & (count_b <= max_count)
     c = jnp.where(ok, count_a, 0)
     cum = jnp.cumsum(c, dtype=jnp.int32)           # inclusive
+    return lo, c, cum, cum[-1]
+
+
+@partial(jax.jit, static_argnames=("k", "max_count"))
+def match_count_self(codes, k: int, max_count: int = 128):
+    """Count phase for a block against ITSELF (the forward pass of a
+    self-block comparison): no merge needed — each tuple's matching
+    run is its own code segment, and emitting only the [lo, lo+rank)
+    prefix (rank = position within the segment) yields exactly the
+    upper-triangle hits (apos < bpos, positions ascend within a
+    segment) with the trivial self-diagonal excluded, BEFORE any
+    buffer is materialized.  Same returns as match_count.
+    """
+    n = codes.shape[0]
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             codes[1:] != codes[:-1]])
+    lo = seg_starts_from_first(first)
+    cnt = segment_sum_to_elements(jnp.ones(n, jnp.int32), first)
+    rank = jnp.arange(n, dtype=jnp.int32) - lo
+    ok = (codes != jnp.uint32(invalid_code(k))) & (cnt <= max_count)
+    c = jnp.where(ok, rank, 0)
+    cum = jnp.cumsum(c, dtype=jnp.int32)
     return lo, c, cum, cum[-1]
 
 
@@ -209,23 +232,20 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
     good = (seg_sum >= hit_min) & (ar_s != dead_read)
     rep = first & good                              # one seed per band
 
-    # compact representatives into the seed buffer
-    posn = jnp.cumsum(rep.astype(jnp.int32)) - 1
-    total_seeds = posn[-1] + 1
-    write = rep & (posn < seed_cap)
-    tgt = jnp.where(write, posn, seed_cap)          # dump row at seed_cap
-    out_ar = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, ar_s, -1))[:seed_cap]
-    out_br = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, br_s, -1))[:seed_cap]
-    out_ap = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, apos_s, -1))[:seed_cap]
-    out_bp = jnp.full(seed_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, bpos_s, -1))[:seed_cap]
-    out_cov = jnp.zeros(seed_cap + 1, jnp.int32).at[tgt].set(
-        jnp.where(write, seg_sum, 0))[:seed_cap]
-    nseeds = jnp.minimum(total_seeds, seed_cap)
-    return out_ar, out_br, out_ap, out_bp, out_cov, nseeds, total_seeds
+    # compact representatives into the seed buffer (packed words ride
+    # the 1-bit sort; unpack only the seed_cap prefix)
+    comp, nseeds, total_seeds = compact_flagged(
+        rep, tuple(words_s) + (bpos_s, seg_sum), out_cap=seed_cap,
+        fill=0)
+    w_out, bp_out, cov_out = comp[:-2], comp[-2], comp[-1]
+    keep = jnp.arange(seed_cap, dtype=jnp.int32) < nseeds
+    mark = lambda x: jnp.where(keep, x, -1)
+    out_ap = mark(unpack_field(w_out, 0, pos_bits))
+    out_br = mark(unpack_field(w_out, pos_bits + bucket_bits, read_bits))
+    out_ar = mark(unpack_field(w_out, pos_bits + bucket_bits + read_bits,
+                               read_bits))
+    return (out_ar, out_br, out_ap, mark(bp_out),
+            jnp.where(keep, cov_out, 0), nseeds, total_seeds)
 
 
 def _pos_bits(*caps: int) -> int:
@@ -248,15 +268,9 @@ def compact_hits(apos, bpos, nhits, a_rid, b_rid, out_cap: int,
     if upper_only:
         live &= ar < br
     live &= ~(jnp.asarray(suppress_equal) & (ar == br))
-    posn = jnp.cumsum(live.astype(jnp.int32)) - 1
-    total = posn[-1] + 1
-    write = live & (posn < out_cap)
-    tgt = jnp.where(write, posn, out_cap)
-    oa = jnp.full(out_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, apos, -1))[:out_cap]
-    ob = jnp.full(out_cap + 1, -1, jnp.int32).at[tgt].set(
-        jnp.where(write, bpos, -1))[:out_cap]
-    return oa, ob, jnp.minimum(total, out_cap), total
+    (oa, ob), n_out, total = compact_flagged(live, (apos, bpos),
+                                             out_cap=out_cap)
+    return oa, ob, n_out, total
 
 
 def _sized_hits(a_pos, b_pos, lo, c, cum, total: int, hit_cap: int,
@@ -307,7 +321,8 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
                    upper_only: bool = False, hit_cap: int = 1 << 20,
                    seed_cap: int = 1 << 16, a_index=None,
                    dev_arrays=None, raw_hint: int | None = None,
-                   compact_cap: int | None = None):
+                   compact_cap: int | None = None,
+                   self_pair: bool = False):
     """Device-resident seeding for one (A block, B orientation).
 
     Unlike find_seeds, performs NO host synchronization: the hit
@@ -323,6 +338,11 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
 
     dev_arrays: optional (a_bases, a_rid, b_bases, b_rid) already on
     device (callers keep blocks resident across orientations).
+    self_pair: A and B are the SAME block in the same orientation (the
+    forward pass of a self-block comparison): the B index build and
+    merge are skipped (match_count_self derives runs from the A index
+    alone) and only upper-triangle hits are materialized, so no
+    compact pass is needed.
     """
     if dev_arrays is not None:
         a_bases, a_rid, b_bases, b_rid = dev_arrays
@@ -335,16 +355,21 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     bm = jnp.asarray(mask_b) if mask_b is not None else None
     ac, ap = a_index if a_index is not None \
         else build_index(a_bases, a_rid, cfg.kmer, am)
-    bc, bp = build_index(b_bases, b_rid, cfg.kmer, bm)
     t = cfg.max_kmer_count or 128
-    lo, cnt, cum, total = match_count(ac, ap, bc, bp, k=cfg.kmer,
-                                      max_count=t)
-    # static raw-hit buffer: a self-block forward pass produces ~1.2
-    # hits per base (each read matches itself); other passes far
-    # fewer.  Overflow is reported for the caller to retry bigger
-    # (checked in its one late sync).
     nb = b_bases.shape[0]
-    want_raw = min(raw_hint or 2 * nb, hit_cap)
+    if self_pair:
+        bp = ap
+        lo, cnt, cum, total = match_count_self(ac, k=cfg.kmer,
+                                               max_count=t)
+        # upper-triangle hits only: far fewer than the full pass
+        want_raw = min(raw_hint or nb // 2, hit_cap)
+    else:
+        bc, bp = build_index(b_bases, b_rid, cfg.kmer, bm)
+        lo, cnt, cum, total = match_count(ac, ap, bc, bp, k=cfg.kmer,
+                                          max_count=t)
+        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    # static raw-hit buffer; overflow is reported for the caller to
+    # retry bigger (checked in its one late sync)
     cap = 1 << 17
     while cap < want_raw:
         cap *= 2
@@ -352,8 +377,9 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     apos, bpos, nhits, total_hits = match_fill(ap, bp, lo, cnt, cum,
                                                hit_cap=cap)
     # pair-filter + compact before the banding sort (its cost scales
-    # with buffer size); non-filtering callers keep the raw buffer
-    if upper_only or bool(compact_cap):
+    # with buffer size); the self_pair path already materialized only
+    # upper-triangle hits, so its buffer feeds the banding directly
+    if not self_pair and (upper_only or bool(compact_cap)):
         ccap = 1 << 17
         want_c = min(compact_cap or max(nb // 4, 1 << 17), hit_cap)
         while ccap < want_c:
@@ -371,7 +397,7 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
         read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
-        seed_cap=seed_cap, upper_only=False)
+        seed_cap=seed_cap, upper_only=bool(self_pair and upper_only))
     return {
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
         "cov": cov, "nseeds": nseeds, "total_seeds": total_seeds,

@@ -150,6 +150,33 @@ def radix_sort_packed(words, payloads, total_bits: int):
     return arrays[:nw], arrays[nw:]
 
 
+@partial(jax.jit, static_argnames=("out_cap", "fill"))
+def compact_flagged(live, arrays, out_cap: int, fill: int = -1):
+    """Compact elements where live=True into a prefix buffer of
+    out_cap, preserving original order, via ONE 1-bit stable sort —
+    measured far cheaper on this hardware than the cumsum + scatter
+    compaction idiom (a single multi-million-row scatter costs
+    ~25-40 ms; the sort ~5-15 ms).
+
+    Returns (arrays_out tuple [out_cap], n, total): n = valid prefix
+    length (= min(total, out_cap)); rows >= n are `fill`.
+    """
+    n_in = live.shape[0]
+    dead = (~live).astype(jnp.int32)
+    _, moved = radix_sort_bits(dead, tuple(arrays), 1)
+    total = jnp.sum(live.astype(jnp.int32))
+    n = jnp.minimum(total, out_cap)
+    keep = jnp.arange(out_cap, dtype=jnp.int32) < n
+    out = []
+    for a in moved:
+        if out_cap <= n_in:
+            a = a[:out_cap]
+        else:
+            a = jnp.pad(a, (0, out_cap - n_in))
+        out.append(jnp.where(keep, a, fill))
+    return tuple(out), n, total
+
+
 def seg_starts_from_first(first):
     """Per-element index of its segment's first element, given the
     boolean run-break flags of a sorted stream (first[0] must be True).
@@ -191,7 +218,8 @@ def merge_ranks(a_codes, b_codes, bits: int):
     search (measured: searchsorted 2M = ~330 ms; this ~15 ms).
 
     Codes must be < 2**bits with bits <= 31 (key packs code<<1|side).
-    Returns (lo int32[nb], count int32[nb]).
+    Returns (lo int32[nb], count int32[nb]) in SORTED-b order (the
+    same order as b_codes, which callers already hold sorted).
     """
     na = a_codes.shape[0]
     nb = b_codes.shape[0]
@@ -200,11 +228,8 @@ def merge_ranks(a_codes, b_codes, bits: int):
     code = jnp.concatenate([a_codes.astype(jnp.uint32),
                             b_codes.astype(jnp.uint32)])
     key = (code << 1) | side                           # a's before b's
-    # a-elements carry an out-of-range slot so the write-back drops them
-    orig = jnp.concatenate([jnp.full(na, nb, jnp.int32),
-                            jnp.arange(nb, dtype=jnp.int32)])
-    key_s, (side_s, orig_s) = radix_sort_bits(
-        key, (side.astype(jnp.int32), orig), bits + 1)
+    key_s, (side_s,) = radix_sort_bits(key, (side.astype(jnp.int32),),
+                                       bits + 1)
     is_a = side_s == 0
     ia = is_a.astype(jnp.int32)
     na_before = jnp.cumsum(ia) - ia                    # exclusive count
@@ -215,7 +240,8 @@ def merge_ranks(a_codes, b_codes, bits: int):
     starts = seg_starts_from_first(first)
     lo_all = na_before[starts]          # a's with code < mine
     cnt_all = na_before - lo_all        # for b: equal a's all precede it
-    buf = jnp.zeros(nb + 1, jnp.int32)
-    lo = buf.at[jnp.minimum(orig_s, nb)].set(lo_all)[:nb]
-    cnt = buf.at[jnp.minimum(orig_s, nb)].set(cnt_all)[:nb]
-    return lo, cnt
+    # extract the b rows: the stable 1-bit sort keeps them in sorted-b
+    # order, so the [na:] suffix lines up with b_codes element-wise —
+    # this replaces two multi-million-row write-back scatters
+    _, (lo_b, cnt_b) = radix_sort_bits(side_s, (lo_all, cnt_all), 1)
+    return lo_b[na:], cnt_b[na:]

@@ -103,6 +103,33 @@ def fetch_seeds(seeds_dev: dict) -> dict:
     return out
 
 
+def dedupe_anchor_seeds(seeds: dict) -> dict:
+    """Drop seeds with identical (aread, bread, apos, bpos) anchors.
+
+    The diagonal filter's double-bucket pass counts every hit in its
+    band and the next, so a band passing the threshold in both buckets
+    emits the same anchor twice (~40% of all seeds on typical data).
+    Identical anchors extend identically — dropping them is free.
+    Mutates and returns `seeds`.
+    """
+    n = seeds["nseeds"]
+    if n == 0:
+        return seeds
+    key = ((seeds["aread"].astype(np.int64) << 32)
+           | seeds["bread"].astype(np.uint32).astype(np.int64))
+    pos = ((seeds["apos"].astype(np.int64) << 32)
+           | seeds["bpos"].astype(np.uint32).astype(np.int64))
+    order = np.lexsort((pos, key))
+    ks, ps = key[order], pos[order]
+    keep = np.concatenate([[True], (ks[1:] != ks[:-1])
+                           | (ps[1:] != ps[:-1])])
+    idx = np.sort(order[keep])
+    for k in ("aread", "bread", "apos", "bpos", "cov"):
+        seeds[k] = seeds[k][idx]
+    seeds["nseeds"] = len(idx)
+    return seeds
+
+
 def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
                  cfg: OverlapConfig, comp: bool) -> list[Extent]:
     """Bidirectional extension of all seeds.
@@ -445,10 +472,10 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                   dev_arrays=(a_bases_d, a_rid_d,
                               jnp.asarray(bb.bases),
                               jnp.asarray(bb.read_id)))
-        # a self-block forward pass is dominated by read-vs-itself
-        # hits that the compact step drops before the banding sort
+        # the forward pass of a self-block comparison skips the B
+        # index/merge and materializes upper-triangle hits directly
         if self_block and not comp:
-            kw["raw_hint"] = 2 * blk_b.cap
+            kw["self_pair"] = True
         orient.append((comp, bb, find_seeds_dev(blk_a, bb, cfg, **kw),
                        kw))
     all_exts: list[Extent] = []
@@ -460,6 +487,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             kw = dict(kw, raw_hint=2 * seeds["total_hits"],
                       compact_cap=2 * seeds["total_compact"])
             seeds = fetch_seeds(find_seeds_dev(blk_a, bb, cfg, **kw))
+        seeds = dedupe_anchor_seeds(seeds)
         stats["seeds"] += seeds["nseeds"]
         pends.append((comp, extend_seeds_launch(
             blk_a, bb, seeds, cfg, comp,
