@@ -38,13 +38,12 @@ def tandem_track(blk: ReadBlock, ocfg: OverlapConfig, cfg: MaskConfig,
     seeds = find_tandem_seeds(blk, ocfg, max_period=max_period)
     exts = extend_seeds(blk, blk, seeds, ocfg, comp=False)
     per_read: dict[int, list] = {}
-    for e in exts:
-        if e.aread != e.bread:
-            continue
-        lo = min(e.abpos, e.bbpos)
-        hi = max(e.aepos, e.bepos)
+    sel = np.nonzero(exts["aread"] == exts["bread"])[0]
+    lo_v = np.minimum(exts["abpos"][sel], exts["bbpos"][sel])
+    hi_v = np.maximum(exts["aepos"][sel], exts["bepos"][sel])
+    for j, lo, hi in zip(exts["aread"][sel], lo_v, hi_v):
         if hi - lo >= cfg.tan_min_len:
-            per_read.setdefault(e.aread, []).append((lo, hi))
+            per_read.setdefault(int(j), []).append((int(lo), int(hi)))
     data = []
     for j in range(blk.nreads):
         ivs = per_read.get(j)

@@ -3,7 +3,7 @@
 Chains the device stages (SURVEY.md §3.2 call stack, re-designed):
 
   seeding (ops.seeding)  ->  batched bidirectional extension
-  (ops.wave.extend_wave) ->  host dedupe/containment filter ->
+  (ops.wave.extend_wave) ->  columnar dedupe/containment filter ->
   batched trace-point pass (ops.wave.trace_wave) -> .las records
 
 For a block pair (A, B) both orientations of B are processed (COMP
@@ -14,12 +14,17 @@ and their traces computed by a swapped-role trace pass, so a self-block
 comparison yields the full pile for every read, like the reference's
 symmetric output.
 
+The host layer is COLUMNAR: candidate alignments ("extents") live in
+struct-of-array numpy dicts from harvest through dedupe to trace
+batching, so block-scale record counts (10^5-10^6 per pair at the
+reference's 200+ MB block sizes) never materialize per-record Python
+objects until the final .las assembly.
+
 Read ids in emitted .las records are ABSOLUTE untrimmed DB read ids
 (MARVEL convention).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -30,8 +35,10 @@ from damar_tpu.core.blocks import ReadBlock, revcomp_block
 from damar_tpu.core.config import OverlapConfig
 from damar_tpu.formats.las import LasFile, Overlap, n_segments
 from damar_tpu.formats.oflags import OVL_COMP
-from damar_tpu.ops.seeding import find_seeds
-from damar_tpu.ops.wave import extend_wave, trace_wave
+
+
+EXT_KEYS = ("aread", "bread", "abpos", "aepos", "bbpos", "bepos",
+            "diffs")
 
 
 def _kernels(cfg: "OverlapConfig"):
@@ -45,23 +52,29 @@ def _kernels(cfg: "OverlapConfig"):
     if use:
         from damar_tpu.ops.wave_pallas import extend_wave_pl, trace_wave_pl
         return extend_wave_pl, trace_wave_pl
+    from damar_tpu.ops.wave import extend_wave, trace_wave
     return extend_wave, trace_wave
 
 
-@dataclass
-class Extent:
-    """A candidate local alignment in read-local coordinates."""
-    aread: int          # local ordinal in block A
-    bread: int          # local ordinal in block B
-    comp: bool
-    abpos: int
-    aepos: int
-    bbpos: int
-    bepos: int
-    diffs_est: int
+def empty_extents() -> dict:
+    out = {k: np.zeros(0, np.int32) for k in EXT_KEYS}
+    out["n"] = 0
+    return out
 
-    def alen(self):
-        return self.aepos - self.abpos
+
+def _take_extents(ext: dict, idx) -> dict:
+    out = {k: ext[k][idx] for k in EXT_KEYS}
+    out["n"] = len(out["aread"])
+    return out
+
+
+def concat_extents(parts: list[dict]) -> dict:
+    parts = [p for p in parts if p["n"]]
+    if not parts:
+        return empty_extents()
+    out = {k: np.concatenate([p[k] for p in parts]) for k in EXT_KEYS}
+    out["n"] = len(out["aread"])
+    return out
 
 
 def _pad(a, size, fill):
@@ -131,8 +144,8 @@ def dedupe_anchor_seeds(seeds: dict) -> dict:
 
 
 def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
-                 cfg: OverlapConfig, comp: bool) -> list[Extent]:
-    """Bidirectional extension of all seeds.
+                 cfg: OverlapConfig, comp: bool) -> dict:
+    """Bidirectional extension of all seeds -> columnar extents.
 
     Forward and reverse extensions are independent work units; all 2n
     units are sorted by their maximum possible extent (min of A/B room)
@@ -209,63 +222,120 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
                 a0=a0, b0=b0)
 
 
-def extend_seeds_harvest(pend: dict | None) -> list[Extent]:
+def extend_seeds_harvest(pend: dict | None) -> dict:
     """Fetch one extend_seeds_launch (single transfer) and build the
-    per-seed extents (vectorized; Extent objects only for survivors)."""
+    columnar per-seed extents (rows with empty spans dropped)."""
     if pend is None:
-        return []
+        return empty_extents()
     n, S = pend["n"], pend["S"]
     res = np.asarray(pend["stacked"])          # [3, batches*S]
     # undo batch padding: batch i covered order[i*S:(i+1)*S]
-    va = np.zeros(2 * n, np.int64)
-    vb = np.zeros(2 * n, np.int64)
-    vd = np.zeros(2 * n, np.int64)
-    order = pend["order"]
+    inv = np.empty(2 * n, np.int64)
     nb = -(-2 * n // S)
-    for i in range(nb):
-        sel = order[i * S:(i + 1) * S]
-        va[sel] = res[0, i * S:i * S + len(sel)]
-        vb[sel] = res[1, i * S:i * S + len(sel)]
-        vd[sel] = res[2, i * S:i * S + len(sel)]
-    ap_l = pend["ap"] - pend["a0"]             # read-local seed pos
-    bp_l = pend["bp"] - pend["b0"]
+    pos = np.concatenate([np.arange(i * S, i * S + len(
+        pend["order"][i * S:(i + 1) * S])) for i in range(nb)])
+    inv[pend["order"]] = pos
+    va = res[0][inv]
+    vb = res[1][inv]
+    vd = res[2][inv]
+    ap_l = (pend["ap"] - pend["a0"]).astype(np.int64)  # read-local
+    bp_l = (pend["bp"] - pend["b0"]).astype(np.int64)
     abp = ap_l - va[n:]
     aep = ap_l + va[:n]
     bbp = bp_l - vb[n:]
     bep = bp_l + vb[:n]
     good = (aep - abp > 0) & (bep - bbp > 0)
-    diffs = vd[:n] + vd[n:]
-    comp = pend["comp"]
-    ar, br = pend["ar"], pend["br"]
-    return [Extent(aread=int(ar[i]), bread=int(br[i]), comp=comp,
-                   abpos=int(abp[i]), aepos=int(aep[i]),
-                   bbpos=int(bbp[i]), bepos=int(bep[i]),
-                   diffs_est=int(diffs[i]))
-            for i in np.nonzero(good)[0]]
+    out = {
+        "aread": pend["ar"][good].astype(np.int32),
+        "bread": pend["br"][good].astype(np.int32),
+        "abpos": abp[good].astype(np.int32),
+        "aepos": aep[good].astype(np.int32),
+        "bbpos": bbp[good].astype(np.int32),
+        "bepos": bep[good].astype(np.int32),
+        "diffs": (vd[:n] + vd[n:])[good].astype(np.int32),
+    }
+    out["n"] = len(out["aread"])
+    return out
 
 
-def dedupe_extents(extents: list[Extent], min_len: int) -> list[Extent]:
+def dedupe_extents(ext: dict, min_len: int) -> dict:
     """Drop short alignments, exact duplicates, and alignments whose A
     and B intervals are both contained in another alignment of the same
-    (aread, bread, comp) pair (the reference's bridge/dedupe step)."""
-    from collections import defaultdict
-    groups: dict[tuple, list[Extent]] = defaultdict(list)
-    for e in extents:
-        if e.alen() >= min_len:
-            groups[(e.aread, e.bread, e.comp)].append(e)
-    out: list[Extent] = []
-    for g in groups.values():
-        g.sort(key=lambda e: (-(e.aepos - e.abpos), e.abpos, e.bbpos))
-        kept: list[Extent] = []
-        for e in g:
-            dominated = any(
-                k.abpos <= e.abpos and e.aepos <= k.aepos and
-                k.bbpos <= e.bbpos and e.bepos <= k.bepos
-                for k in kept)
-            if not dominated:
-                kept.append(e)
-        out.extend(kept)
-    return out
+    (aread, bread, comp-partition) group (the reference's bridge/dedupe
+    step), fully vectorized.
+
+    Containment implies the container's A-span is >= the contained's,
+    so under a (group, -alen, abpos, bbpos) sort every dominator
+    precedes its dominated rows, and containment nests transitively —
+    "dominated by ANY earlier row in the group" is therefore exactly
+    "dominated by a kept row".  Groups are compared all-pairs in padded
+    [ngroups, G, G] batches (G = per-group size, overwhelmingly small;
+    rare big groups fall back to a per-group O(g^2) numpy sweep).
+    """
+    alen = ext["aepos"] - ext["abpos"]
+    ok = alen >= min_len
+    if not ok.any():
+        return empty_extents()
+    e = _take_extents(ext, np.nonzero(ok)[0])
+    alen = e["aepos"] - e["abpos"]
+    gkey = (e["aread"].astype(np.int64) << 32) | e["bread"].astype(
+        np.uint32).astype(np.int64)
+    order = np.lexsort((e["bbpos"], e["abpos"], -alen, gkey))
+    e = _take_extents(e, order)
+    gkey = gkey[order]
+    n = e["n"]
+    new_g = np.concatenate([[True], gkey[1:] != gkey[:-1]])
+    gid = np.cumsum(new_g) - 1
+    g_start = np.nonzero(new_g)[0]
+    g_size = np.diff(np.concatenate([g_start, [n]]))
+    rank = np.arange(n) - g_start[gid]
+
+    drop = np.zeros(n, bool)
+    GCAP = 64
+    small = g_size[gid] <= GCAP
+    # exact-duplicate pass (covers all group sizes)
+    same = np.zeros(n, bool)
+    same[1:] = ((gkey[1:] == gkey[:-1])
+                & (e["abpos"][1:] == e["abpos"][:-1])
+                & (e["aepos"][1:] == e["aepos"][:-1])
+                & (e["bbpos"][1:] == e["bbpos"][:-1])
+                & (e["bepos"][1:] == e["bepos"][:-1]))
+    drop |= same
+
+    if small.any():
+        sm_g = np.nonzero((g_size <= GCAP) & (g_size > 1))[0]
+        if len(sm_g):
+            G = int(g_size[sm_g].max())
+            idx = g_start[sm_g][:, None] + np.arange(G)[None, :]
+            valid = np.arange(G)[None, :] < g_size[sm_g][:, None]
+            idxc = np.minimum(idx, n - 1)
+            ab = np.where(valid, e["abpos"][idxc], 0)
+            ae = np.where(valid, e["aepos"][idxc], -1)
+            bb = np.where(valid, e["bbpos"][idxc], 0)
+            be = np.where(valid, e["bepos"][idxc], -1)
+            # dom[g, i, j]: row j dominated by earlier row i
+            earlier = (np.arange(G)[:, None] < np.arange(G)[None, :])
+            dom = ((ab[:, :, None] <= ab[:, None, :])
+                   & (ae[:, :, None] >= ae[:, None, :])
+                   & (bb[:, :, None] <= bb[:, None, :])
+                   & (be[:, :, None] >= be[:, None, :])
+                   & earlier[None] & valid[:, :, None]
+                   & valid[:, None, :])
+            dmask = dom.any(axis=1)                # [ng, G]
+            drop[idxc[valid & dmask]] = True
+    big_g = np.nonzero(g_size > GCAP)[0]
+    for g in big_g:
+        s, z = g_start[g], g_size[g]
+        ab = e["abpos"][s:s + z]
+        ae = e["aepos"][s:s + z]
+        bb = e["bbpos"][s:s + z]
+        be = e["bepos"][s:s + z]
+        earlier = np.arange(z)[:, None] < np.arange(z)[None, :]
+        dom = ((ab[:, None] <= ab[None, :]) & (ae[:, None] >= ae[None, :])
+               & (bb[:, None] <= bb[None, :])
+               & (be[:, None] >= be[None, :]) & earlier)
+        drop[s:s + z] |= dom.any(axis=0)
+    return _take_extents(e, np.nonzero(~drop)[0])
 
 
 @partial(jax.jit, static_argnames=("total_cap",))
@@ -288,33 +358,37 @@ def _pack_trace_jit(tr, expect, total_cap: int):
     return jnp.where((j < total)[:, None], out, -1)
 
 
-def _trace_launch(a_bases, b_bases, a_starts, b_starts,
-                  coords: list[tuple], cfg: OverlapConfig):
+def _n_segments_vec(abp: np.ndarray, aep: np.ndarray, tspace: int):
+    return np.where(aep > abp,
+                    (aep - 1) // tspace - abp // tspace + 1, 0
+                    ).astype(np.int32)
+
+
+def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
+                  cfg: OverlapConfig):
     """Launch (async) the trace pass for a batch of extents.
 
-    coords[i] = (aread, bread, abpos, aepos, bbpos, bepos) in the
-    role/orientation of THIS pass (may be mirrored).  Returns a pending
-    handle for _trace_finish — callers queue several launches before
-    harvesting so the device never waits on the host round trip.
+    coords: columnar dict with int32 arrays ar, br, abp, aep, bbp, bep
+    in the role/orientation of THIS pass (may be mirrored).  Returns a
+    pending handle for _trace_finish — callers queue several launches
+    before harvesting so the device never waits on the host round trip.
     """
-    S = len(coords)
+    S = len(coords["ar"])
     if S == 0:
         return None
+    ar, br = coords["ar"], coords["br"]
+    abp, aep = coords["abp"], coords["aep"]
+    bbp, bep = coords["bbp"], coords["bep"]
     # bucket the trace buffer to the batch's real segment need (batches
     # are length-sorted, so the bucket is tight); power-of-two buckets
     # keep the compile cache small
-    need = max(n_segments(c[2], c[3], cfg.tspace) for c in coords) + 2
+    expect = _n_segments_vec(abp, aep, cfg.tspace)
+    need = int(expect.max()) + 2
     cap_segs = cfg.max_read_len // cfg.tspace + 2
     max_segs = 8
     while max_segs < min(need, cap_segs):
         max_segs *= 2
     max_segs = min(max_segs, cap_segs)
-    ar = np.array([c[0] for c in coords], np.int32)
-    br = np.array([c[1] for c in coords], np.int32)
-    abp = np.array([c[2] for c in coords], np.int32)
-    aep = np.array([c[3] for c in coords], np.int32)
-    bbp = np.array([c[4] for c in coords], np.int32)
-    bep = np.array([c[5] for c in coords], np.int32)
     _, trace_fn = _kernels(cfg)
     tr, nseg, dsum = trace_fn(
         a_bases, b_bases,
@@ -323,8 +397,6 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts,
         jnp.asarray(abp), jnp.asarray(bbp),
         jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
         tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
-    expect = np.array([n_segments(int(a), int(e), cfg.tspace)
-                       for a, e in zip(abp, aep)], np.int32)
     total_cap = _round_slice(int(expect.sum()), 2048)
     packed = _pack_trace_jit(tr, jnp.asarray(expect), total_cap)
     return dict(packed=packed, nseg=nseg, dsum=dsum, expect=expect,
@@ -332,8 +404,9 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts,
 
 
 def _finish_from_host(packed, nseg, dsum, pend, cfg: OverlapConfig):
-    """Build per-extent (trace, diffs) results from fetched host
-    arrays (vectorized validation)."""
+    """Validate fetched trace arrays; returns (offs [S+1], ok bool[S],
+    packed [total, 2], dsum [S]) — per-extent slices are
+    packed[offs[i]:offs[i+1]] for rows with ok[i]."""
     expect = pend["expect"]
     offs = np.concatenate([[0], np.cumsum(expect)])
     bbp, bep = pend["bbp"], pend["bep"]
@@ -346,21 +419,13 @@ def _finish_from_host(packed, nseg, dsum, pend, cfg: OverlapConfig):
         tmin[nz] = np.minimum.reduceat(
             packed[:offs[-1], :].min(axis=1), offs[:-1][nz])
     ok = (nseg == expect) & (bsum == (bep - bbp)) & (tmin >= 0)
-    out = []
-    for i in range(pend["S"]):
-        if not ok[i]:
-            out.append(None)          # band lost the endpoint: drop
-        else:
-            out.append((packed[offs[i]:offs[i + 1]].copy(),
-                        int(dsum[i])))
-    return out
+    return offs, ok, packed, np.asarray(dsum)
 
 
 def _trace_finish(pend, cfg: OverlapConfig):
-    """Harvest one _trace_launch: per-extent (trace (nseg,2) int32,
-    diffs) or None for rows whose band lost the endpoint."""
+    """Harvest one _trace_launch -> (offs, ok, packed, dsum)."""
     if pend is None:
-        return []
+        return None
     packed = np.asarray(pend["packed"])
     nseg = np.asarray(pend["nseg"])
     dsum = np.asarray(pend["dsum"])
@@ -373,7 +438,7 @@ def _trace_harvest_all(pends: list, cfg: OverlapConfig) -> list:
     per-launch readbacks each pay the device link round trip."""
     live = [p for p in pends if p is not None]
     if not live:
-        return [[] for _ in pends]
+        return [None for _ in pends]
     packed_all = np.asarray(jnp.concatenate(
         [p["packed"] for p in live]))
     counts_all = np.asarray(jnp.concatenate(
@@ -381,7 +446,7 @@ def _trace_harvest_all(pends: list, cfg: OverlapConfig) -> list:
     out, po, co = [], 0, 0
     for p in pends:
         if p is None:
-            out.append([])
+            out.append(None)
             continue
         tc = p["packed"].shape[0]
         packed = packed_all[po:po + tc]
@@ -393,12 +458,12 @@ def _trace_harvest_all(pends: list, cfg: OverlapConfig) -> list:
     return out
 
 
-def _trace_batch(a_bases, b_bases, a_starts, b_starts, exts, coords,
+def _trace_batch(a_bases, b_bases, a_starts, b_starts, coords: dict,
                  cfg: OverlapConfig):
     """Synchronous launch+finish (used by retrace_las)."""
     return _trace_finish(
-        _trace_launch(a_bases, b_bases, a_starts, b_starts, coords, cfg),
-        cfg)
+        _trace_launch(a_bases, b_bases, a_starts, b_starts, coords,
+                      cfg), cfg)
 
 
 def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
@@ -425,15 +490,22 @@ def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
         bb = jnp.asarray((blk_b_rc if comp else blk_b).bases)
         for lo in range(0, len(sel), S):
             chunk = sel[lo:lo + S]
-            coords = [(a_local[o.aread], b_local[o.bread], o.abpos,
-                       o.aepos, o.bbpos, o.bepos) for o in chunk]
-            res = _trace_batch(a_bases, bb, sa, sb, None, coords, cfg)
-            for o, r in zip(chunk, res):
-                if r is None:
+            coords = dict(
+                ar=np.array([a_local[o.aread] for o in chunk], np.int32),
+                br=np.array([b_local[o.bread] for o in chunk], np.int32),
+                abp=np.array([o.abpos for o in chunk], np.int32),
+                aep=np.array([o.aepos for o in chunk], np.int32),
+                bbp=np.array([o.bbpos for o in chunk], np.int32),
+                bep=np.array([o.bepos for o in chunk], np.int32))
+            res = _trace_batch(a_bases, bb, sa, sb, coords, cfg)
+            offs, okv, packed, dsum = res
+            for i, o in enumerate(chunk):
+                if not okv[i]:
                     o.flags |= OVL_DISCARD
                     dropped += 1
                 else:
-                    o.trace, o.diffs = r
+                    o.trace = packed[offs[i]:offs[i + 1]].copy()
+                    o.diffs = int(dsum[i])
     return dropped
 
 
@@ -478,7 +550,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             kw["self_pair"] = True
         orient.append((comp, bb, find_seeds_dev(blk_a, bb, cfg, **kw),
                        kw))
-    all_exts: list[Extent] = []
+    ext_parts: list[dict] = []
     pends = []
     for comp, bb, sd, kw in orient:
         seeds = fetch_seeds(sd)
@@ -494,81 +566,92 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             dev_bases=(a_bases_d, jnp.asarray(bb.bases)))))
     for comp, pend in pends:
         exts = extend_seeds_harvest(pend)
-        stats["extents"] += len(exts)
-        all_exts.extend(exts)
-    kept = dedupe_extents(all_exts, cfg.min_len)
-    stats["kept"] = len(kept)
+        stats["extents"] += exts["n"]
+        exts["comp"] = comp
+        ext_parts.append(exts)
+    # dedupe within each orientation (comp partitions the groups)
+    kept_parts = [dedupe_extents(p, cfg.min_len) for p in ext_parts]
+    for kp, p in zip(kept_parts, ext_parts):
+        kp["comp"] = p["comp"]
+    stats["kept"] = sum(p["n"] for p in kept_parts)
 
-    a_bases = jnp.asarray(blk_a.bases)
+    a_bases = a_bases_d
     b_bases_f = jnp.asarray(blk_b.bases)
     b_bases_c = jnp.asarray(blk_b_rc.bases)
     sa = blk_a.starts.astype(np.int64)
     sb = blk_b.starts.astype(np.int64)
-    alen = blk_a.rlen
-    blen = blk_b.rlen
-
-    ovls_a: list[Overlap] = []
-    ovls_b: list[Overlap] = []
+    alen = blk_a.rlen.astype(np.int32)
+    blen = blk_b.rlen.astype(np.int32)
     S = cfg.seed_batch
 
-    def launch(batch_exts, mirrored: bool):
+    def launch(kept: dict, mirrored: bool):
         """Queue trace launches for primary or mirrored roles; returns
-        pending (handle, chunk, coords, comp, mirrored) tuples."""
+        pending (handle, coords, comp, mirrored) tuples."""
+        comp = kept["comp"]
         out = []
-        for comp in (False, True):
-            sel = [e for e in batch_exts if e.comp == comp]
-            sel.sort(key=lambda e: e.aepos - e.abpos)
-            for lo in range(0, len(sel), S):
-                chunk = sel[lo:lo + S]
-                if not mirrored:
-                    coords = [(e.aread, e.bread, e.abpos, e.aepos,
-                               e.bbpos, e.bepos) for e in chunk]
-                    pend = _trace_launch(
-                        a_bases, b_bases_c if comp else b_bases_f,
-                        sa, sb, coords, cfg)
-                else:
-                    # mirror: A-side = B fwd; B-side = A fwd (non-comp)
-                    # or rc(A) (comp); reflected coordinates
-                    coords = []
-                    for e in chunk:
-                        bl = int(blen[e.bread])
-                        al = int(alen[e.aread])
-                        if not comp:
-                            coords.append((e.bread, e.aread,
-                                           e.bbpos, e.bepos,
-                                           e.abpos, e.aepos))
-                        else:
-                            coords.append((e.bread, e.aread,
-                                           bl - e.bepos, bl - e.bbpos,
-                                           al - e.aepos, al - e.abpos))
-                    pend = _trace_launch(
-                        b_bases_f,
-                        jnp.asarray(blk_a_rc.bases) if comp else a_bases,
-                        sb, sa, coords, cfg)
-                out.append((pend, chunk, coords, comp, mirrored))
+        if not mirrored:
+            cols = dict(ar=kept["aread"], br=kept["bread"],
+                        abp=kept["abpos"], aep=kept["aepos"],
+                        bbp=kept["bbpos"], bep=kept["bepos"])
+            ab, bbas, s0, s1 = a_bases, (b_bases_c if comp
+                                         else b_bases_f), sa, sb
+        else:
+            # mirror: A-side = B fwd; B-side = A fwd (non-comp) or
+            # rc(A) (comp); reflected coordinates
+            if not comp:
+                cols = dict(ar=kept["bread"], br=kept["aread"],
+                            abp=kept["bbpos"], aep=kept["bepos"],
+                            bbp=kept["abpos"], bep=kept["aepos"])
+            else:
+                bl = blen[kept["bread"]]
+                al = alen[kept["aread"]]
+                cols = dict(ar=kept["bread"], br=kept["aread"],
+                            abp=bl - kept["bepos"],
+                            aep=bl - kept["bbpos"],
+                            bbp=al - kept["aepos"],
+                            bep=al - kept["abpos"])
+            ab = b_bases_f
+            bbas = jnp.asarray(blk_a_rc.bases) if comp else a_bases
+            s0, s1 = sb, sa
+        order = np.argsort(cols["aep"] - cols["abp"],
+                           kind="stable")
+        for lo in range(0, len(order), S):
+            sel = order[lo:lo + S]
+            chunk = {k: v[sel] for k, v in cols.items()}
+            pend = _trace_launch(ab, bbas, s0, s1, chunk, cfg)
+            out.append((pend, chunk, comp, mirrored))
         return out
 
-    pending = launch(kept, mirrored=False)
+    pending = []
+    for kp in kept_parts:
+        pending += launch(kp, mirrored=False)
     if emit_mirrors:
-        pending += launch(kept, mirrored=True)
+        for kp in kept_parts:
+            pending += launch(kp, mirrored=True)
     all_res = _trace_harvest_all([p[0] for p in pending], cfg)
-    for (pend, chunk, coords, comp, mirrored), res in zip(pending,
-                                                          all_res):
-        for e, r, c in zip(chunk, res, coords):
-            if r is None:
-                stats["dropped_trace"] += 1
-                continue
-            t, d = r
-            flags = OVL_COMP if comp else 0
-            ov = Overlap(
-                aread=int((blk_a.ids if not mirrored else
-                           blk_b.ids)[c[0]]),
-                bread=int((blk_b.ids if not mirrored else
-                           blk_a.ids)[c[1]]),
-                flags=flags, abpos=int(c[2]), aepos=int(c[3]),
-                bbpos=int(c[4]), bepos=int(c[5]), diffs=d,
-                trace=t)
-            (ovls_a if not mirrored else ovls_b).append(ov)
+    ovls_a: list[Overlap] = []
+    ovls_b: list[Overlap] = []
+    for (pend, chunk, comp, mirrored), res in zip(pending, all_res):
+        if res is None:
+            continue
+        offs, okv, packed, dsum = res
+        flags = OVL_COMP if comp else 0
+        aid = (blk_a.ids if not mirrored else blk_b.ids)
+        bid = (blk_b.ids if not mirrored else blk_a.ids)
+        ar_abs = aid[chunk["ar"]]
+        br_abs = bid[chunk["br"]]
+        sink = ovls_a if not mirrored else ovls_b
+        nbad = int((~okv).sum())
+        stats["dropped_trace"] += nbad
+        abp, aep = chunk["abp"], chunk["aep"]
+        bbp, bep = chunk["bbp"], chunk["bep"]
+        for i in np.nonzero(okv)[0]:
+            sink.append(Overlap(
+                aread=int(ar_abs[i]), bread=int(br_abs[i]),
+                flags=flags, abpos=int(abp[i]), aepos=int(aep[i]),
+                bbpos=int(bbp[i]), bepos=int(bep[i]),
+                diffs=int(dsum[i]),
+                trace=packed[offs[i]:offs[i + 1]].copy()))
 
     las_a = LasFile(tspace=cfg.tspace, overlaps=ovls_a)
     las_a.sort()
