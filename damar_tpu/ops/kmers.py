@@ -62,6 +62,46 @@ def kmer_codes(bases: jax.Array, read_id: jax.Array, k: int,
     return codes, valid
 
 
+def kmer_codes_canonical(bases: jax.Array, read_id: jax.Array, k: int,
+                         mask: jax.Array | None = None
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Canonical k-mer codes: min(code, revcomp_code) per window plus
+    the strand bit (True = the reverse complement was smaller, i.e.
+    the window's canonical form is its rc).
+
+    One canonical index replaces the per-orientation indexes of the
+    reference's seeding (upstream daligner indexes B's complement
+    tuples alongside — dalign/filter.c, upstream-path citation): a
+    match between windows whose strand bits DIFFER is a comp-
+    orientation hit, equal bits a forward hit, so both orientations
+    fall out of a single sorted-merge pass.  Palindromic windows
+    (code == rc) carry strand False; comp hits between two palindromic
+    windows are folded into the forward hit (a ~4^-(k/2) density
+    heuristic difference from the two-pass reference).
+
+    Returns (codes uint32[N], strand bool[N]); invalid windows get
+    code invalid_code(k) = 4**k and strand False.
+    """
+    n = bases.shape[0]
+    b = bases.astype(jnp.uint32) & 3
+    code = jnp.zeros(n, dtype=jnp.uint32)
+    rc = jnp.zeros(n, dtype=jnp.uint32)
+    for j in range(k):
+        bj = jnp.roll(b, -j)
+        code = (code << 2) | bj
+        rc = rc | ((3 - bj) << (2 * j))
+    valid = read_id == jnp.roll(read_id, -(k - 1))
+    idx = jnp.arange(n)
+    valid &= idx <= n - k
+    valid &= bases < 4
+    if mask is not None:
+        valid &= ~mask
+    strand = valid & (rc < code)
+    canon = jnp.minimum(code, rc)
+    codes = jnp.where(valid, canon, jnp.uint32(invalid_code(k)))
+    return codes, strand
+
+
 def mask_vector_from_track(track_data: list[np.ndarray],
                            starts: np.ndarray, cap: int) -> np.ndarray:
     """Host-side: expand per-read mask intervals (flat [b,e,...] lists,

@@ -60,6 +60,22 @@ def build_index(bases, read_id, k: int, mask=None):
     return codes_s, pos_s
 
 
+@partial(jax.jit, static_argnames=("k",))
+def build_index_canonical(bases, read_id, k: int, mask=None):
+    """Sorted CANONICAL k-mer index: one index serves both orientations
+    (see kmers.kmer_codes_canonical).  The payload packs the strand bit
+    into the low bit of the position (pos2 = pos << 1 | strand) so the
+    sort carries one array; positions still ascend within equal-code
+    runs (pos2 is monotone in pos).  Returns (codes_sorted,
+    pos2_sorted)."""
+    from damar_tpu.ops.kmers import kmer_codes_canonical
+    codes, strand = kmer_codes_canonical(bases, read_id, k, mask)
+    pos2 = (jnp.arange(bases.shape[0], dtype=jnp.int32) << 1) \
+        | strand.astype(jnp.int32)
+    codes_s, (pos2_s,) = radix_sort_bits(codes, (pos2,), 2 * k + 1)
+    return codes_s, pos2_s
+
+
 @partial(jax.jit, static_argnames=("k", "max_count"))
 def match_count(a_codes, a_pos, b_codes, b_pos, k: int,
                 max_count: int = 128):
@@ -153,31 +169,15 @@ def match_hits(a_codes, a_pos, b_codes, b_pos, k: int, hit_cap: int,
     return match_fill(a_pos, b_pos, lo, c, cum, hit_cap=hit_cap)
 
 
-@partial(jax.jit, static_argnames=(
-    "pos_bits", "read_bits", "band_shift", "hit_min", "kmer",
-    "seed_cap", "upper_only", "self_only", "min_diag", "max_diag"))
-def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
-                    pos_bits: int, read_bits: int, band_shift: int,
-                    hit_min: int, kmer: int, seed_cap: int,
-                    upper_only: bool, suppress_equal=False,
-                    self_only: bool = False,
-                    min_diag: int | None = None,
-                    max_diag: int | None = None):
-    """Band hits by (read pair, diagonal/2^w) and emit anchor seeds for
-    bands whose novel k-mer coverage reaches hit_min bases.
-
-    pos_bits/read_bits (static): significant bits of block base
-    positions / read ordinals — they set the radix pass count; the
-    (aread, bread, band, apos) key is bit-packed into uint32 words so
-    each pass permutes 3-4 arrays total.
-    upper_only (static): keep only aread < bread pairs (self-block
-    comparison: each unordered pair is processed once; mirrors are
-    synthesized at emission).  suppress_equal (traced bool): drop
-    aread == bread pairs — used by the ring sweep on its self-rotation,
-    where upper_only cannot be static per rotation.  Returns (aread,
-    bread, apos, bpos, cov) seed arrays of seed_cap + (nseeds,
-    total_seeds).
-    """
+def _diag_filter_impl(apos, bpos, nhits, a_read_id, b_read_id,
+                      pos_bits: int, read_bits: int, band_shift: int,
+                      hit_min: int, kmer: int, seed_cap: int,
+                      upper_only: bool, suppress_equal,
+                      self_only: bool, min_diag, max_diag, strand):
+    """Shared banding core; `strand` is an optional per-hit comp bit
+    (bool array or None) carried through the sort key so one pass bands
+    both orientations.  Returns (ar, br, apos, bpos, cov[, strand],
+    nseeds, total_seeds) — strand output present iff given."""
     n = apos.shape[0]
     live = jnp.arange(n, dtype=jnp.int32) < nhits
     ar = a_read_id[jnp.maximum(apos, 0)]
@@ -208,22 +208,31 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
     bucket2 = jnp.concatenate([bucket, bucket + 1])
     apos2 = jnp.concatenate([apos, apos])
     bpos2 = jnp.concatenate([bpos, bpos])
-    widths = (pos_bits, bucket_bits, read_bits, read_bits)
+    fields = [jnp.maximum(apos2, 0), bucket2]
+    widths = [pos_bits, bucket_bits]
+    if strand is not None:
+        s2 = jnp.concatenate([strand, strand]).astype(jnp.int32)
+        fields.append(s2)
+        widths.append(1)
+    fields += [br2, ar2]
+    widths += [read_bits, read_bits]
     total_bits = sum(widths)
-    words = pack_fields(
-        (jnp.maximum(apos2, 0), bucket2, br2, ar2), widths)
+    words = pack_fields(tuple(fields), tuple(widths))
     words_s, (bpos_s,) = radix_sort_packed(words, (bpos2,), total_bits)
     apos_s = unpack_field(words_s, 0, pos_bits)
     bucket_s = unpack_field(words_s, pos_bits, bucket_bits)
-    br_s = unpack_field(words_s, pos_bits + bucket_bits, read_bits)
-    ar_s = unpack_field(words_s, pos_bits + bucket_bits + read_bits,
-                        read_bits)
+    off = pos_bits + bucket_bits
+    if strand is not None:
+        strand_s = unpack_field(words_s, off, 1)
+        off += 1
+    br_s = unpack_field(words_s, off, read_bits)
+    ar_s = unpack_field(words_s, off + read_bits, read_bits)
 
-    m = 2 * n
-    first = jnp.concatenate([
-        jnp.ones((1,), bool),
-        (ar_s[1:] != ar_s[:-1]) | (br_s[1:] != br_s[:-1])
-        | (bucket_s[1:] != bucket_s[:-1])])
+    brk = ((ar_s[1:] != ar_s[:-1]) | (br_s[1:] != br_s[:-1])
+           | (bucket_s[1:] != bucket_s[:-1]))
+    if strand is not None:
+        brk = brk | (strand_s[1:] != strand_s[:-1])
+    first = jnp.concatenate([jnp.ones((1,), bool), brk])
     prev_apos = jnp.concatenate([apos_s[:1], apos_s[:-1]])
     cov = jnp.where(first, kmer,
                     jnp.minimum(apos_s - prev_apos, kmer)).astype(jnp.int32)
@@ -241,11 +250,64 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
     keep = jnp.arange(seed_cap, dtype=jnp.int32) < nseeds
     mark = lambda x: jnp.where(keep, x, -1)
     out_ap = mark(unpack_field(w_out, 0, pos_bits))
-    out_br = mark(unpack_field(w_out, pos_bits + bucket_bits, read_bits))
-    out_ar = mark(unpack_field(w_out, pos_bits + bucket_bits + read_bits,
-                               read_bits))
+    off = pos_bits + bucket_bits
+    outs_mid = ()
+    if strand is not None:
+        outs_mid = (jnp.where(keep, unpack_field(w_out, off, 1), 0),)
+        off += 1
+    out_br = mark(unpack_field(w_out, off, read_bits))
+    out_ar = mark(unpack_field(w_out, off + read_bits, read_bits))
     return (out_ar, out_br, out_ap, mark(bp_out),
-            jnp.where(keep, cov_out, 0), nseeds, total_seeds)
+            jnp.where(keep, cov_out, 0)) + outs_mid + (
+            nseeds, total_seeds)
+
+
+@partial(jax.jit, static_argnames=(
+    "pos_bits", "read_bits", "band_shift", "hit_min", "kmer",
+    "seed_cap", "upper_only", "self_only", "min_diag", "max_diag"))
+def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
+                    pos_bits: int, read_bits: int, band_shift: int,
+                    hit_min: int, kmer: int, seed_cap: int,
+                    upper_only: bool, suppress_equal=False,
+                    self_only: bool = False,
+                    min_diag: int | None = None,
+                    max_diag: int | None = None):
+    """Band hits by (read pair, diagonal/2^w) and emit anchor seeds for
+    bands whose novel k-mer coverage reaches hit_min bases.
+
+    pos_bits/read_bits (static): significant bits of block base
+    positions / read ordinals — they set the radix pass count; the
+    (aread, bread, band, apos) key is bit-packed into uint32 words so
+    each pass permutes 3-4 arrays total.
+    upper_only (static): keep only aread < bread pairs (self-block
+    comparison: each unordered pair is processed once; mirrors are
+    synthesized at emission).  suppress_equal (traced bool): drop
+    aread == bread pairs — used by the ring sweep on its self-rotation,
+    where upper_only cannot be static per rotation.  Returns (aread,
+    bread, apos, bpos, cov) seed arrays of seed_cap + (nseeds,
+    total_seeds).
+    """
+    return _diag_filter_impl(
+        apos, bpos, nhits, a_read_id, b_read_id, pos_bits, read_bits,
+        band_shift, hit_min, kmer, seed_cap, upper_only, suppress_equal,
+        self_only, min_diag, max_diag, strand=None)
+
+
+@partial(jax.jit, static_argnames=(
+    "pos_bits", "read_bits", "band_shift", "hit_min", "kmer",
+    "seed_cap", "upper_only"))
+def diagonal_filter_comp(apos, bpos, comp, nhits, a_read_id, b_read_id,
+                         pos_bits: int, read_bits: int, band_shift: int,
+                         hit_min: int, kmer: int, seed_cap: int,
+                         upper_only: bool, suppress_equal=False):
+    """diagonal_filter over a MIXED-orientation hit stream (canonical
+    seeding): `comp` is the per-hit orientation bit, carried in the
+    band key so forward and comp hits band independently in ONE sort.
+    Returns (ar, br, apos, bpos, cov, comp, nseeds, total_seeds)."""
+    return _diag_filter_impl(
+        apos, bpos, nhits, a_read_id, b_read_id, pos_bits, read_bits,
+        band_shift, hit_min, kmer, seed_cap, upper_only, suppress_equal,
+        False, None, None, strand=comp)
 
 
 def _pos_bits(*caps: int) -> int:
@@ -403,6 +465,95 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         "cov": cov, "nseeds": nseeds, "total_seeds": total_seeds,
         "total_hits": total_hits, "total_compact": total_c,
         "overflow": overflow, "raw_cap": cap, "compact_cap": ccap,
+    }
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _split_strand_hits(ap2, bp2, b_rid, b_starts, k: int):
+    """Decode packed (pos<<1|strand) hit pairs from a canonical-index
+    merge: comp = strand_a XOR strand_b; comp hits get bpos mapped to
+    the per-read reverse-complement coordinate (rc block layout keeps
+    each read in place: rc_pos = start + end - pos - k).  Dead rows
+    (pos2 < 0) stay negative."""
+    dead = ap2 < 0
+    apos = jnp.where(dead, -1, ap2 >> 1)
+    bposf = jnp.where(dead, 0, bp2 >> 1)
+    comp = ((ap2 ^ bp2) & 1) == 1
+    comp = jnp.where(dead, False, comp)
+    r = b_rid[bposf]
+    lo = b_starts[jnp.maximum(r, 0)]
+    hi = b_starts[jnp.maximum(r, 0) + 1]
+    bpos = jnp.where(comp, lo + hi - bposf - k, bposf)
+    bpos = jnp.where(dead, -1, bpos)
+    return apos, bpos, comp
+
+
+def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
+                             upper_only: bool = False,
+                             hit_cap: int = 1 << 21,
+                             seed_cap: int = 1 << 17, a_index=None,
+                             dev_arrays=None, raw_hint: int | None = None,
+                             self_pair: bool = False):
+    """Device-resident CANONICAL seeding: ONE index merge + ONE banding
+    sort yields seeds of BOTH orientations (comp bit per seed), where
+    the two-pass layout (find_seeds_dev per orientation) pays every
+    sort twice.  For a self-block comparison (self_pair=True) the merge
+    itself collapses to the per-run rank trick of match_count_self —
+    the whole block-vs-block seeding (both strands) is one index sort,
+    one fill and one banding sort.
+
+    Returns device dict like find_seeds_dev plus a "comp" array; bpos
+    of comp seeds is in per-read reverse-complement coordinates (the
+    blk_b_rc frame the extension's COMP pass uses).
+    """
+    if dev_arrays is not None:
+        a_bases, a_rid, b_bases, b_rid = dev_arrays
+    else:
+        a_bases = jnp.asarray(blk_a.bases)
+        a_rid = jnp.asarray(blk_a.read_id)
+        b_bases = jnp.asarray(blk_b.bases)
+        b_rid = jnp.asarray(blk_b.read_id)
+    am = jnp.asarray(mask_a) if mask_a is not None else None
+    bm = jnp.asarray(mask_b) if mask_b is not None else None
+    ac, ap2 = a_index if a_index is not None \
+        else build_index_canonical(a_bases, a_rid, cfg.kmer, am)
+    t = cfg.max_kmer_count or 128
+    nb = b_bases.shape[0]
+    import numpy as np
+    b_starts = jnp.asarray(np.asarray(blk_b.starts, dtype=np.int32))
+    if self_pair:
+        bp2 = ap2
+        lo, cnt, cum, total = match_count_self(ac, k=cfg.kmer,
+                                               max_count=t)
+        want_raw = min(raw_hint or nb // 2, hit_cap)
+    else:
+        bc, bp2 = build_index_canonical(b_bases, b_rid, cfg.kmer, bm)
+        lo, cnt, cum, total = match_count(ac, ap2, bc, bp2, k=cfg.kmer,
+                                          max_count=t)
+        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    cap = 1 << 17
+    while cap < want_raw:
+        cap *= 2
+    cap = min(cap, hit_cap)
+    ap2v, bp2v, nhits, total_hits = match_fill(ap2, bp2, lo, cnt, cum,
+                                               hit_cap=cap)
+    apos, bpos, comp = _split_strand_hits(ap2v, bp2v, b_rid, b_starts,
+                                          cfg.kmer)
+    ar, br, sap, sbp, cov, scomp, nseeds, total_seeds = \
+        diagonal_filter_comp(
+            apos, bpos, comp, nhits, a_rid, b_rid,
+            pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
+            read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
+            band_shift=cfg.band_shift, hit_min=cfg.hit_min,
+            kmer=cfg.kmer, seed_cap=seed_cap,
+            upper_only=bool(self_pair and upper_only))
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": cov, "comp": scomp, "nseeds": nseeds,
+        "total_seeds": total_seeds, "total_hits": total_hits,
+        "total_compact": total_hits,
+        "overflow": total_hits > cap, "raw_cap": cap,
+        "compact_cap": cap,
     }
 
 

@@ -89,35 +89,39 @@ def _round_slice(n: int, q: int = 1024) -> int:
     return max(q, -(-n // q) * q)
 
 
+SEED_COLS = ("aread", "bread", "apos", "bpos", "cov", "comp")
+
+
 def fetch_seeds(seeds_dev: dict) -> dict:
-    """One-sync harvest of a find_seeds_dev result: reads all counts
-    as one stacked scalar fetch, then pulls the five seed arrays as
-    ONE stacked device->host transfer of the live prefix only."""
+    """One-sync harvest of a find_seeds(_canonical)_dev result: reads
+    all counts as one stacked scalar fetch, then pulls the seed arrays
+    as ONE stacked device->host transfer of the live prefix only."""
     counts = np.asarray(jnp.stack(
         [seeds_dev["nseeds"], seeds_dev["total_seeds"],
          seeds_dev["total_hits"], seeds_dev["total_compact"],
          seeds_dev["overflow"].astype(jnp.int32)]))
     n = int(counts[0])
+    cols = [k for k in SEED_COLS if k in seeds_dev]
     out = {"nseeds": n, "total_seeds": int(counts[1]),
            "total_hits": int(counts[2]), "total_compact": int(counts[3]),
            "overflow": bool(counts[4]),
            "raw_cap": seeds_dev["raw_cap"],
            "compact_cap": seeds_dev["compact_cap"]}
     if n == 0:
-        for k in ("aread", "bread", "apos", "bpos", "cov"):
+        for k in cols:
             out[k] = np.zeros(0, np.int32)
         return out
     m = min(_round_slice(n), seeds_dev["aread"].shape[0])
     stacked = np.asarray(jnp.stack(
-        [seeds_dev[k][:m] for k in
-         ("aread", "bread", "apos", "bpos", "cov")]))
-    for i, k in enumerate(("aread", "bread", "apos", "bpos", "cov")):
+        [seeds_dev[k][:m].astype(jnp.int32) for k in cols]))
+    for i, k in enumerate(cols):
         out[k] = stacked[i][:n]
     return out
 
 
 def dedupe_anchor_seeds(seeds: dict) -> dict:
-    """Drop seeds with identical (aread, bread, apos, bpos) anchors.
+    """Drop seeds with identical (aread, bread[, comp], apos, bpos)
+    anchors.
 
     The diagonal filter's double-bucket pass counts every hit in its
     band and the next, so a band passing the threshold in both buckets
@@ -128,8 +132,11 @@ def dedupe_anchor_seeds(seeds: dict) -> dict:
     n = seeds["nseeds"]
     if n == 0:
         return seeds
+    cols = [k for k in SEED_COLS if k in seeds]
     key = ((seeds["aread"].astype(np.int64) << 32)
            | seeds["bread"].astype(np.uint32).astype(np.int64))
+    if "comp" in seeds:
+        key = (key << 1) | seeds["comp"].astype(np.int64)
     pos = ((seeds["apos"].astype(np.int64) << 32)
            | seeds["bpos"].astype(np.uint32).astype(np.int64))
     order = np.lexsort((pos, key))
@@ -137,10 +144,27 @@ def dedupe_anchor_seeds(seeds: dict) -> dict:
     keep = np.concatenate([[True], (ks[1:] != ks[:-1])
                            | (ps[1:] != ps[:-1])])
     idx = np.sort(order[keep])
-    for k in ("aread", "bread", "apos", "bpos", "cov"):
+    for k in cols:
         seeds[k] = seeds[k][idx]
     seeds["nseeds"] = len(idx)
     return seeds
+
+
+def split_seeds_by_comp(seeds: dict) -> dict:
+    """Partition a canonical seed dict into per-orientation seed dicts
+    {False: fwd, True: comp} (cheap views via boolean take)."""
+    cols = [k for k in SEED_COLS if k in seeds and k != "comp"]
+    out = {}
+    cmp_col = seeds.get("comp")
+    for comp in (False, True):
+        sel = np.nonzero((cmp_col == 1) == comp)[0] \
+            if cmp_col is not None else (
+                np.arange(seeds["nseeds"]) if not comp
+                else np.zeros(0, np.int64))
+        part = {k: seeds[k][sel] for k in cols}
+        part["nseeds"] = len(sel)
+        out[comp] = part
+    return out
 
 
 def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
@@ -527,42 +551,35 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     blk_a_rc = revcomp_block(blk_a) if emit_mirrors else None
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
-    from damar_tpu.ops.seeding import build_index, find_seeds_dev
+    from damar_tpu.ops.seeding import (build_index_canonical,
+                                       find_seeds_canonical_dev)
     am = jnp.asarray(mask_a) if mask_a is not None else None
     a_bases_d = jnp.asarray(blk_a.bases)
     a_rid_d = jnp.asarray(blk_a.read_id)
-    a_index = build_index(a_bases_d, a_rid_d, cfg.kmer, am)
-    # dispatch both orientations' seeding before any host sync, then
-    # fetch, then dispatch both extension launch sets, then harvest:
-    # the device link round trips overlap with device compute
-    orient = []
-    for comp in (False, True):
-        bb = blk_b_rc if comp else blk_b
-        mb = mask_b  # mask intervals are strand-symmetric in this build
-        kw = dict(mask_a=mask_a, mask_b=mb, upper_only=self_block,
-                  hit_cap=hit_cap, seed_cap=seed_cap, a_index=a_index,
-                  dev_arrays=(a_bases_d, a_rid_d,
-                              jnp.asarray(bb.bases),
-                              jnp.asarray(bb.read_id)))
-        # the forward pass of a self-block comparison skips the B
-        # index/merge and materializes upper-triangle hits directly
-        if self_block and not comp:
-            kw["self_pair"] = True
-        orient.append((comp, bb, find_seeds_dev(blk_a, bb, cfg, **kw),
-                       kw))
+    a_index = build_index_canonical(a_bases_d, a_rid_d, cfg.kmer, am)
+    # ONE canonical seeding pass covers both orientations (comp bit per
+    # seed); comp seeds carry bpos already in rc-block coordinates
+    kw = dict(mask_a=mask_a, mask_b=mask_b, upper_only=self_block,
+              hit_cap=hit_cap, seed_cap=seed_cap, a_index=a_index,
+              dev_arrays=(a_bases_d, a_rid_d,
+                          jnp.asarray(blk_b.bases),
+                          jnp.asarray(blk_b.read_id)),
+              self_pair=self_block)
+    seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
+                                                 **kw))
+    while seeds["overflow"] and seeds["raw_cap"] < hit_cap:
+        kw = dict(kw, raw_hint=2 * seeds["total_hits"])
+        seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
+                                                     **kw))
+    seeds = dedupe_anchor_seeds(seeds)
+    stats["seeds"] += seeds["nseeds"]
+    by_comp = split_seeds_by_comp(seeds)
     ext_parts: list[dict] = []
     pends = []
-    for comp, bb, sd, kw in orient:
-        seeds = fetch_seeds(sd)
-        while seeds["overflow"] and (seeds["raw_cap"] < hit_cap
-                                     or seeds["compact_cap"] < hit_cap):
-            kw = dict(kw, raw_hint=2 * seeds["total_hits"],
-                      compact_cap=2 * seeds["total_compact"])
-            seeds = fetch_seeds(find_seeds_dev(blk_a, bb, cfg, **kw))
-        seeds = dedupe_anchor_seeds(seeds)
-        stats["seeds"] += seeds["nseeds"]
+    for comp in (False, True):
+        bb = blk_b_rc if comp else blk_b
         pends.append((comp, extend_seeds_launch(
-            blk_a, bb, seeds, cfg, comp,
+            blk_a, bb, by_comp[comp], cfg, comp,
             dev_bases=(a_bases_d, jnp.asarray(bb.bases)))))
     for comp, pend in pends:
         exts = extend_seeds_harvest(pend)
