@@ -29,6 +29,10 @@ class OverlapConfig:
     diff_cost: int = 5          # score = antidiag - diff_cost * diffs
     use_pallas: bool | None = None  # None = auto (Pallas on TPU,
                                     # pure-JAX elsewhere)
+    dp_kernel: str = "bp"       # "bp" (bit-parallel, default) |
+                                # "wide" (lane-per-diagonal; use_pallas
+                                # picks Pallas vs pure-JAX)
+    bp_chunk: int = 64          # bp extension rows between recenters
     # (slope: true alignments at <=30% pair error gain ~1-5*eps/2 > 0
     #  per antidiagonal; random sequence (~0.48 edit rate) loses, so
     #  extension halts at overlap ends without a hard rule)

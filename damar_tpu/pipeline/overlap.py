@@ -42,10 +42,16 @@ EXT_KEYS = ("aread", "bread", "abpos", "aepos", "bbpos", "bepos",
 
 
 def _kernels(cfg: "OverlapConfig"):
-    """Select the DP kernel implementation: the fused Pallas kernels
-    on TPU-class backends, the pure-JAX reference elsewhere (Pallas
-    interpret mode on CPU is far slower than the XLA path)."""
+    """Select the DP kernel implementation.  Default is the
+    bit-parallel band kernels (ops.wave_bp — each seed's band packed
+    in one VPU lane, ~100x less lane-work than the wide layouts);
+    dp_kernel="wide" selects the lane-per-diagonal kernels (Pallas on
+    TPU, pure-JAX elsewhere, per use_pallas)."""
     import jax
+    from functools import partial as _p
+    if cfg.dp_kernel == "bp":
+        from damar_tpu.ops.wave_bp import extend_wave_bp, trace_wave_bp
+        return _p(extend_wave_bp, R=cfg.bp_chunk), trace_wave_bp
     use = cfg.use_pallas
     if use is None:
         use = jax.default_backend() not in ("cpu",)
@@ -388,14 +394,31 @@ def _n_segments_vec(abp: np.ndarray, aep: np.ndarray, tspace: int):
                     ).astype(np.int32)
 
 
+def _wide_trace_kernel(cfg: "OverlapConfig"):
+    """The lane-per-diagonal trace kernel (128-lane band): the
+    robustness fallback for extents the 32-lane bit-parallel band
+    cannot force through (long low-identity stretches, e.g. stitched
+    records spanning quality dropouts)."""
+    import jax
+    use = cfg.use_pallas
+    if use is None:
+        use = jax.default_backend() not in ("cpu",)
+    if use:
+        from damar_tpu.ops.wave_pallas import trace_wave_pl
+        return trace_wave_pl
+    from damar_tpu.ops.wave import trace_wave
+    return trace_wave
+
+
 def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
-                  cfg: OverlapConfig):
+                  cfg: OverlapConfig, kernel=None):
     """Launch (async) the trace pass for a batch of extents.
 
     coords: columnar dict with int32 arrays ar, br, abp, aep, bbp, bep
     in the role/orientation of THIS pass (may be mirrored).  Returns a
     pending handle for _trace_finish — callers queue several launches
     before harvesting so the device never waits on the host round trip.
+    kernel: optional trace-kernel override (e.g. _wide_trace_kernel).
     """
     S = len(coords["ar"])
     if S == 0:
@@ -413,7 +436,7 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
     while max_segs < min(need, cap_segs):
         max_segs *= 2
     max_segs = min(max_segs, cap_segs)
-    _, trace_fn = _kernels(cfg)
+    trace_fn = kernel if kernel is not None else _kernels(cfg)[1]
     tr, nseg, dsum = trace_fn(
         a_bases, b_bases,
         jnp.asarray(a_starts[ar].astype(np.int32)),
@@ -483,11 +506,11 @@ def _trace_harvest_all(pends: list, cfg: OverlapConfig) -> list:
 
 
 def _trace_batch(a_bases, b_bases, a_starts, b_starts, coords: dict,
-                 cfg: OverlapConfig):
-    """Synchronous launch+finish (used by retrace_las)."""
+                 cfg: OverlapConfig, kernel=None):
+    """Synchronous launch+finish (used by retrace_las and retries)."""
     return _trace_finish(
         _trace_launch(a_bases, b_bases, a_starts, b_starts, coords,
-                      cfg), cfg)
+                      cfg, kernel=kernel), cfg)
 
 
 def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
@@ -521,7 +544,10 @@ def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
                 aep=np.array([o.aepos for o in chunk], np.int32),
                 bbp=np.array([o.bbpos for o in chunk], np.int32),
                 bep=np.array([o.bepos for o in chunk], np.int32))
-            res = _trace_batch(a_bases, bb, sa, sb, coords, cfg)
+            # stitched records span low-identity patches by
+            # construction: use the wide trace band directly
+            res = _trace_batch(a_bases, bb, sa, sb, coords, cfg,
+                               kernel=_wide_trace_kernel(cfg))
             offs, okv, packed, dsum = res
             for i, o in enumerate(chunk):
                 if not okv[i]:
@@ -648,9 +674,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     all_res = _trace_harvest_all([p[0] for p in pending], cfg)
     ovls_a: list[Overlap] = []
     ovls_b: list[Overlap] = []
-    for (pend, chunk, comp, mirrored), res in zip(pending, all_res):
-        if res is None:
-            continue
+
+    def emit(chunk, res, comp, mirrored, retry_sink=None):
         offs, okv, packed, dsum = res
         flags = OVL_COMP if comp else 0
         aid = (blk_a.ids if not mirrored else blk_b.ids)
@@ -658,8 +683,13 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         ar_abs = aid[chunk["ar"]]
         br_abs = bid[chunk["br"]]
         sink = ovls_a if not mirrored else ovls_b
-        nbad = int((~okv).sum())
-        stats["dropped_trace"] += nbad
+        bad = np.nonzero(~okv)[0]
+        if len(bad):
+            if retry_sink is not None:
+                retry_sink.setdefault((comp, mirrored), []).append(
+                    {k: v[bad] for k, v in chunk.items()})
+            else:
+                stats["dropped_trace"] += len(bad)
         abp, aep = chunk["abp"], chunk["aep"]
         bbp, bep = chunk["bbp"], chunk["bep"]
         for i in np.nonzero(okv)[0]:
@@ -669,6 +699,31 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                 bbpos=int(bbp[i]), bepos=int(bep[i]),
                 diffs=int(dsum[i]),
                 trace=packed[offs[i]:offs[i + 1]].copy()))
+
+    retries: dict = {}
+    for (pend, chunk, comp, mirrored), res in zip(pending, all_res):
+        if res is None:
+            continue
+        emit(chunk, res, comp, mirrored, retry_sink=retries)
+    # extents the default trace band could not force through get ONE
+    # retry with the wide (128-lane) kernel — stitchable low-identity
+    # stretches exceed the bit-parallel band's 32-diagonal reach
+    if retries:
+        wide = _wide_trace_kernel(cfg)
+        for (comp, mirrored), parts in retries.items():
+            chunk = {k: np.concatenate([p[k] for p in parts])
+                     for k in parts[0]}
+            if not mirrored:
+                ab = a_bases
+                bbas = b_bases_c if comp else b_bases_f
+                s0, s1 = sa, sb
+            else:
+                ab = b_bases_f
+                bbas = jnp.asarray(blk_a_rc.bases) if comp else a_bases
+                s0, s1 = sb, sa
+            res = _trace_batch(ab, bbas, s0, s1, chunk, cfg,
+                               kernel=wide)
+            emit(chunk, res, comp, mirrored, retry_sink=None)
 
     las_a = LasFile(tspace=cfg.tspace, overlaps=ovls_a)
     las_a.sort()
