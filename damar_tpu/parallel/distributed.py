@@ -5,8 +5,14 @@ nodes with a shared filesystem (SURVEY.md §2.9); the TPU-native design
 holds one A-shard resident per chip and rotates B-shards around the
 mesh ring with lax.ppermute so every (A, B) block pair meets on some
 chip after n_devices rotations — no host round-trips, collectives ride
-ICI.  Per-rotation outputs are fixed-capacity seed/extent tensors plus
-psum'd counters.
+ICI.  The rotated payload includes the B-shard's CANONICAL k-mer index
+(codes + strand-packed positions), so each shard's index is built once
+and then travels the ring instead of being re-sorted at every
+rotation.  Seeding is the canonical single-pass design of
+ops.seeding.find_seeds_canonical_dev (both orientations from one
+merge, comp bit in the band key); extension is the bit-parallel band
+kernel (ops.wave_bp).  Per-rotation outputs are fixed-capacity extent
+tensors plus psum'd counters.
 
 This module is exercised on virtual CPU meshes in tests and by the
 driver's dryrun; on a real pod slice the same code runs unchanged over
@@ -14,16 +20,12 @@ a jax.distributed-initialized mesh.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from damar_tpu.core.config import OverlapConfig
-from damar_tpu.ops.kmers import kmer_codes
-from damar_tpu.ops.wave import extend_wave
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "block") -> Mesh:
@@ -53,42 +55,66 @@ def shard_blocks(blocks: list, mesh: Mesh, axis: str = "block"):
             jax.device_put(starts, sh))
 
 
+def _revcomp_device(bases, read_id, starts):
+    """Per-read reverse complement of a padded block, on device: the
+    rc of position p in read r sits at starts[r] + starts[r+1] - 1 - p
+    (read layout preserved, padding untouched)."""
+    n = bases.shape[0]
+    p = jnp.arange(n, dtype=jnp.int32)
+    r = jnp.clip(read_id, 0, starts.shape[0] - 2)
+    src = starts[r] + starts[r + 1] - 1 - p
+    inside = (p >= starts[r]) & (p < starts[r + 1])
+    src = jnp.clip(src, 0, n - 1)
+    rc = jnp.where(inside, 3 - bases[src], bases)
+    return rc.astype(bases.dtype)
+
+
 def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
                       seed_cap: int, hit_cap: int):
     """Build the per-device function for one full ring sweep.
 
     Returns fn(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts) ->
-    (extents [n_shards, seed_cap, 6], counts [n_shards, 2]) where
-    extents rows are (aread, bread_local, abpos, aepos, bbpos, bepos)
-    per originating shard rotation (bread is local to the B shard that
-    was resident at that rotation; callers map via rotation index).
+    (extents [n_shards, seed_cap, 7], counts [n_shards, 2]) where
+    extents rows are (aread, bread_local, comp, abpos, aepos, bbpos,
+    bepos); comp rows carry b coordinates in the B read's
+    reverse-complement frame (the .las COMP convention).  bread is
+    local to the B shard resident at that rotation (callers map via
+    rotation index).
 
     Designed for use under shard_map: every device runs this on its
-    resident A-shard while B rotates.
+    resident A-shard while B (bases + canonical index) rotates.
     """
-    from damar_tpu.ops.seeding import match_hits, diagonal_filter
+    from damar_tpu.ops.seeding import (build_index_canonical,
+                                       diagonal_filter_comp,
+                                       match_count, match_fill,
+                                       quantize_bits, _split_strand_hits)
+    from damar_tpu.ops.wave_bp import extend_wave_bp
 
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-    def local_pair(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts,
-                   is_self):
-        """Seeds + extension for the currently-resident (A, B) pair.
-        is_self (traced bool): this rotation pairs the shard with its
-        own block — suppress read-vs-itself seeds."""
-        a_codes, a_pos = _index(a_bases, a_rid)
-        b_codes, b_pos = _index(b_bases, b_rid)
-        apos, bpos, nhits, _tot = match_hits(
-            a_codes, a_pos, b_codes, b_pos, k=cfg.kmer, hit_cap=hit_cap,
-            max_count=cfg.max_kmer_count or 128)
-        nr_b = b_starts.shape[0]  # nreads+1 upper bound (static)
-        pos_bits = int(a_bases.shape[0] - 1).bit_length()
-        from damar_tpu.ops.seeding import quantize_bits
-        ar, br, sap, sbp, cov, nseeds, _ts = diagonal_filter(
-            apos, bpos, nhits, a_rid, b_rid, nr_b,
-            pos_bits=pos_bits, read_bits=quantize_bits(nr_b),
+    def local_pair(a_bases, a_rid, a_starts, a_index,
+                   b_bases, b_rid, b_starts, b_index, is_self):
+        """Canonical both-orientation seeding + bp extension for the
+        resident (A, B) pair.  is_self (traced bool): this rotation
+        pairs the shard with its own block — suppress read-vs-itself
+        seeds."""
+        ac, ap2 = a_index
+        bc, bp2 = b_index
+        t = cfg.max_kmer_count or 128
+        lo, cnt, cum, _tot = match_count(ac, ap2, bc, bp2, k=cfg.kmer,
+                                         max_count=t)
+        ap2v, bp2v, nhits, total_hits = match_fill(ap2, bp2, lo, cnt,
+                                                   cum, hit_cap=hit_cap)
+        apos, bpos, comp = _split_strand_hits(ap2v, bp2v, b_rid,
+                                              b_starts, cfg.kmer)
+        nr = b_starts.shape[0]
+        ar, br, sap, sbp, cov, scomp, nseeds, _ts = diagonal_filter_comp(
+            apos, bpos, comp, nhits, a_rid, b_rid,
+            pos_bits=int(a_bases.shape[0] - 1).bit_length(),
+            read_bits=quantize_bits(nr),
             band_shift=cfg.band_shift, hit_min=cfg.hit_min,
-            kmer=cfg.kmer, seed_cap=seed_cap,
-            upper_only=False, suppress_equal=is_self)
+            kmer=cfg.kmer, seed_cap=seed_cap, upper_only=False,
+            suppress_equal=is_self)
         live = jnp.arange(seed_cap) < nseeds
         ar_c = jnp.maximum(ar, 0)
         br_c = jnp.maximum(br, 0)
@@ -98,57 +124,63 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
         bend = b_starts[br_c + 1]
         sap_c = jnp.clip(sap, 0, None)
         sbp_c = jnp.clip(sbp, 0, None)
-        kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
+        kw = dict(R=cfg.bp_chunk, max_rows=cfg.max_read_len,
                   diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
-        fva, fvb, fd, _ = extend_wave(
-            a_bases, b_bases, sap_c, sbp_c,
-            jnp.where(live, aend - sap_c, 0),
-            jnp.where(live, bend - sbp_c, 0), reverse=False, **kw)
-        rva, rvb, rd, _ = extend_wave(
-            a_bases, b_bases, sap_c, sbp_c,
-            jnp.where(live, sap_c - astart, 0),
-            jnp.where(live, sbp_c - bstart, 0), reverse=True, **kw)
-        ext = jnp.stack([
-            ar, br,
-            sap_c - astart - rva, sap_c - astart + fva,
-            sbp_c - bstart - rvb, sbp_c - bstart + fvb], axis=1)
-        ok = live & ((fva + rva) >= cfg.min_len)
-        ext = jnp.where(ok[:, None], ext, -1)
-        return ext, jnp.stack([nseeds, ok.sum().astype(jnp.int32)])
-
-    def _index(bases, rid):
-        from damar_tpu.ops.sort import radix_sort_bits
-        codes, _ = kmer_codes(bases, rid, cfg.kmer)
-        pos = jnp.arange(bases.shape[0], dtype=jnp.int32)
-        cs, (ps,) = radix_sort_bits(codes, (pos,), 2 * cfg.kmer + 1)
-        return cs, ps
+        b_rc = _revcomp_device(b_bases, b_rid, b_starts)
+        isc = scomp == 1
+        exts = []
+        for cflag, bb in ((False, b_bases), (True, b_rc)):
+            sel = live & (isc == cflag)
+            fva, fvb, fd, _ = extend_wave_bp(
+                a_bases, bb, sap_c, sbp_c,
+                jnp.where(sel, aend - sap_c, 0),
+                jnp.where(sel, bend - sbp_c, 0), reverse=False, **kw)
+            rva, rvb, rd, _ = extend_wave_bp(
+                a_bases, bb, sap_c, sbp_c,
+                jnp.where(sel, sap_c - astart, 0),
+                jnp.where(sel, sbp_c - bstart, 0), reverse=True, **kw)
+            ext = jnp.stack([
+                ar, br, scomp,
+                sap_c - astart - rva, sap_c - astart + fva,
+                sbp_c - bstart - rvb, sbp_c - bstart + fvb], axis=1)
+            ok = sel & ((fva + rva) >= cfg.min_len)
+            exts.append(jnp.where(ok[:, None], ext, -1))
+        ext = jnp.where(exts[0][:, :1] >= 0, exts[0], exts[1])
+        ok_n = (ext[:, 0] >= 0).sum().astype(jnp.int32)
+        return ext, jnp.stack([nseeds, ok_n])
 
     def sweep(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts):
         # squeeze the sharded leading axis (shard_map gives [1, ...])
         a_bases, a_rid, a_starts = (a_bases[0], a_rid[0], a_starts[0])
         b_bases, b_rid, b_starts = (b_bases[0], b_rid[0], b_starts[0])
 
-        my = jax.lax.axis_index(axis)
+        a_index = build_index_canonical(a_bases, a_rid, cfg.kmer)
+        # the B index is computed ONCE per shard and rotated with the
+        # shard — rotations ppermute (bases, rid, starts, codes, pos2)
+        b_index = build_index_canonical(b_bases, b_rid, cfg.kmer)
 
         def rot_body(i, carry):
-            bb, br_, bs, exts, counts = carry
+            bb, br_, bs, bc, bp2, exts, counts = carry
             # ppermute sends right / receives left: at rotation i the
             # device holds B-shard (my - i) % n; i == 0 pairs a block
             # with itself
-            ext, cnt = local_pair(a_bases, a_rid, a_starts, bb, br_, bs,
-                                  i == 0)
+            ext, cnt = local_pair(a_bases, a_rid, a_starts, a_index,
+                                  bb, br_, bs, (bc, bp2), i == 0)
             exts = jax.lax.dynamic_update_index_in_dim(exts, ext, i, 0)
             counts = jax.lax.dynamic_update_index_in_dim(counts, cnt, i, 0)
             bb = jax.lax.ppermute(bb, axis, perm)
             br_ = jax.lax.ppermute(br_, axis, perm)
             bs = jax.lax.ppermute(bs, axis, perm)
-            return bb, br_, bs, exts, counts
+            bc = jax.lax.ppermute(bc, axis, perm)
+            bp2 = jax.lax.ppermute(bp2, axis, perm)
+            return bb, br_, bs, bc, bp2, exts, counts
 
-        exts0 = jnp.full((n_shards, seed_cap, 6), -1, jnp.int32)
+        exts0 = jnp.full((n_shards, seed_cap, 7), -1, jnp.int32)
         counts0 = jnp.zeros((n_shards, 2), jnp.int32)
-        _, _, _, exts, counts = jax.lax.fori_loop(
+        _, _, _, _, _, exts, counts = jax.lax.fori_loop(
             0, n_shards, rot_body,
-            (b_bases, b_rid, b_starts, exts0, counts0))
+            (b_bases, b_rid, b_starts, b_index[0], b_index[1],
+             exts0, counts0))
         total = jax.lax.psum(counts.sum(0), axis)
         return exts[None], counts[None], total[None]
 
@@ -162,7 +194,9 @@ def distributed_overlap(blocks: list, cfg: OverlapConfig,
     sweep; returns per-device per-rotation extents + global counters.
 
     The j-th rotation on device d processed B-shard (d - j) % n, so
-    extents[d, j] pairs A-block d with B-block (d - j) % n.
+    extents[d, j] pairs A-block d with B-block (d - j) % n.  Extent
+    rows are (aread, bread, comp, abpos, aepos, bbpos, bepos) with -1
+    marking empty slots.
     """
     if mesh is None:
         mesh = make_mesh(len(blocks))
