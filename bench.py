@@ -53,11 +53,18 @@ def main() -> None:
           f"block cap {blk.cap}, setup {time.time()-t_setup:.1f}s",
           file=sys.stderr)
 
-    # warmup: compile everything on a same-shaped tiny pass
+    # warmup: compile everything on a same-shaped tiny pass; it also
+    # populates the size-hint state that right-sizes device buffers.
+    # A second warmup pass then compiles the right-sized shapes the
+    # measured pass will use (hints shrink the hit buffers).
+    hints: dict = {}
     t0 = time.time()
     overlap_block_pair(blk, blk, cfg, self_block=True,
                        hit_cap=1 << 22, seed_cap=1 << 17,
-                       emit_mirrors=False)
+                       emit_mirrors=False, size_hints=hints)
+    overlap_block_pair(blk, blk, cfg, self_block=True,
+                       hit_cap=1 << 22, seed_cap=1 << 17,
+                       emit_mirrors=False, size_hints=hints)
     print(f"# warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
 
     if profile_dir:
@@ -66,7 +73,8 @@ def main() -> None:
     t0 = time.time()
     las_a, las_b, stats = overlap_block_pair(
         blk, blk, cfg, self_block=True,
-        hit_cap=1 << 22, seed_cap=1 << 17, emit_mirrors=False)
+        hit_cap=1 << 22, seed_cap=1 << 17, emit_mirrors=False,
+        size_hints=hints)
     wall = time.time() - t0
     if profile_dir:
         jax.profiler.stop_trace()

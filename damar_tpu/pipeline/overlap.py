@@ -564,6 +564,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                        mask_a=None, mask_b=None,
                        hit_cap: int = 1 << 21, seed_cap: int = 1 << 17,
                        emit_mirrors: bool = True,
+                       size_hints: dict | None = None,
                        ) -> tuple[LasFile, LasFile, dict]:
     """Overlap all reads of block A against block B (both orientations).
 
@@ -572,6 +573,12 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     aread; equal to las_a for self comparisons where both land in the
     same pile set).  For self_block, las_b contains the mirrors within
     the same block and callers should merge las_a + las_b.
+
+    size_hints: optional mutable dict carried across pairs by sweep
+    drivers.  Hit totals are similar between pairs of the same
+    dataset, so the previous pair's measured total right-sizes this
+    pair's fixed device buffers (fill + banding-sort cost scales with
+    buffer size); the overflow retry keeps undersized guesses correct.
     """
     blk_b_rc = revcomp_block(blk_b)
     blk_a_rc = revcomp_block(blk_a) if emit_mirrors else None
@@ -591,12 +598,17 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                           jnp.asarray(blk_b.bases),
                           jnp.asarray(blk_b.read_id)),
               self_pair=self_block)
+    if size_hints and size_hints.get("raw"):
+        kw["raw_hint"] = (size_hints["raw"] * 5) // 4
     seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
                                                  **kw))
     while seeds["overflow"] and seeds["raw_cap"] < hit_cap:
         kw = dict(kw, raw_hint=2 * seeds["total_hits"])
         seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
                                                      **kw))
+    if size_hints is not None:
+        size_hints["raw"] = max(seeds["total_hits"],
+                                size_hints.get("raw", 0) // 2)
     seeds = dedupe_anchor_seeds(seeds)
     stats["seeds"] += seeds["nseeds"]
     by_comp = split_seeds_by_comp(seeds)

@@ -215,6 +215,7 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
                     per_read, blk.starts, blk.cap)
         return blocks[i], masks.get(i)
 
+    size_hints: dict = {}
     for i in range(1, n + 1):
         for j in range(i, n + 1):
             name = f"overlap.{i}.{j}"
@@ -228,7 +229,7 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
             blk_b, mask_b = get_block(j)
             la, lb, st = overlap_block_pair(
                 blk_a, blk_b, cfg, self_block=(i == j),
-                mask_a=mask_a, mask_b=mask_b)
+                mask_a=mask_a, mask_b=mask_b, size_hints=size_hints)
             lasmod.write_las(out_a, la)
             if i != j:
                 lasmod.write_las(out_b, lb)
