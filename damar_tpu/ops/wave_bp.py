@@ -240,8 +240,11 @@ def extend_wave_bp(a_bases, b_bases, aorigin, borigin, alim, blim,
         carry = (st["VP"], st["VN"], st["Db"], st["Dc"], PeqH, PeqL,
                  PeqV, st["bs"], st["bva"], st["bvb"],
                  jnp.zeros(S, bool))
+        # dynamic trip count: keeps the row loop a real loop in the
+        # TPU compiler (a static bound invites full unrolling of the
+        # ~60-op body, exploding compile time)
         (VP, VN, Db, Dc, _, _, _, bs, bva, bvb, died) = \
-            jax.lax.fori_loop(0, R, row, carry)
+            jax.lax.fori_loop(0, jnp.int32(R), row, carry)
         # ---- chunk tail: exact band-wide eval, X-drop, recenter ----
         t = rtot + R
         Dw = _reconstruct(VP, VN, Db)                 # [S, BW]
@@ -359,7 +362,8 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
             return (VP, VN, Db, PH, PL, PV)
 
         carry = (st["VP"], st["VN"], st["Db"], PeqH, PeqL, PeqV)
-        VP, VN, Db, _, _, _ = jax.lax.fori_loop(0, tspace, row, carry)
+        VP, VN, Db, _, _, _ = jax.lax.fori_loop(0, jnp.int32(tspace),
+                                                row, carry)
 
         # ---- commit at the segment end ----
         va = st["done"] + seg_rows
