@@ -38,6 +38,16 @@ def main() -> None:
     if "--profile" in sys.argv:
         profile_dir = "/tmp/damar_profile"
     t_setup = time.time()
+    # persistent compilation cache: kernel compiles on the tunneled
+    # TPU are remote and slow; cache them across bench invocations
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/damar_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          2.0)
+    except Exception:
+        pass
     from damar_tpu.core.blocks import block_from_reads
     from damar_tpu.core.config import OverlapConfig
     from damar_tpu.pipeline.overlap import overlap_block_pair
