@@ -90,7 +90,7 @@ def main() -> None:
         jax.profiler.stop_trace()
         print(f"# profile trace: {profile_dir}", file=sys.stderr)
 
-    aligned_bp = sum(o.aepos - o.abpos for o in las_a.overlaps)
+    aligned_bp = int(las_a.a_spans().sum())
     gbp_s = aligned_bp / wall / 1e9
     print(f"# overlaps {las_a.novl}, aligned bp {aligned_bp}, "
           f"wall {wall:.2f}s, stats {stats}", file=sys.stderr)

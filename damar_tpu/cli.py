@@ -124,7 +124,7 @@ def cmd_daligner(args):
     _, root = _root(args.db)
     out_a = args.out or f"{root}.{args.a_block}.{root}.{args.b_block}.las"
     if self_block:
-        both = LasFile(cfg.tspace, la.overlaps + lb.overlaps)
+        both = LasFile.concat([la, lb])
         both.sort()
         write_las(out_a, both)
         print(f"{out_a}: {both.novl} records {st}")

@@ -17,6 +17,20 @@ tspace in A coordinates: the first/last segments are partial.  tlen is
 
 Records for a given block pair are sorted by (aread, bread, COMP bit,
 abpos) — the order LAsort produces and every pile tool expects.
+
+Two representations coexist:
+
+  * `Overlap` objects (one per record) — the API every pile/scrub tool
+    consumes and mutates;
+  * `LasColumns` — a struct-of-arrays form (headers [n,10] int32 in
+    file record order + raw file-encoded trace bytes + byte offsets)
+    used by the block-scale hot paths (overlap emission, sort, merge,
+    file IO), where 10^5-10^6 records per block pair make per-record
+    Python objects the bottleneck.
+
+`LasFile` holds either: columnar files materialize Overlap objects
+lazily on first `.overlaps` access (and drop the columns, since the
+objects may then be mutated).
 """
 from __future__ import annotations
 
@@ -36,6 +50,10 @@ OVL_RECORD_DTYPE = np.dtype({
     "offsets": [0, 4, 8, 12, 16, 20, 24, 28, 32],
     "itemsize": 40,
 })
+
+# header column indices (int32 view of the 40-byte record)
+H_TLEN, H_DIFFS, H_ABPOS, H_BBPOS, H_AEPOS, H_BEPOS = range(6)
+H_FLAGS, H_AREAD, H_BREAD, H_PAD = 6, 7, 8, 9
 
 
 @dataclass
@@ -68,24 +86,213 @@ class Overlap:
                 f"d={self.diffs} [{flag_str(self.flags)}])")
 
 
-@dataclass
-class LasFile:
-    tspace: int
-    overlaps: list[Overlap]
+class LasColumns:
+    """Columnar .las payload.
+
+    headers:  [n, 10] int32, file record order (tlen, diffs, abpos,
+              bbpos, aepos, bepos, flags, aread, bread, pad)
+    trace:    raw trace payload bytes in FILE encoding (u8 pairs when
+              small, <i2 pairs otherwise), all records concatenated
+    offsets:  [n+1] int64 BYTE offsets of each record's payload
+    """
+    __slots__ = ("headers", "trace", "offsets")
+
+    def __init__(self, headers: np.ndarray, trace: np.ndarray,
+                 offsets: np.ndarray):
+        self.headers = np.ascontiguousarray(headers, dtype=np.int32)
+        self.trace = np.ascontiguousarray(trace, dtype=np.uint8)
+        self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+
+    @classmethod
+    def empty(cls) -> "LasColumns":
+        return cls(np.zeros((0, 10), np.int32), np.zeros(0, np.uint8),
+                   np.zeros(1, np.int64))
 
     @property
-    def novl(self) -> int:
-        return len(self.overlaps)
+    def n(self) -> int:
+        return self.headers.shape[0]
+
+    def sort_order(self) -> np.ndarray:
+        """LAsort order: (aread, bread, comp, abpos, aepos, bbpos)."""
+        h = self.headers
+        return np.lexsort((h[:, H_BBPOS], h[:, H_AEPOS], h[:, H_ABPOS],
+                           h[:, H_FLAGS] & 1, h[:, H_BREAD],
+                           h[:, H_AREAD]))
+
+    def permute(self, order: np.ndarray) -> "LasColumns":
+        lens = np.diff(self.offsets)
+        starts = self.offsets[:-1][order]
+        lens_o = lens[order]
+        new_off = np.zeros(len(order) + 1, np.int64)
+        np.cumsum(lens_o, out=new_off[1:])
+        total = int(new_off[-1])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(new_off[:-1], lens_o)
+               + np.repeat(starts, lens_o))
+        return LasColumns(self.headers[order], self.trace[pos], new_off)
+
+    @staticmethod
+    def concat(parts: list["LasColumns"]) -> "LasColumns":
+        parts = [p for p in parts if p.n]
+        if not parts:
+            return LasColumns.empty()
+        headers = np.concatenate([p.headers for p in parts])
+        trace = np.concatenate([p.trace for p in parts])
+        offs = np.zeros(headers.shape[0] + 1, np.int64)
+        np.cumsum(np.concatenate([np.diff(p.offsets) for p in parts]),
+                  out=offs[1:])
+        return LasColumns(headers, trace, offs)
+
+    def a_spans(self) -> np.ndarray:
+        return self.headers[:, H_AEPOS] - self.headers[:, H_ABPOS]
+
+
+def encode_trace_columns(trace_rows: np.ndarray, seg_offsets: np.ndarray,
+                         small: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Encode [total_segs, 2] int32 trace pairs (record i owns segment
+    rows seg_offsets[i]:seg_offsets[i+1]) into file bytes + BYTE
+    offsets.  Vectorized range validation replaces the per-record
+    checks of the object writer."""
+    flat = np.ascontiguousarray(trace_rows, dtype=np.int32)
+    if flat.size:
+        lo = int(flat.min())
+        if lo < 0:
+            raise ValueError(f"negative trace value {lo}")
+        hi = int(flat.max())
+        if small and hi > 255:
+            raise ValueError(f"trace value {hi} exceeds u8")
+        if not small and hi > 32767:
+            raise ValueError(f"trace value {hi} exceeds i16")
+    width = 2 if small else 4           # bytes per (pair element x2)/2
+    if small:
+        payload = flat.astype(np.uint8).reshape(-1).view(np.uint8)
+    else:
+        payload = flat.astype("<i2").reshape(-1).view(np.uint8)
+    return payload, np.asarray(seg_offsets, dtype=np.int64) * width
+
+
+def _decode_trace(raw: np.ndarray, small: bool) -> np.ndarray:
+    if small:
+        return raw.astype(np.int32).reshape(-1, 2)
+    return raw.view("<i2").astype(np.int32).reshape(-1, 2)
+
+
+def _columns_to_overlaps(cols: LasColumns, small: bool) -> list[Overlap]:
+    h = cols.headers
+    offs = cols.offsets
+    tr = cols.trace
+    out: list[Overlap] = []
+    for i in range(cols.n):
+        out.append(Overlap(
+            aread=int(h[i, H_AREAD]), bread=int(h[i, H_BREAD]),
+            flags=int(np.uint32(h[i, H_FLAGS])),
+            abpos=int(h[i, H_ABPOS]), aepos=int(h[i, H_AEPOS]),
+            bbpos=int(h[i, H_BBPOS]), bepos=int(h[i, H_BEPOS]),
+            diffs=int(h[i, H_DIFFS]),
+            trace=_decode_trace(tr[offs[i]:offs[i + 1]], small)))
+    return out
+
+
+def _overlaps_to_columns(ovls: list[Overlap], small: bool) -> LasColumns:
+    n = len(ovls)
+    headers = np.zeros((n, 10), np.int32)
+    lens = np.zeros(n, np.int64)
+    traces = []
+    for i, o in enumerate(ovls):
+        t = np.asarray(o.trace, dtype=np.int32).reshape(-1, 2)
+        traces.append(t)
+        lens[i] = t.shape[0]
+        headers[i, :9] = (2 * t.shape[0], o.diffs, o.abpos, o.bbpos,
+                          o.aepos, o.bepos, np.int32(np.uint32(o.flags)
+                                                     .view(np.int32)),
+                          o.aread, o.bread)
+    rows = (np.concatenate(traces) if traces
+            else np.zeros((0, 2), np.int32))
+    seg_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=seg_off[1:])
+    payload, offs = encode_trace_columns(rows, seg_off, small)
+    return LasColumns(headers, payload, offs)
+
+
+class LasFile:
+    """A set of .las records: columnar (fast path) or object-backed.
+
+    Construct with `overlaps=` (list of Overlap) or `columns=`
+    (LasColumns).  `.overlaps` materializes objects from columns on
+    first access and DROPS the columns (objects may be mutated);
+    `.columns` returns the columnar form if still authoritative, else
+    None.
+    """
+
+    def __init__(self, tspace: int, overlaps: list[Overlap] | None = None,
+                 columns: LasColumns | None = None):
+        self.tspace = int(tspace)
+        if overlaps is None and columns is None:
+            overlaps = []
+        self._overlaps = overlaps
+        self._columns = columns if overlaps is None else None
 
     @property
     def small(self) -> bool:
         return self.tspace <= TRACE_XOVR
 
+    @property
+    def columns(self) -> LasColumns | None:
+        return self._columns
+
+    @property
+    def overlaps(self) -> list[Overlap]:
+        if self._overlaps is None:
+            self._overlaps = _columns_to_overlaps(self._columns, self.small)
+            self._columns = None
+        return self._overlaps
+
+    @overlaps.setter
+    def overlaps(self, v: list[Overlap]) -> None:
+        self._overlaps = v
+        self._columns = None
+
+    @property
+    def novl(self) -> int:
+        if self._columns is not None:
+            return self._columns.n
+        return len(self._overlaps)
+
+    def a_spans(self) -> np.ndarray:
+        """A-interval lengths per record (no materialization)."""
+        if self._columns is not None:
+            return self._columns.a_spans()
+        return np.array([o.aepos - o.abpos for o in self._overlaps],
+                        np.int64)
+
     def sort(self) -> None:
         """LAsort order: (aread, bread, comp, abpos)."""
-        self.overlaps.sort(
+        if self._columns is not None:
+            self._columns = self._columns.permute(
+                self._columns.sort_order())
+            return
+        self._overlaps.sort(
             key=lambda o: (o.aread, o.bread, o.flags & OVL_COMP, o.abpos,
                            o.aepos, o.bbpos))
+
+    @staticmethod
+    def concat(parts: list["LasFile"]) -> "LasFile":
+        """Concatenate record sets (columnar when every part still is)."""
+        if not parts:
+            return LasFile(tspace=100, overlaps=[])
+        ts = {p.tspace for p in parts if p.novl} or {parts[0].tspace}
+        if len(ts) != 1:
+            raise ValueError(f"mixed tspace values {ts}")
+        tspace = ts.pop()
+        if all(p._columns is not None or not p.novl for p in parts):
+            cols = LasColumns.concat(
+                [p._columns for p in parts if p._columns is not None])
+            return LasFile(tspace, columns=cols)
+        small = tspace <= TRACE_XOVR
+        allov: list[Overlap] = []
+        for p in parts:
+            allov.extend(p.overlaps)
+        return LasFile(tspace, overlaps=allov)
 
 
 def n_segments(abpos: int, aepos: int, tspace: int) -> int:
@@ -96,65 +303,76 @@ def n_segments(abpos: int, aepos: int, tspace: int) -> int:
 
 
 def write_las(path: str, las: LasFile) -> None:
-    small = las.small
+    """Bulk columnar writer: assembles the whole file image in one
+    numpy buffer (header-byte scatter + payload shift) and writes it
+    with a single syscall — the per-record write loop cost ~10 us per
+    record, block pairs emit 10^5-10^6."""
+    cols = las.columns
+    if cols is None:
+        cols = _overlaps_to_columns(las.overlaps, las.small)
+    n = cols.n
+    lens = np.diff(cols.offsets)
+    rec_starts = 12 + 40 * np.arange(n, dtype=np.int64) + cols.offsets[:-1]
+    total = 12 + 40 * n + int(cols.offsets[-1])
+    out = np.empty(total, np.uint8)
+    out[:8] = np.frombuffer(np.int64(n).tobytes(), np.uint8)
+    out[8:12] = np.frombuffer(np.int32(las.tspace).tobytes(), np.uint8)
+    if n:
+        hdr = np.ascontiguousarray(cols.headers).view(np.uint8) \
+            .reshape(n, 40)
+        dst = (rec_starts[:, None] + np.arange(40, dtype=np.int64)) \
+            .reshape(-1)
+        out[dst] = hdr.reshape(-1)
+        if cols.offsets[-1]:
+            shift = rec_starts + 40 - cols.offsets[:-1]
+            tp = (np.arange(int(cols.offsets[-1]), dtype=np.int64)
+                  + np.repeat(shift, lens))
+            out[tp] = cols.trace
     with open(path, "wb") as f:
-        f.write(np.int64(las.novl).tobytes())
-        f.write(np.int32(las.tspace).tobytes())
-        for o in las.overlaps:
-            rec = np.zeros(1, dtype=OVL_RECORD_DTYPE)
-            trace = np.asarray(o.trace, dtype=np.int32).reshape(-1, 2)
-            tlen = 2 * len(trace)
-            rec["tlen"] = tlen
-            rec["diffs"] = o.diffs
-            rec["abpos"] = o.abpos
-            rec["bbpos"] = o.bbpos
-            rec["aepos"] = o.aepos
-            rec["bepos"] = o.bepos
-            rec["flags"] = o.flags
-            rec["aread"] = o.aread
-            rec["bread"] = o.bread
-            f.write(rec.tobytes())
-            flat = trace.reshape(-1)
-            if flat.size and flat.min() < 0:
-                raise ValueError(
-                    f"negative trace value {flat.min()}; record {o}")
-            if small:
-                if flat.size and flat.max() > 255:
-                    raise ValueError(
-                        f"trace value {flat.max()} exceeds u8 for tspace "
-                        f"{las.tspace}; record {o}")
-                f.write(flat.astype(np.uint8).tobytes())
-            else:
-                f.write(flat.astype(np.int16).tobytes())
+        out.tofile(f)
+
+
+def read_las_columns(path: str) -> tuple[int, LasColumns]:
+    """Read a .las into columnar form: native single-pass scan when the
+    C runtime is available, else a python record walk."""
+    from damar_tpu import native
+    head = np.fromfile(path, dtype=np.uint8, count=12)
+    if head.size < 12:
+        raise ValueError(f"{path}: truncated header")
+    novl = int(head[:8].view("<i8")[0])
+    tspace = int(head[8:12].view("<i4")[0])
+    small = tspace <= TRACE_XOVR
+    scan = native.las_scan(path) if native.available() else None
+    if scan is not None:
+        headers, trace, offs = scan
+        expect = 12 + 40 * len(headers) + int(offs[-1])
+        size = os.path.getsize(path)
+        if expect != size:
+            raise ValueError(f"{path}: {size - expect} trailing bytes")
+        return tspace, LasColumns(headers, trace, offs)
+    raw = np.fromfile(path, dtype=np.uint8)
+    pos = 12
+    headers = np.zeros((novl, 10), np.int32)
+    offs = np.zeros(novl + 1, np.int64)
+    chunks = []
+    for i in range(novl):
+        rec = raw[pos:pos + 40].view(np.int32)
+        headers[i] = rec
+        pos += 40
+        tb = int(rec[0]) * (1 if small else 2)
+        chunks.append(raw[pos:pos + tb])
+        offs[i + 1] = offs[i] + tb
+        pos += tb
+    if pos != len(raw):
+        raise ValueError(f"{path}: {len(raw) - pos} trailing bytes")
+    trace = (np.concatenate(chunks) if chunks
+             else np.zeros(0, np.uint8))
+    return tspace, LasColumns(headers, trace, offs)
 
 
 def read_las(path: str) -> LasFile:
-    raw = np.fromfile(path, dtype=np.uint8)
-    novl = int(raw[:8].view("<i8")[0])
-    tspace = int(raw[8:12].view("<i4")[0])
-    small = tspace <= TRACE_XOVR
-    pos = 12
-    out: list[Overlap] = []
-    for _ in range(novl):
-        rec = raw[pos:pos + 40].view(OVL_RECORD_DTYPE)[0]
-        pos += 40
-        tlen = int(rec["tlen"])
-        if small:
-            flat = raw[pos:pos + tlen].astype(np.int32)
-            pos += tlen
-        else:
-            flat = raw[pos:pos + 2 * tlen].view("<i2").astype(np.int32)
-            pos += 2 * tlen
-        out.append(Overlap(
-            aread=int(rec["aread"]), bread=int(rec["bread"]),
-            flags=int(rec["flags"]), abpos=int(rec["abpos"]),
-            aepos=int(rec["aepos"]), bbpos=int(rec["bbpos"]),
-            bepos=int(rec["bepos"]), diffs=int(rec["diffs"]),
-            trace=flat.reshape(-1, 2),
-        ))
-    if pos != len(raw):
-        raise ValueError(f"{path}: {len(raw) - pos} trailing bytes")
-    return LasFile(tspace=tspace, overlaps=out)
+    tspace, cols = read_las_columns(path)
+    return LasFile(tspace=tspace, columns=cols)
 
 
 # --- validation (LAcheck equivalent) ---------------------------------------
@@ -222,29 +440,19 @@ def merge_las(paths: list[str], out: str) -> None:
     """K-way merge of sorted .las files into one sorted file.
 
     The reference limits merge fan-in (~252 open files) and builds merge
-    trees; here a full in-memory merge is fine for block-scale inputs,
-    while remaining deterministic.
+    trees; the native streaming merge has no such limit.  The Python
+    fallback concatenates columns and re-sorts (stable, same order).
     """
     from damar_tpu import native
     if native.available() and native.las_merge(paths, out):
         return
-    import heapq
-    lases = [read_las(p) for p in paths]
-    tspaces = {l.tspace for l in lases if l.novl} or {lases[0].tspace}
-    if len(tspaces) != 1:
-        raise ValueError(f"mixed tspace values {tspaces}")
-    def keyed(l):
-        for o in l.overlaps:
-            yield ((o.aread, o.bread, o.flags & OVL_COMP, o.abpos,
-                    o.aepos, o.bbpos), o)
-    merged = [o for _, o in heapq.merge(*(keyed(l) for l in lases))]
-    write_las(out, LasFile(tspace=tspaces.pop(), overlaps=merged))
+    las = LasFile.concat([read_las(p) for p in paths])
+    las.sort()
+    write_las(out, las)
 
 
 def cat_las(paths: list[str], out: str) -> None:
-    lases = [read_las(p) for p in paths]
-    allov = [o for l in lases for o in l.overlaps]
-    write_las(out, LasFile(tspace=lases[0].tspace, overlaps=allov))
+    write_las(out, LasFile.concat([read_las(p) for p in paths]))
 
 
 def reconstruct_alignment(o: Overlap, aseq, bseq, tspace: int,

@@ -33,7 +33,8 @@ import numpy as np
 
 from damar_tpu.core.blocks import ReadBlock, revcomp_block
 from damar_tpu.core.config import OverlapConfig
-from damar_tpu.formats.las import LasFile, Overlap, n_segments
+from damar_tpu.formats.las import (TRACE_XOVR, LasColumns, LasFile, Overlap,
+                                   encode_trace_columns, n_segments)
 from damar_tpu.formats.oflags import OVL_COMP
 
 
@@ -460,12 +461,19 @@ def _finish_from_host(packed, nseg, dsum, pend, cfg: OverlapConfig):
     nz = offs[:-1] < offs[1:]
     bsum = np.zeros(pend["S"], np.int64)
     tmin = np.zeros(pend["S"], np.int64)
+    tmax = np.zeros(pend["S"], np.int64)
     if offs[-1] > 0:
         bsum[nz] = np.add.reduceat(
             packed[:offs[-1], 1], offs[:-1][nz])
         tmin[nz] = np.minimum.reduceat(
             packed[:offs[-1], :].min(axis=1), offs[:-1][nz])
-    ok = (nseg == expect) & (bsum == (bep - bbp)) & (tmin >= 0)
+        tmax[nz] = np.maximum.reduceat(
+            packed[:offs[-1], :].max(axis=1), offs[:-1][nz])
+    # trace values must fit the file encoding (u8 for small tspace);
+    # over-range records go to the wide retry, then count as dropped
+    enc_max = 255 if cfg.tspace <= TRACE_XOVR else 32767
+    ok = (nseg == expect) & (bsum == (bep - bbp)) & (tmin >= 0) \
+        & (tmax <= enc_max)
     return offs, ok, packed, np.asarray(dsum)
 
 
@@ -684,17 +692,19 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         for kp in kept_parts:
             pending += launch(kp, mirrored=True)
     all_res = _trace_harvest_all([p[0] for p in pending], cfg)
-    ovls_a: list[Overlap] = []
-    ovls_b: list[Overlap] = []
+    cols_a: list[LasColumns] = []
+    cols_b: list[LasColumns] = []
+    small = cfg.tspace <= TRACE_XOVR
 
     def emit(chunk, res, comp, mirrored, retry_sink=None):
+        """Append one trace batch's surviving records as a columnar
+        .las shard (no per-record objects: block pairs emit 10^5-10^6
+        records)."""
         offs, okv, packed, dsum = res
         flags = OVL_COMP if comp else 0
         aid = (blk_a.ids if not mirrored else blk_b.ids)
         bid = (blk_b.ids if not mirrored else blk_a.ids)
-        ar_abs = aid[chunk["ar"]]
-        br_abs = bid[chunk["br"]]
-        sink = ovls_a if not mirrored else ovls_b
+        sink = cols_a if not mirrored else cols_b
         bad = np.nonzero(~okv)[0]
         if len(bad):
             if retry_sink is not None:
@@ -702,15 +712,31 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                     {k: v[bad] for k, v in chunk.items()})
             else:
                 stats["dropped_trace"] += len(bad)
-        abp, aep = chunk["abp"], chunk["aep"]
-        bbp, bep = chunk["bbp"], chunk["bep"]
-        for i in np.nonzero(okv)[0]:
-            sink.append(Overlap(
-                aread=int(ar_abs[i]), bread=int(br_abs[i]),
-                flags=flags, abpos=int(abp[i]), aepos=int(aep[i]),
-                bbpos=int(bbp[i]), bepos=int(bep[i]),
-                diffs=int(dsum[i]),
-                trace=packed[offs[i]:offs[i + 1]].copy()))
+        ok_idx = np.nonzero(okv)[0]
+        if not len(ok_idx):
+            return
+        seg_lens = (offs[1:] - offs[:-1])[ok_idx]
+        n = len(ok_idx)
+        h = np.zeros((n, 10), np.int32)
+        h[:, 0] = 2 * seg_lens
+        h[:, 1] = dsum[ok_idx]
+        h[:, 2] = chunk["abp"][ok_idx]
+        h[:, 3] = chunk["bbp"][ok_idx]
+        h[:, 4] = chunk["aep"][ok_idx]
+        h[:, 5] = chunk["bep"][ok_idx]
+        h[:, 6] = flags
+        h[:, 7] = aid[chunk["ar"][ok_idx]]
+        h[:, 8] = bid[chunk["br"][ok_idx]]
+        starts = offs[:-1][ok_idx].astype(np.int64)
+        new_off = np.zeros(n + 1, np.int64)
+        np.cumsum(seg_lens, out=new_off[1:])
+        total = int(new_off[-1])
+        rowpos = (np.arange(total, dtype=np.int64)
+                  - np.repeat(new_off[:-1], seg_lens)
+                  + np.repeat(starts, seg_lens))
+        payload, boffs = encode_trace_columns(packed[rowpos], new_off,
+                                              small)
+        sink.append(LasColumns(h, payload, boffs))
 
     retries: dict = {}
     for (pend, chunk, comp, mirrored), res in zip(pending, all_res):
@@ -737,8 +763,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                                kernel=wide)
             emit(chunk, res, comp, mirrored, retry_sink=None)
 
-    las_a = LasFile(tspace=cfg.tspace, overlaps=ovls_a)
+    las_a = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_a))
     las_a.sort()
-    las_b = LasFile(tspace=cfg.tspace, overlaps=ovls_b)
+    las_b = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_b))
     las_b.sort()
     return las_a, las_b, stats

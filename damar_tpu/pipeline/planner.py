@@ -235,8 +235,7 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
                 lasmod.write_las(out_b, lb)
             else:
                 # self pair: mirrors belong to the same block pile set
-                both = lasmod.LasFile(cfg.tspace,
-                                      la.overlaps + lb.overlaps)
+                both = lasmod.LasFile.concat([la, lb])
                 both.sort()
                 lasmod.write_las(out_a, both)
             manifest.mark(name, novl=la.novl, wall=round(time.time() - t0, 2))
