@@ -377,6 +377,82 @@ def read_las(path: str) -> LasFile:
 
 # --- validation (LAcheck equivalent) ---------------------------------------
 
+def _check_columns(tspace: int, cols: LasColumns, rlen_a, rlen_b,
+                   sorted_order: bool, max_report: int = 20) -> list[str]:
+    """Vectorized LAcheck over columns (planner gates run it after
+    every merge; block merges hold 10^5-10^6 records)."""
+    errs: list[str] = []
+    h = cols.headers
+    n = cols.n
+    if n == 0:
+        return errs
+    small = tspace <= TRACE_XOVR
+    rlen_a = np.asarray(rlen_a)
+    rlen_b = np.asarray(rlen_b)
+    abp, aep = h[:, H_ABPOS], h[:, H_AEPOS]
+    bbp, bep = h[:, H_BBPOS], h[:, H_BEPOS]
+    la = rlen_a[h[:, H_AREAD]]
+    lb = rlen_b[h[:, H_BREAD]]
+
+    def report(mask, what):
+        for i in np.nonzero(mask)[0][:max_report]:
+            errs.append(f"[{i}] {what(i)}")
+        return mask
+
+    bad_a = report((abp < 0) | (abp >= aep) | (aep > la),
+                   lambda i: f"bad A interval {abp[i]},{aep[i]} "
+                             f"(len {la[i]})")
+    bad_b = report((bbp < 0) | (bbp >= bep) | (bep > lb),
+                   lambda i: f"bad B interval {bbp[i]},{bep[i]} "
+                             f"(len {lb[i]})")
+    skip = bad_a | bad_b
+    nseg_exp = np.where(aep > abp,
+                        (aep - 1) // tspace - abp // tspace + 1, 0)
+    nseg_got = h[:, H_TLEN] // 2
+    bad_n = report(~skip & (nseg_got != nseg_exp),
+                   lambda i: f"trace has {nseg_got[i]} segments, "
+                             f"expect {nseg_exp[i]}")
+    skip |= bad_n
+    # decode all traces at once; per-record reductions via reduceat
+    rows = _decode_trace(cols.trace, small)
+    seg_off = cols.offsets // (2 if small else 4)
+    nz = seg_off[:-1] < seg_off[1:]
+    bsum = np.zeros(n, np.int64)
+    dsum = np.zeros(n, np.int64)
+    if rows.shape[0]:
+        bsum[nz] = np.add.reduceat(rows[:, 1], seg_off[:-1][nz])
+        dsum[nz] = np.add.reduceat(rows[:, 0], seg_off[:-1][nz])
+    report(~skip & (bsum != (bep - bbp).astype(np.int64)),
+           lambda i: f"trace b-span {bsum[i]} != {bep[i] - bbp[i]}")
+    report(~skip & (dsum != h[:, H_DIFFS]),
+           lambda i: f"trace diffs {dsum[i]} != record diffs "
+                     f"{h[:, H_DIFFS][i]}")
+    # per-segment: diffs >= |aspan - bspan|
+    if rows.shape[0]:
+        lens = np.diff(seg_off)
+        rid = np.repeat(np.arange(n), lens)
+        k = np.arange(rows.shape[0]) - np.repeat(seg_off[:-1], lens)
+        base = abp[rid].astype(np.int64) // tspace + k
+        a0 = np.maximum(abp[rid], base * tspace)
+        a1 = np.minimum((base + 1) * tspace, aep[rid])
+        segbad = (~skip[rid]) & (rows[:, 0]
+                                 < np.abs((a1 - a0) - rows[:, 1]))
+        for g in np.nonzero(segbad)[0][:max_report]:
+            errs.append(f"[{rid[g]}] seg {k[g]}: diffs {rows[g, 0]} < "
+                        f"|aspan-bspan| {abs((a1[g]-a0[g]) - rows[g,1])}")
+    if sorted_order and n > 1:
+        keys = (h[:, H_AREAD], h[:, H_BREAD], h[:, H_FLAGS] & 1,
+                h[:, H_ABPOS])
+        after = np.zeros(n - 1, bool)   # strictly greater so far
+        viol = np.zeros(n - 1, bool)
+        for kcol in keys:
+            viol |= ~after & (kcol[1:] < kcol[:-1])
+            after |= kcol[1:] > kcol[:-1]
+        for i in np.nonzero(viol)[0][:max_report]:
+            errs.append(f"[{i + 1}] sort order violation")
+    return errs
+
+
 def check_las(las: LasFile, rlen_a, rlen_b=None, sorted_order: bool = True
               ) -> list[str]:
     """Structural validation of a .las against read lengths (LAcheck).
@@ -384,10 +460,14 @@ def check_las(las: LasFile, rlen_a, rlen_b=None, sorted_order: bool = True
     rlen_a/rlen_b: arrays mapping absolute read id -> length (b defaults
     to a for intra-DB comparisons).  Returns a list of problem strings
     (empty = clean).  Checks: coordinate bounds, trace segment count and
-    b-span consistency, diffs consistency, sort order.
+    b-span consistency, diffs consistency, sort order.  Columnar files
+    validate fully vectorized; object-backed files walk records.
     """
     if rlen_b is None:
         rlen_b = rlen_a
+    if las.columns is not None:
+        return _check_columns(las.tspace, las.columns, rlen_a, rlen_b,
+                              sorted_order)
     errs: list[str] = []
     prev_key = None
     for n, o in enumerate(las.overlaps):

@@ -745,9 +745,12 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         emit(chunk, res, comp, mirrored, retry_sink=retries)
     # extents the default trace band could not force through get ONE
     # retry with the wide (128-lane) kernel — stitchable low-identity
-    # stretches exceed the bit-parallel band's 32-diagonal reach
+    # stretches exceed the bit-parallel band's 32-diagonal reach.  All
+    # retry groups launch before any harvest (async dispatch), then one
+    # stacked readback serves them all.
     if retries:
         wide = _wide_trace_kernel(cfg)
+        retry_pend = []
         for (comp, mirrored), parts in retries.items():
             chunk = {k: np.concatenate([p[k] for p in parts])
                      for k in parts[0]}
@@ -759,9 +762,14 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                 ab = b_bases_f
                 bbas = jnp.asarray(blk_a_rc.bases) if comp else a_bases
                 s0, s1 = sb, sa
-            res = _trace_batch(ab, bbas, s0, s1, chunk, cfg,
-                               kernel=wide)
-            emit(chunk, res, comp, mirrored, retry_sink=None)
+            pend = _trace_launch(ab, bbas, s0, s1, chunk, cfg,
+                                 kernel=wide)
+            retry_pend.append((pend, chunk, comp, mirrored))
+        retry_res = _trace_harvest_all([p[0] for p in retry_pend], cfg)
+        for (pend, chunk, comp, mirrored), res in zip(retry_pend,
+                                                      retry_res):
+            if res is not None:
+                emit(chunk, res, comp, mirrored, retry_sink=None)
 
     las_a = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_a))
     las_a.sort()

@@ -142,6 +142,47 @@ class TestLas:
         errs2 = las.check_las(las.LasFile(100, [bad2]), rlen)
         assert any("bad A interval" in e for e in errs2)
 
+    def test_columnar_check_matches_object_check(self, tmp_path, rng):
+        ovls = [_mk_ovl(rng, int(rng.integers(0, 5)),
+                        int(rng.integers(0, 5)),
+                        comp=bool(rng.integers(2))) for _ in range(40)]
+        f = las.LasFile(100, ovls)
+        f.sort()
+        p = str(tmp_path / "c.las")
+        las.write_las(p, f)
+        g = las.read_las(p)                 # columnar
+        rlen = np.full(8, 10_000)
+        assert g.columns is not None
+        assert las.check_las(g, rlen) == []
+        # corrupt one record's bepos in the columns: columnar check
+        # flags the same class of error as the object walk
+        g2 = las.read_las(p)
+        g2.columns.headers[7, las.H_BEPOS] += 3
+        errs = las.check_las(g2, rlen)
+        assert any("b-span" in e for e in errs)
+        # unsorted order detected
+        g3 = las.read_las(p)
+        g3.columns.headers[[0, -1]] = g3.columns.headers[[-1, 0]]
+        errs3 = las.check_las(g3, rlen, sorted_order=True)
+        assert any("sort order" in e for e in errs3)
+
+    def test_columnar_concat_and_lazy_materialize(self, tmp_path, rng):
+        a = [_mk_ovl(rng, 0, 1), _mk_ovl(rng, 0, 2)]
+        b = [_mk_ovl(rng, 1, 2)]
+        fa, fb = las.LasFile(100, a), las.LasFile(100, b)
+        pa, pb = str(tmp_path / "a.las"), str(tmp_path / "b.las")
+        las.write_las(pa, fa)
+        las.write_las(pb, fb)
+        ca, cb = las.read_las(pa), las.read_las(pb)
+        cat = las.LasFile.concat([ca, cb])
+        assert cat.columns is not None and cat.novl == 3
+        spans = cat.a_spans()
+        assert list(spans) == [o.aepos - o.abpos for o in a + b]
+        # materialization drops columns (objects may be mutated)
+        objs = cat.overlaps
+        assert cat.columns is None and len(objs) == 3
+        np.testing.assert_array_equal(objs[2].trace, b[0].trace)
+
     def test_sort_and_merge(self, tmp_path, rng):
         all_ovls = [_mk_ovl(rng, int(rng.integers(0, 5)),
                             int(rng.integers(0, 5)), comp=bool(rng.integers(2)))
