@@ -33,6 +33,23 @@ ERR = 0.14
 SEED = 2024
 
 
+def _device_responsive(timeout_s: float = 150.0) -> bool:
+    """Probe the default JAX backend in a SUBPROCESS: the tunneled TPU
+    can wedge (device enumeration itself hangs), and a hung bench
+    records nothing.  A dead probe is killed by the timeout without
+    touching this process's backend state."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "print(int(jnp.arange(8).sum()))"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"28" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     profile_dir = None
     if "--profile" in sys.argv:
@@ -48,6 +65,13 @@ def main() -> None:
                           2.0)
     except Exception:
         pass
+    if "--cpu" in sys.argv or not _device_responsive():
+        if "--cpu" not in sys.argv:
+            print("# WARNING: device backend unresponsive (tunnel "
+                  "wedged?); falling back to CPU — value understates "
+                  "TPU throughput", file=sys.stderr)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from damar_tpu.core.blocks import block_from_reads
     from damar_tpu.core.config import OverlapConfig
     from damar_tpu.pipeline.overlap import overlap_block_pair

@@ -108,53 +108,58 @@ def banded_align_path(a: np.ndarray, b: np.ndarray, band: int = 64,
     return path
 
 
-def consensus_window(template: np.ndarray, covers: list[np.ndarray],
-                     band: int = 64, min_cov: int = 2) -> np.ndarray:
-    """Majority-vote consensus of sequences aligned to one template
-    window.  Columns: per template position, votes over {0..3 base,
-    4=delete}; insertions after a position vote as strings."""
-    m = len(template)
-    votes = np.zeros((m, 5), np.int32)
-    ins_votes: list[dict] = [dict() for _ in range(m + 1)]
-    n_cov = 0
-    for c in covers:
-        if len(c) == 0:
+def _new_votes(m: int) -> tuple[np.ndarray, list[dict]]:
+    return np.zeros((m, 5), np.int32), [dict() for _ in range(m + 1)]
+
+
+def _vote_path(votes: np.ndarray, ins_votes: list[dict],
+               path: list[tuple[int, int, int]], c: np.ndarray) -> None:
+    """Register one aligned cover's column votes ({0..3 base, 4=del}
+    per template position; insertions after a position as strings)."""
+    m = votes.shape[0]
+    pend: list[int] = []
+    for op, i, j in path:
+        if op == 2:
+            pend.append(int(c[j]))
             continue
-        path = banded_align_path(template, c, band)
-        n_cov += 1
-        pend: list[int] = []
-        last_i = 0
-        for op, i, j in path:
-            if op == 2:
-                pend.append(int(c[j]))
-                continue
-            if pend:
-                key = tuple(pend)
-                d = ins_votes[i]
-                d[key] = d.get(key, 0) + 1
-                pend = []
-            if op == 0:
-                votes[i, int(c[j])] += 1
-            else:
-                votes[i, 4] += 1
-            last_i = i
         if pend:
             key = tuple(pend)
-            d = ins_votes[m]
+            d = ins_votes[i]
             d[key] = d.get(key, 0) + 1
+            pend = []
+        if op == 0:
+            votes[i, int(c[j])] += 1
+        else:
+            votes[i, 4] += 1
+    if pend:
+        key = tuple(pend)
+        d = ins_votes[m]
+        d[key] = d.get(key, 0) + 1
+
+
+def _consensus_calls(template: np.ndarray, votes: np.ndarray,
+                     ins_votes: list[dict], n_cov: int, min_cov: int
+                     ) -> np.ndarray:
     if n_cov < min_cov:
         return template.copy()
     # NOTE: the template does NOT vote.  In contig polishing the
     # window's source read is always among the covers (it was laid
     # out), so a template vote would double-count its errors; votes
     # are a clean majority over the covering reads.
+    m = len(template)
     out: list[int] = []
-    half = n_cov / 2.0
+    # insertion calls use a PLURALITY threshold (0.35x coverage, >= 2):
+    # a template deletion is real, but the covers' own errors split its
+    # insertion votes across adjacent columns and key variants, so a
+    # strict majority misses roughly half of true deletions (measured:
+    # 0.981 -> 0.986 two-round identity on 13%-error 12x simulations);
+    # chance agreement of 2+ covers on (column, string) is ~1e-3
+    need = max(2.0, 0.35 * n_cov)
     for i in range(m):
         ins = ins_votes[i]
         if ins:
             key, cnt = max(ins.items(), key=lambda kv: kv[1])
-            if cnt > half:
+            if cnt >= need:
                 out.extend(key)
         tot = votes[i].sum()
         if tot == 0:
@@ -168,9 +173,32 @@ def consensus_window(template: np.ndarray, covers: list[np.ndarray],
     ins = ins_votes[m]
     if ins:
         key, cnt = max(ins.items(), key=lambda kv: kv[1])
-        if cnt > half:
+        if cnt >= need:
             out.extend(key)
     return np.array(out, np.uint8)
+
+
+def consensus_window(template: np.ndarray, covers: list[np.ndarray],
+                     band: int = 64, min_cov: int = 2) -> np.ndarray:
+    """Majority-vote consensus of sequences aligned to one template
+    window."""
+    votes, ins_votes = _new_votes(len(template))
+    n_cov = 0
+    for c in covers:
+        if len(c) == 0:
+            continue
+        path = banded_align_path(template, c, band)
+        _vote_path(votes, ins_votes, path, c)
+        n_cov += 1
+    return _consensus_calls(template, votes, ins_votes, n_cov, min_cov)
+
+
+def _aligned_end(path: list[tuple[int, int, int]], default: int) -> int:
+    """Read index one past the last b char consumed by the path."""
+    for op, i, j in reversed(path):
+        if op in (0, 2):
+            return j + 1
+    return default
 
 
 def full_layout(tour_lay: list[tuple[int, int, int]], las,
@@ -214,30 +242,122 @@ def full_layout(tour_lay: list[tuple[int, int, int]], las,
 
 def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                   seq_of, window: int = 500, margin: int = 80,
-                  band: int = 96, min_cov: int = 2) -> np.ndarray:
+                  band: int = 96, min_cov: int = 2,
+                  return_map: bool = False):
     """Polish a toured contig with its own reads.
 
     layout: [(read, dir, contig_start)] from touring.tour_layout —
     read r (oriented) aligns to contig[start : start + len(read)].
-    Each contig window is re-called by consensus over the read slices
-    that cover it.
+
+    Reads are walked window by window with a CHAINED cursor: each
+    window alignment's endpoint anchors where the next window starts
+    in the read.  Linear placement (start + offset) drifts by the
+    read's accumulated indel skew — ~0.1x read length at raw PacBio
+    error, far beyond any fixed margin — which silently turns the
+    consensus covers into misaligned noise; chaining keeps every
+    window anchored to within one window's own drift.
+
+    return_map: also return new_start [nwin+1], the polished-contig
+    coordinate of each input window boundary — callers remap layout
+    starts with it to iterate polishing on the updated draft.
     """
-    parts: list[np.ndarray] = []
     n = len(contig)
-    for w0 in range(0, n, window):
+    nwin = -(-n // window) if n else 0
+    votes: list = [None] * nwin
+    ivs: list = [None] * nwin
+    ncov = np.zeros(nwin, np.int64)
+    for read, d, start in layout:
+        s = seq_of(read, d)
+        w_first = max(0, -(-start // window))
+        cursor = w_first * window - start
+        first = True
+        for w in range(w_first, nwin):
+            w0 = w * window
+            w1 = min(w0 + window, n)
+            # the first window of a read must absorb the FULL
+            # placement error of its layout start — up to the read's
+            # indel skew for wrapped/approximately-placed reads;
+            # later windows only intra-window drift
+            mg = margin + (min(600, max(200, len(s) // 8))
+                           if first else 0)
+            lo = max(0, cursor - mg)
+            hi = min(len(s), cursor + (w1 - w0) + mg)
+            if hi - lo < (w1 - w0):      # read ends inside the window
+                break
+            tmpl = contig[w0:w1]
+            c = s[lo:hi]
+            path = banded_align_path(tmpl, c, band=max(band, mg + 16))
+            if votes[w] is None:
+                votes[w], ivs[w] = _new_votes(w1 - w0)
+            _vote_path(votes[w], ivs[w], path, c)
+            ncov[w] += 1
+            nxt = lo + _aligned_end(path, cursor + (w1 - w0) - lo)
+            ref = cursor + (w1 - w0)
+            if abs(nxt - ref) > mg:      # distrust a wild alignment
+                nxt = ref
+            cursor = nxt
+            first = False
+    parts: list[np.ndarray] = []
+    for w in range(nwin):
+        w0 = w * window
         w1 = min(w0 + window, n)
         tmpl = contig[w0:w1]
-        covers = []
-        for read, d, start in layout:
-            s = seq_of(read, d)
-            end = start + len(s)
-            if start <= w0 and w1 <= end:
-                lo = w0 - start
-                hi = w1 - start
-                covers.append(s[max(0, lo - margin):hi + margin])
-        parts.append(consensus_window(tmpl, covers, band=band,
-                                      min_cov=min_cov))
-    return np.concatenate(parts) if parts else contig
+        if votes[w] is None:
+            parts.append(tmpl.copy())
+        else:
+            parts.append(_consensus_calls(tmpl, votes[w], ivs[w],
+                                          int(ncov[w]), min_cov))
+    out = np.concatenate(parts) if parts else contig
+    if not return_map:
+        return out
+    new_start = np.zeros(nwin + 1, np.int64)
+    np.cumsum([len(p) for p in parts], out=new_start[1:])
+    return out, new_start
+
+
+def remap_layout(layout: list[tuple[int, int, int]],
+                 new_start: np.ndarray, window: int
+                 ) -> list[tuple[int, int, int]]:
+    """Translate layout starts through a polish coordinate map (the
+    window-boundary positions polish_contig returned) so a second
+    polish round anchors against the UPDATED draft coordinates."""
+    nwin = len(new_start) - 1
+    out = []
+    for read, d, start in layout:
+        w = min(max(start // window, 0), max(nwin - 1, 0))
+        out.append((read, d, int(new_start[w] + (start - w * window))))
+    return out
+
+
+def _wrap_layout(layout: list[tuple[int, int, int]], clen: int
+                 ) -> list[tuple[int, int, int]]:
+    """Add +-contig-length copies of each placement: windows near both
+    ends of a CIRCULAR contig then see every read that spans the seam
+    (a copy whose span misses the contig entirely costs nothing — its
+    window walk breaks on entry)."""
+    return (layout
+            + [(r, d, s - clen) for r, d, s in layout]
+            + [(r, d, s + clen) for r, d, s in layout])
+
+
+def polish_rounds(contig: np.ndarray, layout: list[tuple[int, int, int]],
+                  seq_of, circular: bool = False, window: int = 500,
+                  margin: int = 80, band: int = 96, min_cov: int = 2
+                  ) -> np.ndarray:
+    """Two consensus rounds with staggered window grids (the second
+    round re-anchors against the round-1 draft; its shifted boundaries
+    re-call the columns round 1 split across windows).  Circular
+    contigs polish with seam-wrapped layouts."""
+    lay = _wrap_layout(layout, len(contig)) if circular else layout
+    c1, cmap = polish_contig(contig, lay, seq_of, window=window,
+                             margin=margin, band=band, min_cov=min_cov,
+                             return_map=True)
+    lay2 = remap_layout(layout, cmap, window)
+    if circular:
+        lay2 = _wrap_layout(lay2, len(c1))
+    w2 = max(window - 80, window // 2)
+    return polish_contig(c1, lay2, seq_of, window=w2, margin=margin,
+                         band=band, min_cov=min_cov)
 
 
 def polish_read(aread: int, las, seqs_of, rlen: int, window: int = 500,

@@ -166,10 +166,12 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         min_dovetail=cfg.tour.min_dovetail,
         spur_len=cfg.tour.spur_len, bubble_max=cfg.tour.bubble_max)
     if polish:
+        from damar_tpu.pipeline.consensus import polish_rounds
         out = []
         for c, t in zip(contigs, tours):
             lay = full_layout(tour_layout(t, seqs_of_fix), filt, frlen)
-            out.append(polish_contig(c, lay, seqs_of_fix))
+            out.append(polish_rounds(c, lay, seqs_of_fix,
+                                     circular=t.circular))
         contigs = out
     contig_path = os.path.join(workdir, "CONTIGS.fasta")
     write_fasta(contig_path,

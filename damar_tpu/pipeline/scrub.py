@@ -21,7 +21,11 @@ from dataclasses import dataclass
 import numpy as np
 
 from damar_tpu.core.config import ScrubConfig
-from damar_tpu.formats.las import LasFile, Overlap, n_segments
+from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD, H_BBPOS,
+                                   H_BEPOS, H_BREAD, H_DIFFS, H_FLAGS,
+                                   H_TLEN, LasColumns, LasFile, Overlap,
+                                   _decode_trace, _overlaps_to_columns,
+                                   n_segments)
 from damar_tpu.formats.oflags import (
     OVL_COMP, OVL_CONT, OVL_DISCARD, OVL_GAP, OVL_LOCAL, OVL_REPEAT,
     OVL_STITCH)
@@ -35,6 +39,14 @@ def piles(las: LasFile) -> dict[int, list[Overlap]]:
     for o in las.overlaps:
         out[o.aread].append(o)
     return out
+
+
+def _cols_of(las: LasFile) -> LasColumns:
+    """Columns of a las (one build pass for object-backed files)."""
+    c = las.columns
+    if c is None:
+        c = _overlaps_to_columns(las.overlaps, las.small)
+    return c
 
 
 # --- LAstitch ---------------------------------------------------------------
@@ -90,33 +102,58 @@ def q_and_trim(las: LasFile, rlen_of: dict[int, int], cfg: ScrubConfig
     first/last segments are good (q <= q_good), in bases.
     """
     ts = las.tspace
-    qual: dict[int, np.ndarray] = {}
-    for aread, rl in rlen_of.items():
-        qual[aread] = np.full((rl + ts - 1) // ts, Q_NOCOV, np.int32)
-    for o in las.overlaps:
-        q = qual.get(o.aread)
-        if q is None:
-            continue
-        s0 = o.abpos // ts
-        nseg = len(o.trace)
-        for k in range(nseg):
-            seg = s0 + k
-            a_lo = max(o.abpos, seg * ts)
-            a_hi = min(o.aepos, (seg + 1) * ts)
-            if a_hi - a_lo == ts:            # full segment only
-                d = int(o.trace[k, 0])
-                if d < q[seg]:
-                    q[seg] = d
+    # flat per-read segment layout: read r owns qflat[off[r]:off[r+1]]
+    reads = sorted(rlen_of)
+    nseg_of = np.array([(rlen_of[a] + ts - 1) // ts for a in reads],
+                       np.int64)
+    off = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum(nseg_of, out=off[1:])
+    qflat = np.full(int(off[-1]), Q_NOCOV, np.int64)
+
+    cols = _cols_of(las)
+    if cols.n and reads:
+        h = cols.headers
+        rows = _decode_trace(cols.trace, las.small)
+        seg_off = cols.offsets // (2 if las.small else 4)
+        lens = np.diff(seg_off)
+        rid = np.repeat(np.arange(cols.n), lens)
+        k = np.arange(rows.shape[0]) - np.repeat(seg_off[:-1], lens)
+        abp = h[rid, H_ABPOS].astype(np.int64)
+        aep = h[rid, H_AEPOS].astype(np.int64)
+        seg = abp // ts + k
+        a_lo = np.maximum(abp, seg * ts)
+        a_hi = np.minimum(aep, (seg + 1) * ts)
+        lut = np.full(max(reads) + 2, -1, np.int64)
+        lut[np.array(reads)] = np.arange(len(reads))
+        aidx = lut[np.clip(h[:, H_AREAD], 0, len(lut) - 1)][rid]
+        full = (a_hi - a_lo == ts) & (aidx >= 0)
+        key = off[np.maximum(aidx, 0)] + seg
+        dkey = key[full]
+        dval = rows[full, 0].astype(np.int64)
+        if dkey.size:
+            # scatter-min via sort + reduceat (ufunc.at is slow)
+            order = np.argsort(dkey, kind="stable")
+            ks, vs = dkey[order], dval[order]
+            starts = np.concatenate([[True], ks[1:] != ks[:-1]])
+            sidx = np.nonzero(starts)[0]
+            qflat[ks[sidx]] = np.minimum(
+                qflat[ks[sidx]], np.minimum.reduceat(vs, sidx))
+    qual: dict[int, np.ndarray] = {
+        a: qflat[off[i]:off[i + 1]].astype(np.int32)
+        for i, a in enumerate(reads)}
+    # trim: widest interval whose first/last segments are good
+    good_idx = np.nonzero(qflat <= cfg.q_good)[0]
+    lo = np.searchsorted(good_idx, off[:-1], side="left")
+    hi = np.searchsorted(good_idx, off[1:], side="left")
     trim: dict[int, tuple[int, int]] = {}
-    for aread, q in qual.items():
-        rl = rlen_of[aread]
-        good = np.nonzero(q <= cfg.q_good)[0]
-        if len(good) == 0:
-            trim[aread] = (0, 0)
+    for i, a in enumerate(reads):
+        if lo[i] >= hi[i]:
+            trim[a] = (0, 0)
         else:
-            tb = int(good[0]) * ts
-            te = min((int(good[-1]) + 1) * ts, rl)
-            trim[aread] = (tb, te)
+            tb = int(good_idx[lo[i]] - off[i]) * ts
+            te = min(int(good_idx[hi[i] - 1] - off[i] + 1) * ts,
+                     rlen_of[a])
+            trim[a] = (tb, te)
     return qual, trim
 
 
@@ -233,27 +270,41 @@ def gap_breaks(las: LasFile, rlen_of: dict[int, int], cfg: ScrubConfig
     """Detect consistent pile breaks (chimeric junctions / missed
     adapters): positions where alignment coverage drops below
     gap_min_cov while both sides are covered (LAgap equivalent).
-    Returns per-read break positions."""
+    Returns per-read break positions.  Columnar: one global event sort
+    (aread, pos, delta) and a grouped coverage prefix replace the
+    per-pile sweeps."""
+    cols = _cols_of(las)
+    if cols.n == 0 or not rlen_of:
+        return {}
+    h = cols.headers
+    ar = h[:, H_AREAD].astype(np.int64)
+    lut = np.full(max(rlen_of) + 2, -1, np.int64)
+    for a, rl in rlen_of.items():
+        lut[a] = rl
+    pos = np.concatenate([h[:, H_ABPOS], h[:, H_AEPOS]]).astype(np.int64)
+    dl = np.concatenate([np.ones(cols.n, np.int64),
+                         -np.ones(cols.n, np.int64)])
+    ar2 = np.concatenate([ar, ar])
+    order = np.lexsort((dl, pos, ar2))   # ends before starts at a tie
+    ar_s, pos_s, dl_s = ar2[order], pos[order], dl[order]
+    new_g = np.concatenate([[True], ar_s[1:] != ar_s[:-1]])
+    cum = np.cumsum(dl_s)
+    gstart = np.nonzero(new_g)[0]
+    gid = np.cumsum(new_g) - 1
+    gbase = np.where(gstart > 0, cum[np.maximum(gstart - 1, 0)], 0)
+    prefix = cum - gbase[gid]            # coverage AFTER each event
+    rl_s = lut[np.clip(ar_s, 0, len(lut) - 1)]
+    # interval between events j-1 and j has coverage prefix[j-1]
+    low = ((~new_g[1:]) & (prefix[:-1] < cfg.gap_min_cov)
+           & (pos_s[:-1] > 0) & (pos_s[1:] > pos_s[:-1])
+           & (rl_s[1:] >= 0)
+           & (pos_s[:-1] > rl_s[1:] * 0.05)
+           & (pos_s[1:] < rl_s[1:] * 0.95))
     breaks: dict[int, list[int]] = {}
-    pls = piles(las)
-    for aread, rl in rlen_of.items():
-        evs = [(o.abpos, o.aepos) for o in pls.get(aread, [])]
-        if not evs:
-            continue
-        pts = sorted([(b, 1) for b, _ in evs] + [(e, -1) for _, e in evs])
-        cov = 0
-        lows = []
-        last_x = 0
-        for x, d in pts:
-            if cov < cfg.gap_min_cov and 0 < last_x < rl and x > last_x:
-                lows.append((last_x, x))
-            cov += d
-            last_x = x
-        # a low interval strictly inside the read = break candidate
-        bs = [(lo + hi) // 2 for lo, hi in lows
-              if lo > rl * 0.05 and hi < rl * 0.95]
-        if bs:
-            breaks[aread] = bs
+    for idx in np.nonzero(low)[0]:
+        a = int(ar_s[idx + 1])
+        breaks.setdefault(a, []).append(
+            int((pos_s[idx] + pos_s[idx + 1]) // 2))
     return breaks
 
 
@@ -280,36 +331,64 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
                cfg: ScrubConfig, repeat_iv: dict[int, np.ndarray] | None
                = None) -> LasFile:
     """LAfilter equivalent: flag discard on local, short, high-error,
-    and repeat-only alignments; keep dovetails + containments."""
-    out = []
-    for o in las.overlaps:
-        alen = rlen_of.get(o.aread)
-        blen = rlen_of.get(o.bread)
-        if alen is None or blen is None:
-            continue
-        flags = o.flags
-        olen = o.aepos - o.abpos
-        kind = classify(o, alen, blen, cfg.filter_fuzz)
-        if olen < cfg.filter_min_len:
-            flags |= OVL_DISCARD
-        if o.diffs > cfg.filter_max_diff * olen:
-            flags |= OVL_DISCARD
-        if kind == "local":
-            flags |= OVL_LOCAL | OVL_DISCARD
-        elif kind == "partial":
-            flags |= OVL_DISCARD | OVL_GAP
-        elif kind in ("a_contained", "b_contained"):
-            flags |= OVL_CONT
-        if repeat_iv is not None:
-            iv = repeat_iv.get(o.aread)
-            if iv is not None and len(iv):
-                p = iv.reshape(-1, 2)
-                inside = ((p[:, 0] <= o.abpos) & (o.aepos <= p[:, 1])).any()
-                if inside:
-                    flags |= OVL_REPEAT | OVL_DISCARD
-        out.append(Overlap(aread=o.aread, bread=o.bread, flags=flags,
-                           abpos=o.abpos, aepos=o.aepos, bbpos=o.bbpos,
-                           bepos=o.bepos, diffs=o.diffs, trace=o.trace))
-    res = LasFile(tspace=las.tspace, overlaps=out)
+    and repeat-only alignments; keep dovetails + containments.
+    Columnar: every rule is an elementwise predicate on the record
+    headers."""
+    cols = _cols_of(las)
+    n = cols.n
+    if n == 0:
+        return LasFile(tspace=las.tspace,
+                       columns=LasColumns.empty())
+    h = cols.headers
+    ids = np.unique(np.concatenate([h[:, H_AREAD], h[:, H_BREAD]]))
+    lut = np.full(int(ids.max()) + 2 if len(ids) else 1, -1, np.int64)
+    for a, rl in rlen_of.items():
+        if 0 <= a < len(lut):
+            lut[a] = rl
+    alen = lut[np.clip(h[:, H_AREAD], 0, len(lut) - 1)]
+    blen = lut[np.clip(h[:, H_BREAD], 0, len(lut) - 1)]
+    keep = (alen >= 0) & (blen >= 0)
+
+    abp, aep = h[:, H_ABPOS], h[:, H_AEPOS]
+    bbp, bep = h[:, H_BBPOS], h[:, H_BEPOS]
+    fuzz = cfg.filter_fuzz
+    a_l = abp <= fuzz
+    a_r = aep >= alen - fuzz
+    b_l = bbp <= fuzz
+    b_r = bep >= blen - fuzz
+    a_cont = a_l & a_r
+    b_cont = ~a_cont & b_l & b_r
+    dove = ~a_cont & ~b_cont & ((a_r & b_l) | (a_l & b_r))
+    partial = ~a_cont & ~b_cont & ~dove & (a_l | a_r | b_l | b_r)
+    local = ~(a_cont | b_cont | dove | partial)
+
+    flags = h[:, H_FLAGS].astype(np.int64)
+    olen = (aep - abp).astype(np.int64)
+    flags |= np.where(olen < cfg.filter_min_len, OVL_DISCARD, 0)
+    flags |= np.where(h[:, H_DIFFS] > cfg.filter_max_diff * olen,
+                      OVL_DISCARD, 0)
+    flags |= np.where(local, OVL_LOCAL | OVL_DISCARD, 0)
+    flags |= np.where(partial, OVL_DISCARD | OVL_GAP, 0)
+    flags |= np.where(a_cont | b_cont, OVL_CONT, 0)
+    if repeat_iv is not None:
+        inside = np.zeros(n, bool)
+        for aread, iv in repeat_iv.items():
+            if iv is None or not len(iv):
+                continue
+            sel = np.nonzero(h[:, H_AREAD] == aread)[0]
+            if not len(sel):
+                continue
+            p = np.asarray(iv).reshape(-1, 2)
+            inside[sel] = ((p[None, :, 0] <= abp[sel, None])
+                           & (aep[sel, None] <= p[None, :, 1])).any(1)
+        flags |= np.where(inside, OVL_REPEAT | OVL_DISCARD, 0)
+
+    hdr = h.copy()
+    hdr[:, H_FLAGS] = flags.astype(np.uint32).view(np.int32)
+    new = LasColumns(hdr, cols.trace, cols.offsets)
+    kidx = np.nonzero(keep)[0]
+    if len(kidx) != n:
+        new = new.permute(kidx)
+    res = LasFile(tspace=las.tspace, columns=new)
     res.sort()
     return res

