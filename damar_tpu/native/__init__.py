@@ -62,6 +62,15 @@ def _lib():
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
             lib.las_scan.restype = ctypes.c_int64
+            lib.band_align_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32)]
+            lib.band_align_batch.restype = ctypes.c_int64
             _LIB = lib
     return _LIB
 
@@ -130,3 +139,38 @@ def las_scan(path: str):
     if n < 0:
         raise IOError(f"las_scan({path}) failed: {n}")
     return headers[:n], trace[:offs[n]], offs
+
+
+def band_align_paths(template: np.ndarray, covers: list[np.ndarray],
+                     band: int, semiglobal: bool = True):
+    """Banded edit alignments of covers vs one template (consensus hot
+    path; mirrors pipeline.consensus.banded_align_path semantics).
+    Returns (ops_concat u8, offs int64 [n+1], jstarts int32 [n]) or
+    None when the native library is unavailable.  ops: 0=match/sub,
+    1=del(template), 2=ins(cover); jstart = leading cover chars
+    skipped before the path."""
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(template, dtype=np.uint8)
+    n_cov = len(covers)
+    b_offs = np.zeros(n_cov + 1, np.int64)
+    for i, c in enumerate(covers):
+        b_offs[i + 1] = b_offs[i] + len(c)
+    b_cat = (np.concatenate([np.ascontiguousarray(c, dtype=np.uint8)
+                             for c in covers])
+             if n_cov and b_offs[-1] else np.zeros(1, np.uint8))
+    cap = int(b_offs[-1]) + (len(a) + 2) * max(n_cov, 1)
+    ops = np.zeros(max(cap, 1), np.uint8)
+    offs = np.zeros(n_cov + 1, np.int64)
+    jst = np.zeros(max(n_cov, 1), np.int32)
+    total = lib.band_align_batch(
+        _u8p(a), np.int32(len(a)), _u8p(b_cat),
+        b_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        np.int32(n_cov), np.int32(band), np.int32(1 if semiglobal else 0),
+        _u8p(ops), np.int64(len(ops)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        jst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if total < 0:
+        return None
+    return ops[:total], offs, jst[:n_cov]
