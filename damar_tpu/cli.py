@@ -402,6 +402,28 @@ def cmd_ogbuild(args):
           f"{len(g.contained)} contained reads)")
 
 
+def cmd_oglayout(args):
+    """OGlayout equivalent: graph with embedded x/y coordinates
+    (+ optional SVG render)."""
+    from damar_tpu.formats.las import read_las
+    from damar_tpu.pipeline.graph import (build_graph, graphml,
+                                          layout_coords, layout_svg,
+                                          transitive_reduction)
+    db = _db(args.db)
+    las = read_las(args.las)
+    g = build_graph(las, _rlen_map(db), fuzz=args.fuzz,
+                    min_dovetail=args.min_dovetail)
+    transitive_reduction(g)
+    coords = layout_coords(g)
+    with open(args.out, "w") as f:
+        f.write(graphml(g, coords=coords))
+    if args.svg:
+        with open(args.svg, "w") as f:
+            f.write(layout_svg(g, coords))
+    print(f"{args.out}: {len(coords)} nodes laid out"
+          + (f"; svg -> {args.svg}" if args.svg else ""))
+
+
 def cmd_assemble(args):
     """ogbuild+ogtour+tour2fasta in one step (the common path);
     --polish runs pile consensus over each contig (L7)."""
@@ -561,6 +583,10 @@ def build_parser():
          A("--repeat-track", default="repeats"))
 
     tool("ogbuild", cmd_ogbuild, A("db"), A("las"), A("out"),
+         A("--fuzz", type=int, default=40),
+         A("--min-dovetail", type=int, default=1000))
+    tool("oglayout", cmd_oglayout, A("db"), A("las"), A("out"),
+         A("--svg", default=None),
          A("--fuzz", type=int, default=40),
          A("--min-dovetail", type=int, default=1000))
     tool("ctanalyze", cmd_ctanalyze, A("db"), A("las"),

@@ -191,25 +191,104 @@ def transitive_reduction(g: StringGraph, fuzz: int = 100) -> int:
     return n_red
 
 
-def graphml(g: StringGraph) -> str:
-    """Export the live graph as GraphML (the OGbuild output format)."""
+def layout_coords(g: StringGraph) -> dict:
+    """OGlayout-equivalent coordinates for the live graph.
+
+    x = cumulative edge advance along a BFS spanning forest (the
+    genome-like coordinate: a clean contig path lays out as a straight
+    line, bubbles as short parallel arcs); y = branch lane, assigned
+    when a node has several live successors; weakly-connected
+    components stack vertically.  Deterministic (sorted traversal).
+    """
+    succ: dict = {}
+    pred: dict = {}
+    verts = set()
+    for v in list(g.edges):
+        for e in g.out_edges(v):
+            succ.setdefault(e.src, []).append(e)
+            pred.setdefault(e.dst, []).append(e)
+            verts.add(e.src)
+            verts.add(e.dst)
+    order = sorted(verts, key=lambda v: (v.read, v.dir))
+    coords: dict = {}
+    comp_y = 0.0
+    lane_h = 1.0
+    for root in order:
+        if root in coords:
+            continue
+        # prefer a source-like root within the component
+        comp = []
+        stack = [root]
+        seen = {root}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for e in succ.get(u, []) + pred.get(u, []):
+                for w in (e.src, e.dst):
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+        sources = sorted((u for u in comp if not pred.get(u)),
+                         key=lambda v: (v.read, v.dir))
+        start = sources[0] if sources else min(
+            comp, key=lambda v: (v.read, v.dir))
+        from collections import deque
+        q = deque([start])
+        coords[start] = (0.0, comp_y)
+        max_lane = 0.0
+        while q:
+            u = q.popleft()
+            x, y = coords[u]
+            outs = sorted(succ.get(u, []),
+                          key=lambda e: (-e.olen, e.dst.read, e.dst.dir))
+            for lane, e in enumerate(outs):
+                if e.dst not in coords:
+                    yy = y + lane * lane_h
+                    coords[e.dst] = (x + e.adv, yy)
+                    max_lane = max(max_lane, yy - comp_y)
+                    q.append(e.dst)
+            # walk predecessors too (roots inside cycles see the
+            # whole component)
+            for e in sorted(pred.get(u, []),
+                            key=lambda e: (e.src.read, e.src.dir)):
+                if e.src not in coords:
+                    coords[e.src] = (x - e.adv, y)
+                    q.append(e.src)
+        comp_y += max_lane + 3 * lane_h
+    return coords
+
+
+def graphml(g: StringGraph, coords: dict | None = None) -> str:
+    """Export the live graph as GraphML (the OGbuild output format);
+    pass layout_coords(g) to embed OGlayout x/y node positions."""
     lines = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
         '  <key id="cut" for="edge" attr.name="cut" attr.type="int"/>',
         '  <key id="adv" for="edge" attr.name="adv" attr.type="int"/>',
         '  <key id="olen" for="edge" attr.name="olen" attr.type="int"/>',
-        '  <graph id="G" edgedefault="directed">',
     ]
+    if coords is not None:
+        lines += [
+            '  <key id="x" for="node" attr.name="x" attr.type="double"/>',
+            '  <key id="y" for="node" attr.name="y" attr.type="double"/>',
+        ]
+    lines.append('  <graph id="G" edgedefault="directed">')
     seen = set()
     def vid(v):
         return f"{v.read}{'-' if v.dir else '+'}"
+    def node_line(u):
+        if coords is not None and u in coords:
+            x, y = coords[u]
+            return (f'    <node id="{vid(u)}"><data key="x">{x:.1f}'
+                    f'</data><data key="y">{y:.3f}</data></node>')
+        return f'    <node id="{vid(u)}"/>'
     for v in list(g.edges):
         for e in g.out_edges(v):
             for u in (e.src, e.dst):
                 if vid(u) not in seen:
                     seen.add(vid(u))
-                    lines.append(f'    <node id="{vid(u)}"/>')
+                    lines.append(node_line(u))
             lines.append(
                 f'    <edge source="{vid(e.src)}" target="{vid(e.dst)}">'
                 f'<data key="cut">{e.cut}</data>'
@@ -217,3 +296,35 @@ def graphml(g: StringGraph) -> str:
                 f'<data key="olen">{e.olen}</data></edge>')
     lines += ['  </graph>', '</graphml>']
     return "\n".join(lines)
+
+
+def layout_svg(g: StringGraph, coords: dict, width: int = 1200,
+               height: int = 400) -> str:
+    """Render a laid-out graph as a standalone SVG (inspection aid)."""
+    if not coords:
+        return f'<svg xmlns="http://www.w3.org/2000/svg"/>'
+    xs = [c[0] for c in coords.values()]
+    ys = [c[1] for c in coords.values()]
+    x0, x1 = min(xs), max(xs) or 1
+    y0, y1 = min(ys), max(ys)
+    sx = (width - 40) / max(x1 - x0, 1)
+    sy = (height - 40) / max(y1 - y0, 1)
+    def pt(v):
+        x, y = coords[v]
+        return 20 + (x - x0) * sx, 20 + (y - y0) * sy
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" '
+             f'width="{width}" height="{height}">']
+    for v in list(g.edges):
+        for e in g.out_edges(v):
+            if e.src in coords and e.dst in coords:
+                ax, ay = pt(e.src)
+                bx, by = pt(e.dst)
+                parts.append(
+                    f'<line x1="{ax:.1f}" y1="{ay:.1f}" x2="{bx:.1f}" '
+                    f'y2="{by:.1f}" stroke="#888" stroke-width="1"/>')
+    for v, (x, y) in coords.items():
+        px, py = pt(v)
+        parts.append(f'<circle cx="{px:.1f}" cy="{py:.1f}" r="2.5" '
+                     f'fill="#1f6feb"/>')
+    parts.append('</svg>')
+    return "\n".join(parts)

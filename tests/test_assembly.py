@@ -106,3 +106,22 @@ class TestAssemblyE2E:
         xml = graphml(g)
         assert xml.startswith('<?xml') and '<graphml' in xml
         assert xml.count('<edge ') == g.n_edges()
+
+    def test_layout_coords(self, assembly):
+        from damar_tpu.pipeline.graph import layout_coords, layout_svg
+        sim, contigs, tours, g = assembly
+        coords = layout_coords(g)
+        verts = {e.src for v in g.edges for e in g.out_edges(v)} | \
+                {e.dst for v in g.edges for e in g.out_edges(v)}
+        assert set(coords) == verts          # every live vertex placed
+        # a clean contig path lays out monotonically: most edges
+        # advance x by their adv
+        ok = sum(1 for v in g.edges for e in g.out_edges(v)
+                 if abs((coords[e.dst][0] - coords[e.src][0]) - e.adv)
+                 < 1e-6)
+        total = max(g.n_edges(), 1)
+        assert ok / total > 0.5, f"{ok}/{total} edges respect adv"
+        xml = graphml(g, coords=coords)
+        assert 'attr.name="x"' in xml and '<data key="x">' in xml
+        svg = layout_svg(g, coords)
+        assert svg.count("<circle") == len(coords)
