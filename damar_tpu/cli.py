@@ -299,14 +299,14 @@ def cmd_tkshow(args):
 def cmd_lastitch(args):
     from damar_tpu.core.blocks import block_from_db
     from damar_tpu.formats.las import read_las, write_las
-    from damar_tpu.pipeline.overlap import retrace_las
+    from damar_tpu.pipeline.overlap import retrace_rows
     from damar_tpu.pipeline.scrub import stitch_las
     db = _db(args.db)
     las = read_las(args.las)
     stitched, needs = stitch_las(las, fuzz=args.fuzz)
-    if needs:
+    if len(needs):
         blk = block_from_db(db, args.block)
-        retrace_las(stitched, blk, blk, _ocfg(args), only=needs)
+        retrace_rows(stitched, needs, blk, blk, _ocfg(args))
     write_las(args.out or args.las, stitched)
     print(f"stitched {len(needs)} merges -> {stitched.novl} records")
 

@@ -567,6 +567,99 @@ def retrace_las(las: LasFile, blk_a: ReadBlock, blk_b: ReadBlock,
     return dropped
 
 
+def retrace_rows(las: LasFile, rows: np.ndarray, blk_a: ReadBlock,
+                 blk_b: ReadBlock, cfg: OverlapConfig) -> int:
+    """Columnar retrace_las: recompute trace arrays + diffs for the
+    given ROW INDICES of a columnar las in place (splicing the payload
+    buffer).  Rows whose recomputed trace is inconsistent are flagged
+    OVL_DISCARD with an empty trace.  Returns the number dropped."""
+    from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD,
+                                       H_BBPOS, H_BEPOS, H_BREAD,
+                                       H_DIFFS, H_FLAGS, H_TLEN)
+    from damar_tpu.formats.oflags import OVL_DISCARD
+    cols = las.columns
+    assert cols is not None, "retrace_rows needs a columnar las"
+    rows = np.asarray(rows, dtype=np.int64)
+    if not len(rows):
+        return 0
+    h = cols.headers
+    a_local = {int(i): j for j, i in enumerate(blk_a.ids)}
+    b_local = {int(i): j for j, i in enumerate(blk_b.ids)}
+    blk_b_rc = revcomp_block(blk_b)
+    a_bases = jnp.asarray(blk_a.bases)
+    sa = blk_a.starts.astype(np.int64)
+    sb = blk_b.starts.astype(np.int64)
+    small = cfg.tspace <= TRACE_XOVR
+    wide = _wide_trace_kernel(cfg)
+    new_rows: dict[int, np.ndarray] = {}
+    dropped = 0
+    S = cfg.seed_batch
+    comp_bits = (h[rows, H_FLAGS] & 1).astype(bool)
+    for comp in (False, True):
+        sel = rows[comp_bits == comp]
+        if not len(sel):
+            continue
+        sel = sel[np.argsort(h[sel, H_AEPOS] - h[sel, H_ABPOS],
+                             kind="stable")]
+        bb = jnp.asarray((blk_b_rc if comp else blk_b).bases)
+        for lo in range(0, len(sel), S):
+            chunk_rows = sel[lo:lo + S]
+            coords = dict(
+                ar=np.array([a_local[int(r)] for r in
+                             h[chunk_rows, H_AREAD]], np.int32),
+                br=np.array([b_local[int(r)] for r in
+                             h[chunk_rows, H_BREAD]], np.int32),
+                abp=h[chunk_rows, H_ABPOS].astype(np.int32),
+                aep=h[chunk_rows, H_AEPOS].astype(np.int32),
+                bbp=h[chunk_rows, H_BBPOS].astype(np.int32),
+                bep=h[chunk_rows, H_BEPOS].astype(np.int32))
+            res = _trace_batch(a_bases, bb, sa, sb, coords, cfg,
+                               kernel=wide)
+            offs, okv, packed, dsum = res
+            for i, r in enumerate(chunk_rows):
+                if not okv[i]:
+                    h[r, H_FLAGS] = np.int32(
+                        np.uint32(h[r, H_FLAGS]) | OVL_DISCARD)
+                    h[r, H_TLEN] = 0
+                    new_rows[int(r)] = np.zeros((0, 2), np.int32)
+                    dropped += 1
+                else:
+                    tr = packed[offs[i]:offs[i + 1]]
+                    h[r, H_TLEN] = 2 * len(tr)
+                    h[r, H_DIFFS] = int(dsum[i])
+                    new_rows[int(r)] = tr
+    # splice the payload: rebuild offsets with the new per-row lengths
+    width = 2 if small else 4
+    lens = np.diff(cols.offsets)
+    new_lens = lens.copy()
+    for r, tr in new_rows.items():
+        new_lens[r] = tr.shape[0] * width
+    offs2 = np.zeros(cols.n + 1, np.int64)
+    np.cumsum(new_lens, out=offs2[1:])
+    buf = np.zeros(int(offs2[-1]), np.uint8)
+    untouched = np.ones(cols.n, bool)
+    untouched[list(new_rows)] = False
+    # bulk-copy untouched rows' bytes, then write the recomputed ones
+    if cols.offsets[-1]:
+        src = np.arange(int(cols.offsets[-1]), dtype=np.int64)[
+            np.repeat(untouched, lens)]
+        if len(src):
+            u = np.nonzero(untouched)[0]
+            ul = lens[u]
+            dst = (np.arange(int(ul.sum()), dtype=np.int64)
+                   - np.repeat(np.cumsum(ul) - ul, ul)
+                   + np.repeat(offs2[:-1][u], ul))
+            buf[dst] = cols.trace[src]
+    for r, tr in new_rows.items():
+        if tr.shape[0]:
+            flat = (tr.astype(np.uint8).reshape(-1) if small
+                    else tr.astype("<i2").reshape(-1).view(np.uint8))
+            buf[offs2[r]:offs2[r + 1]] = flat
+    cols.trace = buf
+    cols.offsets = offs2
+    return dropped
+
+
 def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                        cfg: OverlapConfig, self_block: bool,
                        mask_a=None, mask_b=None,

@@ -31,7 +31,7 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
     from damar_tpu.formats.fasta import revcomp, write_fasta
     from damar_tpu.pipeline import masking, scrub
     from damar_tpu.pipeline.consensus import full_layout, polish_contig
-    from damar_tpu.pipeline.overlap import retrace_las
+    from damar_tpu.pipeline.overlap import retrace_rows
     from damar_tpu.pipeline.planner import run_overlap_plan
     from damar_tpu.pipeline.touring import assemble, tour_layout
 
@@ -103,9 +103,9 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
             full = lasmod.read_las(p)
             stitched, needs = scrub.stitch_las(full,
                                                fuzz=cfg.scrub.stitch_fuzz)
-            if needs:
+            if len(needs):
                 blk = block_from_db(db, b)
-                retrace_las(stitched, blk, blk, cfg.overlap, only=needs)
+                retrace_rows(stitched, needs, blk, blk, cfg.overlap)
             qual, trim = scrub.q_and_trim(stitched, rlen_of, cfg.scrub)
             patched = scrub.fix_reads(stitched, seqs_of_raw, rlen_of,
                                       qual, cfg.scrub)
@@ -143,9 +143,9 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         full = lasmod.LasFile(cfg.overlap.tspace, merged)
         full.sort()
         stitched, needs = scrub.stitch_las(full, fuzz=cfg.scrub.stitch_fuzz)
-        if needs and fdb.nblocks <= 1:
+        if len(needs) and fdb.nblocks <= 1:
             blk = block_from_db(fdb, 1)
-            retrace_las(stitched, blk, blk, cfg.overlap, only=needs)
+            retrace_rows(stitched, needs, blk, blk, cfg.overlap)
         idx = {i: i for i in range(fdb.ureads)}
         rep = masking.repeat_track_relative(
             stitched, fdb.reads["rlen"], idx, fdb.ureads,

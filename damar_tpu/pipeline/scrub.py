@@ -51,43 +51,81 @@ def _cols_of(las: LasFile) -> LasColumns:
 
 # --- LAstitch ---------------------------------------------------------------
 
-def stitch_las(las: LasFile, fuzz: int = 100) -> tuple[LasFile, list[Overlap]]:
+def stitch_las(las: LasFile, fuzz: int = 100
+               ) -> tuple[LasFile, np.ndarray]:
     """Merge fragments of the same (a, b, comp) pair separated by a
     small unaligned gap (alignment broken at a noisy patch).
 
-    Returns (stitched las, list of merged records needing trace
-    recompute — their .trace is a placeholder and must be rebuilt by
-    the caller via the trace kernel before writing to disk).
+    Columnar: records sort by (aread, bread, comp, abpos); a chain is
+    a maximal run of consecutive rows where each extends the previous
+    within fuzz.  Merged records carry an EMPTY trace placeholder.
+
+    Returns (stitched las, row indices of merged records — callers
+    rebuild their traces with pipeline.overlap.retrace_rows before
+    writing to disk).
     """
-    groups: dict[tuple, list[Overlap]] = defaultdict(list)
-    for o in las.overlaps:
-        groups[(o.aread, o.bread, o.flags & OVL_COMP)].append(o)
-    out: list[Overlap] = []
-    needs_trace: list[Overlap] = []
-    for g in groups.values():
-        g.sort(key=lambda o: o.abpos)
-        cur = g[0]
-        for nxt in g[1:]:
-            agap = nxt.abpos - cur.aepos
-            bgap = nxt.bbpos - cur.bepos
-            if -fuzz <= agap <= fuzz and -fuzz <= bgap <= fuzz \
-                    and nxt.aepos > cur.aepos and nxt.bepos > cur.bepos:
-                cur = Overlap(
-                    aread=cur.aread, bread=cur.bread,
-                    flags=cur.flags | OVL_STITCH,
-                    abpos=cur.abpos, aepos=nxt.aepos,
-                    bbpos=cur.bbpos, bepos=nxt.bepos,
-                    diffs=cur.diffs + nxt.diffs + abs(agap) + abs(bgap),
-                    trace=np.zeros((0, 2), np.int32))
-                if cur not in needs_trace:
-                    needs_trace.append(cur)
-            else:
-                out.append(cur)
-                cur = nxt
-        out.append(cur)
-    res = LasFile(tspace=las.tspace, overlaps=out)
+    cols = _cols_of(las)
+    n = cols.n
+    if n == 0:
+        return LasFile(tspace=las.tspace,
+                       columns=LasColumns.empty()), np.zeros(0, np.int64)
+    h0 = cols.headers
+    order = np.lexsort((h0[:, H_ABPOS], h0[:, H_FLAGS] & 1,
+                        h0[:, H_BREAD], h0[:, H_AREAD]))
+    c = cols.permute(order)
+    h = c.headers
+    same = ((h[1:, H_AREAD] == h[:-1, H_AREAD])
+            & (h[1:, H_BREAD] == h[:-1, H_BREAD])
+            & ((h[1:, H_FLAGS] & 1) == (h[:-1, H_FLAGS] & 1)))
+    agap = h[1:, H_ABPOS] - h[:-1, H_AEPOS]
+    bgap = h[1:, H_BBPOS] - h[:-1, H_BEPOS]
+    chain = (same & (agap >= -fuzz) & (agap <= fuzz)
+             & (bgap >= -fuzz) & (bgap <= fuzz)
+             & (h[1:, H_AEPOS] > h[:-1, H_AEPOS])
+             & (h[1:, H_BEPOS] > h[:-1, H_BEPOS]))
+    new_chain = np.concatenate([[True], ~chain])
+    cid = np.cumsum(new_chain) - 1
+    nch = int(cid[-1]) + 1
+    first = np.nonzero(new_chain)[0]
+    last = np.concatenate([first[1:] - 1, [n - 1]])
+    size = last - first + 1
+    out_h = np.zeros((nch, 10), np.int32)
+    out_h[:, H_AREAD] = h[first, H_AREAD]
+    out_h[:, H_BREAD] = h[first, H_BREAD]
+    out_h[:, H_ABPOS] = h[first, H_ABPOS]
+    out_h[:, H_BBPOS] = h[first, H_BBPOS]
+    out_h[:, H_AEPOS] = h[last, H_AEPOS]
+    out_h[:, H_BEPOS] = h[last, H_BEPOS]
+    # diffs: sum over the chain + junction gap penalties
+    pen = (np.abs(agap) + np.abs(bgap)).astype(np.int64)
+    dsum = np.add.reduceat(h[:, H_DIFFS].astype(np.int64), first)
+    dsum += np.bincount(cid[1:][chain], pen[chain], minlength=nch) \
+        .astype(np.int64)
+    out_h[:, H_DIFFS] = dsum
+    merged = size > 1
+    out_h[:, H_FLAGS] = np.where(
+        merged,
+        (h[first, H_FLAGS].view(np.uint32) | OVL_STITCH)
+        .view(np.int32),
+        h[first, H_FLAGS])
+    out_h[:, H_TLEN] = np.where(merged, 0, h[first, H_TLEN])
+    # payload: singles keep their trace bytes, merged rows are empty
+    lens = np.diff(c.offsets)
+    keep_lens = np.where(merged, 0, lens[first])
+    offs = np.zeros(nch + 1, np.int64)
+    np.cumsum(keep_lens, out=offs[1:])
+    total = int(offs[-1])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(offs[:-1], keep_lens)
+           + np.repeat(c.offsets[:-1][first], keep_lens))
+    out = LasColumns(out_h, c.trace[pos], offs)
+    res = LasFile(tspace=las.tspace, columns=out)
     res.sort()
-    return res, needs_trace
+    # sorting permutes rows: recover merged-row indices from flags+tlen
+    hh = res.columns.headers
+    needs = np.nonzero((hh[:, H_FLAGS].view(np.uint32) & OVL_STITCH
+                        ).astype(bool) & (hh[:, H_TLEN] == 0))[0]
+    return res, needs
 
 
 # --- LAq --------------------------------------------------------------------

@@ -76,11 +76,12 @@ class TestStitch:
         las = LasFile(100, [o1, o2, far])
         stitched, needs = scrub.stitch_las(las, fuzz=100)
         assert stitched.novl == 2
+        assert len(needs) == 1
         merged = [o for o in stitched.overlaps if o.flags & OVL_STITCH]
         assert len(merged) == 1
         m = merged[0]
         assert (m.abpos, m.aepos, m.bbpos, m.bepos) == (0, 1020, 0, 1015)
-        assert needs and needs[0] is m
+        assert m.diffs == 25 + 25 + 20 + 15   # chain diffs + gap penalty
 
 
 class TestFix:
@@ -89,7 +90,7 @@ class TestFix:
         reads; the stitch -> retrace -> q -> fix pipeline must restore
         those regions to near-normal identity, the lineage's core
         'patch' capability (SURVEY.md §2.6 LAfix)."""
-        from damar_tpu.pipeline.overlap import retrace_las
+        from damar_tpu.pipeline.overlap import retrace_rows
         import damar_tpu.formats.fasta as F
         sim = small_sim
         rng = np.random.default_rng(77)
@@ -111,8 +112,8 @@ class TestFix:
         rlen_of = {i: len(r) for i, r in enumerate(reads)}
         # stitch across the corruption, recompute merged traces
         stitched, needs = scrub.stitch_las(las, fuzz=300)
-        assert needs, "no stitched records (corruption did not split?)"
-        retrace_las(stitched, blk, blk, CFG, only=needs)
+        assert len(needs), "no stitched records (corruption did not split?)"
+        retrace_rows(stitched, needs, blk, blk, CFG)
         qual, trim = scrub.q_and_trim(stitched, rlen_of, SCFG)
 
         def seqs_of(j, comp):
