@@ -221,15 +221,57 @@ class PatchedRead:
     src_interval: tuple[int, int]   # A interval the part came from
 
 
-def _b_range_for_segments(o: Overlap, ts: int, seg_lo: int, seg_hi: int
-                          ) -> tuple[int, int]:
-    """B interval spanned by absolute segments [seg_lo, seg_hi) of this
-    alignment, via cumulative trace b-spans."""
-    s0 = o.abpos // ts
-    cum = np.concatenate([[0], np.cumsum(o.trace[:, 1])])
-    lo = o.bbpos + int(cum[seg_lo - s0])
-    hi = o.bbpos + int(cum[seg_hi - s0])
-    return lo, hi
+def _best_covers(las: LasFile, ts: int):
+    """Per (aread, absolute segment) best covering alignment, fully
+    vectorized over the columnar trace tensor.
+
+    Returns dict aread -> dict seg -> (diffs, bread, comp, b_lo, b_hi)
+    where [b_lo, b_hi) is the B interval spanned by that segment of
+    the winning alignment (via cumulative trace b-spans)."""
+    cols = _cols_of(las)
+    if cols.n == 0:
+        return {}
+    h = cols.headers
+    small = las.small
+    rows = _decode_trace(cols.trace, small)
+    seg_off = cols.offsets // (2 if small else 4)
+    lens = np.diff(seg_off)
+    rid = np.repeat(np.arange(cols.n), lens)
+    k = np.arange(rows.shape[0]) - np.repeat(seg_off[:-1], lens)
+    abp = h[rid, H_ABPOS].astype(np.int64)
+    aep = h[rid, H_AEPOS].astype(np.int64)
+    seg = abp // ts + k
+    a_lo = np.maximum(abp, seg * ts)
+    a_hi = np.minimum(aep, (seg + 1) * ts)
+    full = a_hi - a_lo == ts
+    # cumulative b-span within each record -> segment B interval
+    cum = np.cumsum(rows[:, 1].astype(np.int64))
+    s0 = np.minimum(seg_off[:-1], max(rows.shape[0] - 1, 0))
+    base = np.repeat(cum[s0] - rows[s0, 1], lens)
+    cum_before = cum - rows[:, 1] - base
+    b_lo = h[rid, H_BBPOS].astype(np.int64) + cum_before
+    b_hi = b_lo + rows[:, 1]
+    aread = h[rid, H_AREAD].astype(np.int64)
+    # best (min diffs) per (aread, seg): sort and take group heads
+    sel = np.nonzero(full)[0]
+    if not len(sel):
+        return {}
+    key_r = aread[sel]
+    key_s = seg[sel]
+    d = rows[sel, 0].astype(np.int64)
+    order = np.lexsort((d, key_s, key_r))
+    sr, ss = key_r[order], key_s[order]
+    head = np.concatenate([[True], (sr[1:] != sr[:-1])
+                           | (ss[1:] != ss[:-1])])
+    out: dict = {}
+    for g in np.nonzero(head)[0]:
+        i = sel[order[g]]
+        r = int(aread[i])
+        out.setdefault(r, {})[int(seg[i])] = (
+            int(rows[i, 0]), int(h[rid[i], H_BREAD]),
+            bool(np.uint32(h[rid[i], H_FLAGS]) & OVL_COMP),
+            int(b_lo[i]), int(b_hi[i]))
+    return out
 
 
 def fix_reads(las: LasFile, seqs_of, rlen_of: dict[int, int],
@@ -241,9 +283,12 @@ def fix_reads(las: LasFile, seqs_of, rlen_of: dict[int, int],
     seqs_of(read_id, comp) -> base codes of that read (comp: reverse
     complement, used because COMP alignments express B in complement
     coordinates).  Returns patched read parts within trim intervals.
+    Best-cover selection is one vectorized pass over the columnar
+    trace tensor (_best_covers); only the output assembly walks
+    per-read segments.
     """
     ts = las.tspace
-    pls = piles(las)
+    best_all = _best_covers(las, ts)
     out: list[PatchedRead] = []
     targets = reads_to_fix if reads_to_fix is not None else sorted(qual)
     for aread in targets:
@@ -251,20 +296,8 @@ def fix_reads(las: LasFile, seqs_of, rlen_of: dict[int, int],
         rl = rlen_of[aread]
         aseq = seqs_of(aread, False)
         nseg = len(q)
-        # best covering alignment per full segment
-        best: list[Overlap | None] = [None] * nseg
-        bestd = np.full(nseg, 1 << 30)
-        for o in pls.get(aread, []):
-            s0 = o.abpos // ts
-            for k in range(len(o.trace)):
-                seg = s0 + k
-                a_lo = max(o.abpos, seg * ts)
-                a_hi = min(o.aepos, (seg + 1) * ts)
-                if a_hi - a_lo == ts and int(o.trace[k, 0]) < bestd[seg]:
-                    bestd[seg] = int(o.trace[k, 0])
-                    best[seg] = o
+        best = best_all.get(aread, {})
         # build patched sequence segment by segment; split at gaps
-        parts: list[np.ndarray] = []
         cur: list[np.ndarray] = []
         cur_lo = None
         last_seg_end = 0
@@ -283,16 +316,16 @@ def fix_reads(las: LasFile, seqs_of, rlen_of: dict[int, int],
         for seg in range(nseg):
             a_lo = seg * ts
             a_hi = min((seg + 1) * ts, rl)
-            if q[seg] == Q_NOCOV and bestd[seg] >= (1 << 30):
+            b = best.get(seg)
+            if q[seg] == Q_NOCOV and b is None:
                 # uncovered: break the read here
                 flush(a_lo)
                 continue
             if cur_lo is None:
                 cur_lo = a_lo
-            if q[seg] > cfg.q_bad and best[seg] is not None:
-                o = best[seg]
-                blo, bhi = _b_range_for_segments(o, ts, seg, seg + 1)
-                bseq = seqs_of(o.bread, bool(o.flags & OVL_COMP))
+            if q[seg] > cfg.q_bad and b is not None:
+                _, bread, comp, blo, bhi = b
+                bseq = seqs_of(bread, comp)
                 cur.append(bseq[blo:bhi])
             else:
                 cur.append(aseq[a_lo:a_hi])
