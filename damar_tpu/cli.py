@@ -145,9 +145,12 @@ def cmd_hpc_plan(args):
 
 
 def cmd_overlap_all(args):
+    from damar_tpu.parallel.distributed import init_multihost
     from damar_tpu.pipeline.planner import run_overlap_plan
+    host = args.host if args.host >= 0 else init_multihost()
     st = run_overlap_plan(args.db, _ocfg(args),
-                          mask_names=args.mask or None)
+                          mask_names=args.mask or None,
+                          nhosts=args.nhosts, host_id=host)
     print(json.dumps(st))
 
 
@@ -543,7 +546,11 @@ def build_parser():
          A("-o", "--out", default=None), *ocfg_args)
     tool("hpc-plan", cmd_hpc_plan, A("db"))
     tool("overlap-all", cmd_overlap_all, A("db"),
-         A("-m", "--mask", action="append", default=[]), *ocfg_args)
+         A("-m", "--mask", action="append", default=[]),
+         A("--nhosts", type=int, default=1),
+         A("--host", type=int, default=-1,
+           help="host index; -1 = from launcher env (init_multihost)"),
+         *ocfg_args)
 
     tool("lasort", cmd_lasort, A("las", nargs="+"))
     tool("lamerge", cmd_lamerge, A("out"), A("inputs", nargs="+"))

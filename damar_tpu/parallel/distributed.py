@@ -212,3 +212,56 @@ def distributed_overlap(blocks: list, cfg: OverlapConfig,
     exts, counts, total = mapped(a_bases, a_rid, a_starts,
                                  a_bases, a_rid, a_starts)
     return np.asarray(exts), np.asarray(counts), np.asarray(total)[0]
+
+
+# --- multi-host scale-out (SURVEY.md §2.9-2.10, §5.8) -----------------------
+
+def init_multihost(coordinator: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> int:
+    """jax.distributed initialization for a multi-host pod slice.
+
+    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    when arguments are omitted (the launcher contract of a SLURM-style
+    array, mirroring how the reference's HPC planners parameterize
+    array elements).  Returns this host's process index; a no-op 0 in
+    single-process runs so all callers can be launcher-agnostic.
+    """
+    import os
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return 0
+    num_processes = int(num_processes
+                        or os.environ.get("JAX_NUM_PROCESSES", "1"))
+    process_id = int(process_id
+                     if process_id is not None
+                     else os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
+def block_pair_matrix(nblocks: int) -> list[tuple[int, int]]:
+    """The reference's HPC.daligner job matrix: all unordered block
+    pairs (i <= j), i.e. N(N+1)/2 comparisons."""
+    return [(i, j) for i in range(1, nblocks + 1)
+            for j in range(i, nblocks + 1)]
+
+
+def host_pair_slice(nblocks: int, nhosts: int, host_id: int
+                    ) -> list[tuple[int, int]]:
+    """Deterministic partition of the block-pair matrix across hosts.
+
+    Pairs are dealt round-robin in matrix order so every host gets an
+    equal mix of cheap (sparse) and expensive (self/dense) pairs —
+    contiguous chunks would give host 0 all the early self-heavy
+    rows.  Union over hosts is the full matrix; slices are disjoint.
+    The shared filesystem remains the only rendezvous, exactly like
+    the reference: each host writes its pairs' .las shards and marks
+    the per-pair manifest, and any host (or a later rerun) performs
+    the merge once all pairs are done.
+    """
+    if not (0 <= host_id < nhosts):
+        raise ValueError(f"host_id {host_id} not in [0, {nhosts})")
+    return block_pair_matrix(nblocks)[host_id::nhosts]

@@ -152,8 +152,14 @@ class Manifest:
     def __init__(self, path: str):
         self.path = path
         self.done: dict[str, dict] = {}
-        if os.path.exists(path):
-            with open(path) as f:
+        self.reload()
+
+    def reload(self) -> None:
+        """Re-read the JSONL from disk: on a shared filesystem other
+        hosts' appended done-markers become visible (the multi-host
+        rendezvous)."""
+        if os.path.exists(self.path):
+            with open(self.path) as f:
                 for line in f:
                     line = line.strip()
                     if line:
@@ -172,11 +178,17 @@ class Manifest:
 
 def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
                      manifest_path: str = None, verbose: bool = True,
-                     mask_names: list[str] | None = None) -> dict:
-    """Execute the full overlap job matrix for a split DB, idempotently.
+                     mask_names: list[str] | None = None,
+                     nhosts: int = 1, host_id: int = 0) -> dict:
+    """Execute the overlap job matrix for a split DB, idempotently.
 
-    Returns stats.  Single-host execution; each pair runs the device
-    pipeline via overlap_block_pair (device-parallel within the pair).
+    Returns stats.  Each pair runs the device pipeline via
+    overlap_block_pair (device-parallel within the pair).  With
+    nhosts > 1, this host processes only its round-robin slice of the
+    pair matrix (parallel/distributed.host_pair_slice) — launch one
+    process per host a la SLURM array, sharing the filesystem; the
+    per-A-block merge runs once every pair of that block is marked
+    done in the shared manifest (any host may perform it).
     """
     import time
     from damar_tpu.core.blocks import block_from_db
@@ -215,9 +227,10 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
                     per_read, blk.starts, blk.cap)
         return blocks[i], masks.get(i)
 
+    from damar_tpu.parallel.distributed import host_pair_slice
+    pairs = host_pair_slice(n, nhosts, host_id)
     size_hints: dict = {}
-    for i in range(1, n + 1):
-        for j in range(i, n + 1):
+    for i, j in pairs:
             name = f"overlap.{i}.{j}"
             out_a = os.path.join(las_dir, f"{root}.{i}.{root}.{j}.las")
             out_b = os.path.join(las_dir, f"{root}.{j}.{root}.{i}.las")
@@ -244,11 +257,21 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
             if verbose:
                 print(f"# {name}: {la.novl} overlaps "
                       f"({time.time() - t0:.1f}s) {st}")
-    # merge per A-block
+    # merge per A-block — only once EVERY pair touching the block is
+    # done (multi-host runs reach this point per host; the manifest on
+    # the shared filesystem is the rendezvous, like the reference)
+    manifest.reload()
     for i in range(1, n + 1):
         name = f"merge.{i}"
         out = os.path.join(las_dir, f"{root}.{i}.las")
         if manifest.is_done(name) and os.path.exists(out):
+            continue
+        ready = all(
+            manifest.is_done(f"overlap.{min(i, j)}.{max(i, j)}")
+            for j in range(1, n + 1))
+        if not ready:
+            stats.setdefault("merges_deferred", 0)
+            stats["merges_deferred"] += 1
             continue
         ins = []
         for j in range(1, n + 1):

@@ -83,3 +83,63 @@ class TestRingOverlap:
         bases, rid, starts = shard_blocks(blocks, mesh8)
         assert bases.shape == (8, cap)
         assert len(bases.sharding.device_set) == 8
+
+
+class TestMultiHost:
+    def test_host_pair_slice_partitions_matrix(self):
+        from damar_tpu.parallel.distributed import (block_pair_matrix,
+                                                    host_pair_slice)
+        for n, h in ((1, 1), (5, 2), (7, 3), (10, 4)):
+            full = block_pair_matrix(n)
+            assert len(full) == n * (n + 1) // 2
+            slices = [host_pair_slice(n, h, k) for k in range(h)]
+            got = [p for s in slices for p in s]
+            assert sorted(got) == sorted(full)           # exhaustive
+            assert len(set(got)) == len(got)             # disjoint
+            sizes = [len(s) for s in slices]
+            assert max(sizes) - min(sizes) <= 1          # balanced
+
+    def test_two_host_plan_equals_single_host(self, tmp_path):
+        """Two 'hosts' running their slices over a shared dir produce
+        the same merged .las set as one host (file rendezvous)."""
+        import glob
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.formats import dazzdb, las as lasmod
+        from damar_tpu.pipeline.planner import run_overlap_plan
+        from damar_tpu.utils.sim import (make_genome, sample_reads,
+                                         write_sim_fasta)
+        g = make_genome(150_000, seed=31)
+        sim = sample_reads(g, coverage=8, mean_len=3000, err=0.12,
+                           seed=32)
+        cfg = OverlapConfig(min_len=800)
+        outs = {}
+        for mode in ("single", "multi"):
+            w = str(tmp_path / mode)
+            import os
+            os.makedirs(w)
+            write_sim_fasta(f"{w}/r.fasta", sim)
+            dazzdb.create_db(f"{w}/E.db", [f"{w}/r.fasta"])
+            dazzdb.db_split(f"{w}/E.db", size_mb=1, cutoff=500)
+            assert dazzdb.DazzDB.open(f"{w}/E.db").nblocks >= 2
+            if mode == "single":
+                run_overlap_plan(f"{w}/E.db", cfg, verbose=False)
+            else:
+                s0 = run_overlap_plan(f"{w}/E.db", cfg, verbose=False,
+                                      nhosts=2, host_id=0)
+                s1 = run_overlap_plan(f"{w}/E.db", cfg, verbose=False,
+                                      nhosts=2, host_id=1)
+                assert s0["pairs"] + s1["pairs"] >= 1
+            outs[mode] = {
+                os.path.basename(p): lasmod.read_las(p)
+                for p in sorted(glob.glob(f"{w}/E.[0-9].las"))}
+        assert outs["single"].keys() == outs["multi"].keys()
+        assert outs["multi"], "no merged outputs"
+        for k in outs["single"]:
+            a, b = outs["single"][k], outs["multi"][k]
+            assert a.novl == b.novl, (k, a.novl, b.novl)
+            ha = a.columns.headers if a.columns is not None else None
+            hb = b.columns.headers if b.columns is not None else None
+            assert ha is not None and hb is not None
+            np.testing.assert_array_equal(ha, hb)
+            np.testing.assert_array_equal(a.columns.trace,
+                                          b.columns.trace)
