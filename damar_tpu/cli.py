@@ -145,12 +145,24 @@ def cmd_hpc_plan(args):
 
 
 def cmd_overlap_all(args):
+    import os
     from damar_tpu.parallel.distributed import init_multihost
     from damar_tpu.pipeline.planner import run_overlap_plan
-    host = args.host if args.host >= 0 else init_multihost()
+    nhosts = args.nhosts
+    if args.host >= 0:
+        host = args.host
+    else:
+        host = init_multihost()
+        # launcher-env mode: the host count comes from the same
+        # contract as the host index, or every rank > 0 would be out
+        # of range of the default nhosts=1
+        if nhosts == 1:
+            import jax
+            nhosts = int(os.environ.get("JAX_NUM_PROCESSES", 0)) \
+                or jax.process_count()
     st = run_overlap_plan(args.db, _ocfg(args),
                           mask_names=args.mask or None,
-                          nhosts=args.nhosts, host_id=host)
+                          nhosts=nhosts, host_id=host)
     print(json.dumps(st))
 
 
@@ -308,8 +320,11 @@ def cmd_lastitch(args):
     las = read_las(args.las)
     stitched, needs = stitch_las(las, fuzz=args.fuzz)
     if len(needs):
+        from damar_tpu.pipeline.run import _reads_subset_block
         blk = block_from_db(db, args.block)
-        retrace_rows(stitched, needs, blk, blk, _ocfg(args))
+        retrace_rows(stitched, needs, blk,
+                     _reads_subset_block(db, stitched, needs, side="b"),
+                     _ocfg(args))
     write_las(args.out or args.las, stitched)
     print(f"stitched {len(needs)} merges -> {stitched.novl} records")
 

@@ -86,6 +86,32 @@ class Overlap:
                 f"d={self.diffs} [{flag_str(self.flags)}])")
 
 
+def _gather_ragged(trace: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray, chunk_bytes: int = 1 << 25
+                   ) -> np.ndarray:
+    """Gather ragged byte runs trace[starts[i]:starts[i]+lens[i]] into
+    one contiguous buffer, processing bounded record chunks — the
+    naive arange+repeat index arrays are int64, i.e. 8-16x the payload
+    itself, a multi-GB transient at block scale."""
+    out_off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    out = np.empty(int(out_off[-1]), np.uint8)
+    n = len(lens)
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(out_off, out_off[lo] + chunk_bytes,
+                                 side="left"))
+        hi = min(max(hi, lo + 1), n)
+        ls = lens[lo:hi]
+        total = int(out_off[hi] - out_off[lo])
+        pos = (np.arange(total, dtype=np.int64)
+               - np.repeat(out_off[lo:hi] - out_off[lo], ls)
+               + np.repeat(starts[lo:hi], ls))
+        out[out_off[lo]:out_off[hi]] = trace[pos]
+        lo = hi
+    return out
+
+
 class LasColumns:
     """Columnar .las payload.
 
@@ -125,11 +151,9 @@ class LasColumns:
         lens_o = lens[order]
         new_off = np.zeros(len(order) + 1, np.int64)
         np.cumsum(lens_o, out=new_off[1:])
-        total = int(new_off[-1])
-        pos = (np.arange(total, dtype=np.int64)
-               - np.repeat(new_off[:-1], lens_o)
-               + np.repeat(starts, lens_o))
-        return LasColumns(self.headers[order], self.trace[pos], new_off)
+        return LasColumns(self.headers[order],
+                          _gather_ragged(self.trace, starts, lens_o),
+                          new_off)
 
     @staticmethod
     def concat(parts: list["LasColumns"]) -> "LasColumns":
@@ -302,34 +326,46 @@ def n_segments(abpos: int, aepos: int, tspace: int) -> int:
     return (aepos - 1) // tspace - abpos // tspace + 1
 
 
-def write_las(path: str, las: LasFile) -> None:
-    """Bulk columnar writer: assembles the whole file image in one
-    numpy buffer (header-byte scatter + payload shift) and writes it
-    with a single syscall — the per-record write loop cost ~10 us per
-    record, block pairs emit 10^5-10^6."""
+def write_las(path: str, las: LasFile, _chunk: int = 1 << 25) -> None:
+    """Bulk columnar writer: assembles the file image in bounded
+    record chunks (interleaved header/payload scatter per chunk, a few
+    syscalls total) — a per-record write loop costs ~10 us per record
+    and a whole-file scatter builds int64 index arrays 8-16x the
+    payload; block pairs emit 10^5-10^6 records."""
     cols = las.columns
     if cols is None:
         cols = _overlaps_to_columns(las.overlaps, las.small)
     n = cols.n
     lens = np.diff(cols.offsets)
-    rec_starts = 12 + 40 * np.arange(n, dtype=np.int64) + cols.offsets[:-1]
-    total = 12 + 40 * n + int(cols.offsets[-1])
-    out = np.empty(total, np.uint8)
-    out[:8] = np.frombuffer(np.int64(n).tobytes(), np.uint8)
-    out[8:12] = np.frombuffer(np.int32(las.tspace).tobytes(), np.uint8)
-    if n:
-        hdr = np.ascontiguousarray(cols.headers).view(np.uint8) \
-            .reshape(n, 40)
-        dst = (rec_starts[:, None] + np.arange(40, dtype=np.int64)) \
-            .reshape(-1)
-        out[dst] = hdr.reshape(-1)
-        if cols.offsets[-1]:
-            shift = rec_starts + 40 - cols.offsets[:-1]
-            tp = (np.arange(int(cols.offsets[-1]), dtype=np.int64)
-                  + np.repeat(shift, lens))
-            out[tp] = cols.trace
+    hdr = np.ascontiguousarray(cols.headers).view(np.uint8) \
+        .reshape(max(n, 1), 40) if n else None
+    CHUNK = _chunk
     with open(path, "wb") as f:
-        out.tofile(f)
+        f.write(np.int64(n).tobytes())
+        f.write(np.int32(las.tspace).tobytes())
+        lo = 0
+        while lo < n:
+            hi = int(np.searchsorted(cols.offsets,
+                                     cols.offsets[lo] + CHUNK,
+                                     side="left"))
+            hi = min(max(hi, lo + 1), n)
+            k = hi - lo
+            pay = int(cols.offsets[hi] - cols.offsets[lo])
+            buf = np.empty(40 * k + pay, np.uint8)
+            rec_starts = (40 * np.arange(k, dtype=np.int64)
+                          + cols.offsets[lo:hi] - cols.offsets[lo])
+            dst = (rec_starts[:, None]
+                   + np.arange(40, dtype=np.int64)).reshape(-1)
+            buf[dst] = hdr[lo:hi].reshape(-1)
+            if pay:
+                ls = lens[lo:hi]
+                shift = rec_starts + 40 - (cols.offsets[lo:hi]
+                                           - cols.offsets[lo])
+                tp = (np.arange(pay, dtype=np.int64)
+                      + np.repeat(shift, ls))
+                buf[tp] = cols.trace[cols.offsets[lo]:cols.offsets[hi]]
+            buf.tofile(f)
+            lo = hi
 
 
 def read_las_columns(path: str) -> tuple[int, LasColumns]:

@@ -212,7 +212,11 @@ int64_t band_align(const uint8_t *a, int32_t m, const uint8_t *b,
                    uint8_t *ops_out, int64_t ops_cap,
                    int32_t *jstart_out) {
     const int32_t width = 2 * band + 1;
-    const int32_t off = (n - m) / 2;
+    /* FLOOR division to mirror Python's (n - m) // 2: C's / truncates
+     * toward zero, shifting the band frame one diagonal when n - m is
+     * negative and odd. */
+    const int32_t nm = n - m;
+    const int32_t off = nm >= 0 ? nm / 2 : -((-nm + 1) / 2);
     const int32_t ctr = band;
     int32_t *D = (int32_t *)malloc((size_t)(m + 1) * width * 4);
     if (!D) return -1;

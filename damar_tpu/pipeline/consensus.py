@@ -288,8 +288,11 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
     ivs: list = [None] * nwin
     ncov = np.zeros(nwin, np.int64)
     for read, d, start in layout:
-        s = seq_of(read, d)
         w_first = max(0, -(-start // window))
+        if w_first >= nwin:      # placement past the contig (e.g. a
+            continue             # +length wrap copy): no window, and
+                                 # no seq_of() materialization either
+        s = seq_of(read, d)
         cursor = w_first * window - start
         first = True
         for w in range(w_first, nwin):

@@ -571,7 +571,8 @@ def retrace_rows(las: LasFile, rows: np.ndarray, blk_a: ReadBlock,
                  blk_b: ReadBlock, cfg: OverlapConfig) -> int:
     """Columnar retrace_las: recompute trace arrays + diffs for the
     given ROW INDICES of a columnar las in place (splicing the payload
-    buffer).  Rows whose recomputed trace is inconsistent are flagged
+    buffer).  Rows whose recomputed trace is inconsistent — or whose
+    reads are not present in the provided blocks — are flagged
     OVL_DISCARD with an empty trace.  Returns the number dropped."""
     from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD,
                                        H_BBPOS, H_BEPOS, H_BREAD,
@@ -594,6 +595,20 @@ def retrace_rows(las: LasFile, rows: np.ndarray, blk_a: ReadBlock,
     new_rows: dict[int, np.ndarray] = {}
     dropped = 0
     S = cfg.seed_batch
+    # rows whose reads aren't in the provided blocks can't be retraced
+    # here (e.g. a per-block pile whose B-read lives in another block
+    # and no combined block was passed): discard, don't crash
+    known = np.array([int(a) in a_local and int(b) in b_local
+                      for a, b in zip(h[rows, H_AREAD],
+                                      h[rows, H_BREAD])])
+    for r in rows[~known]:
+        h[r, H_FLAGS] = np.int32(np.uint32(h[r, H_FLAGS]) | OVL_DISCARD)
+        h[r, H_TLEN] = 0
+        new_rows[int(r)] = np.zeros((0, 2), np.int32)
+        dropped += 1
+    rows = rows[known]
+    if not len(rows):
+        rows = np.zeros(0, np.int64)
     comp_bits = (h[rows, H_FLAGS] & 1).astype(bool)
     for comp in (False, True):
         sel = rows[comp_bits == comp]

@@ -157,14 +157,20 @@ class Manifest:
     def reload(self) -> None:
         """Re-read the JSONL from disk: on a shared filesystem other
         hosts' appended done-markers become visible (the multi-host
-        rendezvous)."""
+        rendezvous).  Unparseable lines (torn multi-writer appends on
+        non-POSIX filesystems) are skipped, not fatal — a lost marker
+        only means the idempotent job reruns."""
         if os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         rec = json.loads(line)
-                        self.done[rec["name"]] = rec
+                    except json.JSONDecodeError:
+                        continue
+                    self.done[rec["name"]] = rec
 
     def is_done(self, name: str) -> bool:
         return name in self.done
@@ -172,8 +178,41 @@ class Manifest:
     def mark(self, name: str, **info) -> None:
         rec = {"name": name, **info}
         self.done[name] = rec
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        # one O_APPEND write syscall per record: atomic on POSIX local
+        # filesystems, so concurrent hosts' lines don't interleave
+        fd = os.open(self.path, os.O_WRONLY | os.O_APPEND | os.O_CREAT,
+                     0o644)
+        try:
+            os.write(fd, (json.dumps(rec) + "\n").encode())
+        finally:
+            os.close(fd)
+
+    def claim(self, name: str, stale_s: float = 3600.0) -> bool:
+        """Exclusive claim of a job across hosts via an O_EXCL lock
+        file next to the manifest.  Returns True when THIS process owns
+        the job.  A lock older than stale_s (a host died mid-job) is
+        broken and re-claimed."""
+        import time
+        lock = f"{self.path}.{name}.lock"
+        for _ in range(2):
+            try:
+                fd = os.open(lock, os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+                             0o644)
+                os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+                os.close(fd)
+                return True
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue     # lock vanished: retry the claim
+                if age <= stale_s:
+                    return False
+                try:
+                    os.remove(lock)      # stale: break and retry
+                except OSError:
+                    return False
+        return False
 
 
 def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
@@ -273,12 +312,18 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
             stats.setdefault("merges_deferred", 0)
             stats["merges_deferred"] += 1
             continue
+        # exclusive cross-host claim + write-to-tmp + atomic rename:
+        # several hosts can reach readiness simultaneously
+        if not manifest.claim(name):
+            continue
         ins = []
         for j in range(1, n + 1):
             p = os.path.join(las_dir, f"{root}.{i}.{root}.{j}.las")
             if os.path.exists(p):
                 ins.append(p)
         if ins:
-            lasmod.merge_las(ins, out)
+            tmp = f"{out}.tmp.{os.getpid()}"
+            lasmod.merge_las(ins, tmp)
+            os.replace(tmp, out)
             manifest.mark(name, inputs=len(ins))
     return stats

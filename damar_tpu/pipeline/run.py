@@ -24,6 +24,18 @@ import numpy as np
 from damar_tpu.core.config import PipelineConfig
 
 
+def _reads_subset_block(db, las, rows, side: str):
+    """A ReadBlock holding exactly the reads the given columnar rows
+    reference on one side — retrace against merged piles whose B (or
+    A) reads span blocks, without loading the whole DB."""
+    import numpy as np
+    from damar_tpu.core.blocks import block_from_reads
+    from damar_tpu.formats.las import H_AREAD, H_BREAD
+    col = H_AREAD if side == "a" else H_BREAD
+    ids = np.unique(las.columns.headers[np.asarray(rows), col])
+    return block_from_reads([db.read_seq(int(r)) for r in ids], ids=ids)
+
+
 def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
                  polish: bool = True, verbose: bool = True) -> dict:
     from damar_tpu.core.blocks import block_from_db
@@ -105,7 +117,12 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
                                                fuzz=cfg.scrub.stitch_fuzz)
             if len(needs):
                 blk = block_from_db(db, b)
-                retrace_rows(stitched, needs, blk, blk, cfg.overlap)
+                # B-reads of a block pile span the whole DB: retrace
+                # against a subset block of exactly the needed reads
+                retrace_rows(stitched, needs, blk,
+                             _reads_subset_block(
+                                 db, stitched, needs, side="b"),
+                             cfg.overlap)
             qual, trim = scrub.q_and_trim(stitched, rlen_of, cfg.scrub)
             patched = scrub.fix_reads(stitched, seqs_of_raw, rlen_of,
                                       qual, cfg.scrub)
@@ -143,9 +160,12 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         full = lasmod.LasFile(cfg.overlap.tspace, merged)
         full.sort()
         stitched, needs = scrub.stitch_las(full, fuzz=cfg.scrub.stitch_fuzz)
-        if len(needs) and fdb.nblocks <= 1:
-            blk = block_from_db(fdb, 1)
-            retrace_rows(stitched, needs, blk, blk, cfg.overlap)
+        if len(needs):
+            retrace_rows(
+                stitched, needs,
+                _reads_subset_block(fdb, stitched, needs, side="a"),
+                _reads_subset_block(fdb, stitched, needs, side="b"),
+                cfg.overlap)
         idx = {i: i for i in range(fdb.ureads)}
         rep = masking.repeat_track_relative(
             stitched, fdb.reads["rlen"], idx, fdb.ureads,

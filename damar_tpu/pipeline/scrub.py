@@ -234,6 +234,8 @@ def _best_covers(las: LasFile, ts: int):
     h = cols.headers
     small = las.small
     rows = _decode_trace(cols.trace, small)
+    if rows.shape[0] == 0:       # only empty traces (placeholders)
+        return {}
     seg_off = cols.offsets // (2 if small else 4)
     lens = np.diff(seg_off)
     rid = np.repeat(np.arange(cols.n), lens)
@@ -442,13 +444,19 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
     flags |= np.where(partial, OVL_DISCARD | OVL_GAP, 0)
     flags |= np.where(a_cont | b_cont, OVL_CONT, 0)
     if repeat_iv is not None:
+        # group rows by aread ONCE (a scan per repeat-read would be
+        # O(reads x records) on block-scale inputs)
         inside = np.zeros(n, bool)
-        for aread, iv in repeat_iv.items():
+        order = np.argsort(h[:, H_AREAD], kind="stable")
+        ar_s = h[order, H_AREAD]
+        g_start = np.concatenate([[0], np.nonzero(
+            ar_s[1:] != ar_s[:-1])[0] + 1])
+        g_end = np.concatenate([g_start[1:], [n]])
+        for s_, e_ in zip(g_start, g_end):
+            iv = repeat_iv.get(int(ar_s[s_]))
             if iv is None or not len(iv):
                 continue
-            sel = np.nonzero(h[:, H_AREAD] == aread)[0]
-            if not len(sel):
-                continue
+            sel = order[s_:e_]
             p = np.asarray(iv).reshape(-1, 2)
             inside[sel] = ((p[None, :, 0] <= abp[sel, None])
                            & (aep[sel, None] <= p[None, :, 1])).any(1)
