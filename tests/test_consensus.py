@@ -125,3 +125,45 @@ class TestPolishRounds:
         # the RATIO: 13% draft error must drop to well under half
         assert e_after < span * 0.05, (e_before, e_after)
         assert e_after < e_before * 0.4, (e_before, e_after)
+
+
+class TestPolishRead:
+    def test_read_correction_from_pile(self, rng):
+        """polish_read (corrector equivalent): a raw read's pile must
+        consensus-correct it well below its input error."""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.formats.fasta import revcomp
+        from damar_tpu.formats.las import LasFile
+        from damar_tpu.pipeline.consensus import polish_read
+        from damar_tpu.pipeline.overlap import overlap_block_pair
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(20_000, seed=51)
+        sim = sample_reads(g, coverage=12, mean_len=3000, err=0.12,
+                           seed=52, min_len=1500)
+        blk = block_from_reads(sim.reads)
+        cfg = OverlapConfig(min_len=800)
+        la, lb, _ = overlap_block_pair(blk, blk, cfg, self_block=True,
+                                       hit_cap=1 << 20, seed_cap=1 << 15)
+        las = LasFile.concat([la, lb])
+        las.sort()
+
+        def seqs_of(i, comp):
+            return revcomp(sim.reads[i]) if comp else sim.reads[i]
+
+        # pick a read with decent pile coverage
+        from collections import Counter
+        cnt = Counter(int(a) for a in
+                      las.columns.headers[:, 7])
+        aread = max(cnt, key=cnt.get)
+        rl = len(sim.reads[aread])
+        fixed = polish_read(aread, las, seqs_of, rl)
+        gg = np.concatenate([g, g])      # circular sampling can wrap
+        truth = gg[sim.start[aread]:sim.end[aread]]
+        if sim.strand[aread]:
+            truth = revcomp(truth)
+        e_raw = lev(sim.reads[aread][:2000], truth[:2000])
+        e_fix = lev(fixed[:2000], truth[:2000])
+        assert e_fix < e_raw * 0.6, (e_raw, e_fix)
