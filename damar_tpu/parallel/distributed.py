@@ -214,6 +214,60 @@ def distributed_overlap(blocks: list, cfg: OverlapConfig,
     return np.asarray(exts), np.asarray(counts), np.asarray(total)[0]
 
 
+def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
+                            mesh: Mesh | None = None,
+                            seed_cap: int = 4096,
+                            hit_cap: int = 1 << 18):
+    """Full distributed overlap to .las: ring-sweep extent discovery
+    on the mesh, then per-pair dedupe + trace emission through the
+    same path as the block-pair driver (overlap.las_from_extents).
+
+    Returns (las_list, counts, total): las_list[d] is the sorted
+    LasFile of A-block d against every block — the per-chip ".las
+    shard" of SURVEY.md §7.9; callers write the shards and merge them
+    deterministically on the host (formats.las.merge_las).
+    """
+    from damar_tpu.pipeline.overlap import (dedupe_extents,
+                                            las_from_extents)
+    from damar_tpu.formats.las import LasFile
+    exts, counts, total = distributed_overlap(
+        blocks, cfg, mesh=mesh, seed_cap=seed_cap, hit_cap=hit_cap)
+    n = len(blocks)
+    out = []
+    for d in range(n):
+        parts = []
+        for j in range(n):
+            b = (d - j) % n
+            rows = exts[d, j]
+            rows = rows[rows[:, 0] >= 0].astype(np.int32)
+            if not len(rows):
+                continue
+            kept_parts = []
+            for comp in (0, 1):
+                sel = rows[rows[:, 2] == comp]
+                if not len(sel):
+                    continue
+                ext = {"aread": sel[:, 0], "bread": sel[:, 1],
+                       "abpos": sel[:, 3], "aepos": sel[:, 4],
+                       "bbpos": sel[:, 5], "bepos": sel[:, 6],
+                       "diffs": np.zeros(len(sel), np.int32),
+                       "n": len(sel)}
+                kept = dedupe_extents(ext, cfg.min_len)
+                kept["comp"] = bool(comp)
+                if kept["n"]:
+                    kept_parts.append(kept)
+            if kept_parts:
+                la, _ = las_from_extents(blocks[d], blocks[b],
+                                         kept_parts, cfg,
+                                         emit_mirrors=False)
+                parts.append(la)
+        las = LasFile.concat(parts) if parts \
+            else LasFile(cfg.tspace, [])
+        las.sort()
+        out.append(las)
+    return out, counts, total
+
+
 # --- multi-host scale-out (SURVEY.md §2.9-2.10, §5.8) -----------------------
 
 def init_multihost(coordinator: str | None = None,

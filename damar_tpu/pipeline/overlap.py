@@ -745,8 +745,36 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     for kp, p in zip(kept_parts, ext_parts):
         kp["comp"] = p["comp"]
     stats["kept"] = sum(p["n"] for p in kept_parts)
+    las_a, las_b = las_from_extents(blk_a, blk_b, kept_parts, cfg,
+                                    emit_mirrors=emit_mirrors,
+                                    stats=stats, a_bases_d=a_bases_d,
+                                    blk_b_rc=blk_b_rc,
+                                    blk_a_rc=blk_a_rc)
+    return las_a, las_b, stats
 
-    a_bases = a_bases_d
+
+def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
+                     kept_parts: list[dict], cfg: OverlapConfig,
+                     emit_mirrors: bool = True, stats: dict | None = None,
+                     a_bases_d=None, blk_b_rc=None, blk_a_rc=None
+                     ) -> tuple[LasFile, LasFile]:
+    """Trace pass + columnar .las assembly for deduped extents.
+
+    kept_parts: columnar extent dicts (aread/bread LOCAL ids, .las
+    coordinates, a per-dict 'comp' flag).  Shared by the single-chip
+    block-pair driver and the distributed ring sweep (whose extents
+    arrive from the mesh and flow through the same emission).  Returns
+    (las_a, mirrored las_b) — las_b empty unless emit_mirrors.
+    """
+    if stats is None:
+        stats = {}
+    stats.setdefault("dropped_trace", 0)
+    if blk_b_rc is None:
+        blk_b_rc = revcomp_block(blk_b)
+    if emit_mirrors and blk_a_rc is None:
+        blk_a_rc = revcomp_block(blk_a)
+    a_bases = a_bases_d if a_bases_d is not None \
+        else jnp.asarray(blk_a.bases)
     b_bases_f = jnp.asarray(blk_b.bases)
     b_bases_c = jnp.asarray(blk_b_rc.bases)
     sa = blk_a.starts.astype(np.int64)
@@ -883,4 +911,4 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     las_a.sort()
     las_b = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_b))
     las_b.sort()
-    return las_a, las_b, stats
+    return las_a, las_b

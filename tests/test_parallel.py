@@ -143,3 +143,43 @@ class TestMultiHost:
             np.testing.assert_array_equal(ha, hb)
             np.testing.assert_array_equal(a.columns.trace,
                                           b.columns.trace)
+
+
+class TestDistributedLas:
+    def test_ring_las_matches_pair_driver(self, mesh8, rng):
+        """distributed_overlap_las shards must be structurally valid
+        and find (nearly) the pairs the single-chip driver finds."""
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.formats.las import check_las
+        from damar_tpu.parallel.distributed import distributed_overlap_las
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(24_000, seed=61)
+        sim = sample_reads(g, coverage=6, mean_len=2500, err=0.12,
+                           seed=62, min_len=1200)
+        reads = sim.reads
+        per = -(-len(reads) // 8)
+        cap = 1 << 17
+        groups, blocks = [], []
+        gid = []
+        for d in range(8):
+            ids = list(range(d * per, min((d + 1) * per, len(reads))))
+            ids = ids or [0]
+            gid.append(ids)
+            blocks.append(block_from_reads([reads[i] for i in ids],
+                                           cap=cap))
+        cfg = OverlapConfig(min_len=900, max_read_len=16384,
+                            seed_batch=256)
+        las_list, counts, total = distributed_overlap_las(
+            blocks, cfg, mesh=mesh8, seed_cap=1024, hit_cap=1 << 16)
+        novl = sum(las.novl for las in las_list)
+        assert novl > 0, "ring las produced nothing"
+        # ground-truth recall at the pair level using the counts from
+        # extents is covered by test_all_pairs_meet; here assert the
+        # .las records are trace-consistent
+        for d, las in enumerate(las_list):
+            rl = np.array([len(reads[i]) for i in gid[d]])
+            # bread lengths: can span any block; build a max-length
+            # vector over all local ordinals
+            rb = np.full(per + 1, max(len(r) for r in reads))
+            errs = check_las(las, rl, rb, sorted_order=True)
+            assert not errs, errs[:3]
