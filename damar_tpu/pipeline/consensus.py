@@ -23,6 +23,24 @@ from __future__ import annotations
 import numpy as np
 
 
+def _ops_to_path(ops: np.ndarray, jstart: int
+                 ) -> list[tuple[int, int, int]]:
+    path = []
+    i, j = 0, jstart
+    for op in ops:
+        if op == 0:
+            path.append((0, i, j))
+            i += 1
+            j += 1
+        elif op == 1:
+            path.append((1, i, j))
+            i += 1
+        else:
+            path.append((2, i, j))
+            j += 1
+    return path
+
+
 def banded_align_path(a: np.ndarray, b: np.ndarray, band: int = 64,
                       semiglobal: bool = True
                       ) -> list[tuple[int, int, int]]:
@@ -34,7 +52,22 @@ def banded_align_path(a: np.ndarray, b: np.ndarray, band: int = 64,
     past the template on both sides without cost) — required when
     covers carry margins, otherwise the margins become giant
     end-insertions that poison consensus votes.  The returned path
-    covers all of a but only the aligned span of b."""
+    covers all of a but only the aligned span of b.
+
+    Dispatches to the native C DP when available (differentially
+    verified identical); _banded_align_path_np is the reference
+    implementation and fallback."""
+    from damar_tpu import native
+    r = native.band_align_paths(a, [b], band, semiglobal)
+    if r is not None:
+        ops, offs, jst = r
+        return _ops_to_path(ops[:offs[1]], int(jst[0]))
+    return _banded_align_path_np(a, b, band, semiglobal)
+
+
+def _banded_align_path_np(a: np.ndarray, b: np.ndarray, band: int = 64,
+                          semiglobal: bool = True
+                          ) -> list[tuple[int, int, int]]:
     m, n = len(a), len(b)
     INF = 1 << 30
     width = 2 * band + 1
@@ -130,7 +163,8 @@ def _align_ops(template: np.ndarray, c: np.ndarray, band: int,
     if r is not None:
         ops, offs, jst = r
         return ops[:offs[1]], int(jst[0])
-    return _path_to_ops(banded_align_path(template, c, band, semiglobal))
+    return _path_to_ops(_banded_align_path_np(template, c, band,
+                                              semiglobal))
 
 
 def _vote_ops(votes: np.ndarray, ins_votes: list[dict],
@@ -216,7 +250,8 @@ def consensus_window(template: np.ndarray, covers: list[np.ndarray],
                       int(jst[i]), c)
     else:
         for c in live:
-            ops, j0 = _path_to_ops(banded_align_path(template, c, band))
+            ops, j0 = _path_to_ops(
+                _banded_align_path_np(template, c, band))
             _vote_ops(votes, ins_votes, ops, j0, c)
     return _consensus_calls(template, votes, ins_votes, len(live),
                             min_cov)
