@@ -231,11 +231,12 @@ def cmd_lasplit(args):
     db = _db(args.db)
     las = read_las(args.las)
     from damar_tpu.formats.dazzdb import _root
-    _, root = _root(args.db)
+    d, root = _root(args.db)
     for b in range(1, db.nblocks + 1):
         lo, hi = db.block_range(b)
         sel = [o for o in las.overlaps if lo <= o.aread < hi]
-        write_las(f"{root}.{b}.las", LasFile(las.tspace, sel))
+        write_las(os.path.join(d, f"{root}.{b}.las"),
+                  LasFile(las.tspace, sel))
         print(f"{root}.{b}.las: {len(sel)}")
 
 

@@ -227,12 +227,24 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
     shard" of SURVEY.md §7.9; callers write the shards and merge them
     deterministically on the host (formats.las.merge_las).
     """
+    from damar_tpu.core.blocks import revcomp_block
     from damar_tpu.pipeline.overlap import (dedupe_extents,
                                             las_from_extents)
     from damar_tpu.formats.las import LasFile
     exts, counts, total = distributed_overlap(
         blocks, cfg, mesh=mesh, seed_cap=seed_cap, hit_cap=hit_cap)
     n = len(blocks)
+    if (counts[:, :, 0] >= seed_cap).any():
+        raise ValueError(
+            f"ring sweep hit seed_cap={seed_cap} on "
+            f"{int((counts[:, :, 0] >= seed_cap).sum())} rotations — "
+            "truncated extents would silently lose overlaps; rerun "
+            "with a larger seed_cap")
+    # per-block host-side state computed ONCE (rc is a per-read Python
+    # loop and uploads are real transfers; a per-pair recompute would
+    # be O(n^2) in both)
+    rc_blocks = [revcomp_block(b) for b in blocks]
+    dev_bases = [jnp.asarray(b.bases) for b in blocks]
     out = []
     for d in range(n):
         parts = []
@@ -259,7 +271,9 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
             if kept_parts:
                 la, _ = las_from_extents(blocks[d], blocks[b],
                                          kept_parts, cfg,
-                                         emit_mirrors=False)
+                                         emit_mirrors=False,
+                                         a_bases_d=dev_bases[d],
+                                         blk_b_rc=rc_blocks[b])
                 parts.append(la)
         las = LasFile.concat(parts) if parts \
             else LasFile(cfg.tspace, [])

@@ -56,13 +56,9 @@ def banded_align_path(a: np.ndarray, b: np.ndarray, band: int = 64,
 
     Dispatches to the native C DP when available (differentially
     verified identical); _banded_align_path_np is the reference
-    implementation and fallback."""
-    from damar_tpu import native
-    r = native.band_align_paths(a, [b], band, semiglobal)
-    if r is not None:
-        ops, offs, jst = r
-        return _ops_to_path(ops[:offs[1]], int(jst[0]))
-    return _banded_align_path_np(a, b, band, semiglobal)
+    implementation and fallback.  The dispatch lives in _align_ops."""
+    ops, jstart = _align_ops(a, b, band, semiglobal)
+    return _ops_to_path(ops, jstart)
 
 
 def _banded_align_path_np(a: np.ndarray, b: np.ndarray, band: int = 64,

@@ -63,7 +63,7 @@ class TestOverlapTools:
 
     def test_daligner_lacheck(self, work, las1, capsys):
         run(["lacheck", work["db"], las1])
-        assert "OK" in capsys.readouterr().out or True
+        assert "OK" in capsys.readouterr().out
         run(["lashow", las1, "--limit", "5"])
         assert "[" in capsys.readouterr().out
         run(["lashow", las1, "--limit", "1", "-a", "--db", work["db"]])
