@@ -71,6 +71,20 @@ def _lib():
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_int32)]
             lib.band_align_batch.restype = ctypes.c_int64
+            lib.trace_points_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+            lib.trace_points_batch.restype = ctypes.c_int64
             _LIB = lib
     return _LIB
 
@@ -174,3 +188,38 @@ def band_align_paths(template: np.ndarray, covers: list[np.ndarray],
     if total < 0:
         return None
     return ops[:total], offs, jst[:n_cov]
+
+
+def trace_points_batch(a_codes, b_codes, astart, bstart, abpos, aepos,
+                       bbpos, bepos, tspace: int, band: int,
+                       max_segs: int):
+    """Trace-point pairs for a batch of alignments.  astart/bstart:
+    the records' read origins in the block arrays; abpos..bepos are
+    READ-LOCAL (tspace boundaries live in the A read's frame).
+    Returns (trace [n, max_segs, 2] int32, nseg int32[n],
+    dsum int32[n]) or None when native is unavailable.  Records whose
+    banded chain cannot reach the pinned endpoint get nseg 0 (callers'
+    consistency check drops them)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a_codes, dtype=np.uint8)
+    b = np.ascontiguousarray(b_codes, dtype=np.uint8)
+    n = len(abpos)
+    i64 = lambda x: np.ascontiguousarray(x, dtype=np.int64)
+    as_, bs_ = i64(astart), i64(bstart)
+    ab, ae = i64(abpos), i64(aepos)
+    bb, be = i64(bbpos), i64(bepos)
+    out = np.zeros((max(n, 1), max_segs, 2), np.int32)
+    nseg = np.zeros(max(n, 1), np.int32)
+    dsum = np.zeros(max(n, 1), np.int32)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    rc = lib.trace_points_batch(
+        _u8p(a), _u8p(b), np.int32(n), p64(as_), p64(bs_),
+        p64(ab), p64(ae), p64(bb),
+        p64(be), np.int32(tspace), np.int32(band), p32(out), p32(nseg),
+        p32(dsum), np.int32(max_segs))
+    if rc != 0:
+        return None
+    return out[:n], nseg[:n], dsum[:n]

@@ -331,3 +331,119 @@ int64_t band_align_batch(const uint8_t *a, int32_t m,
     }
     return pos;
 }
+
+/* ---------------- trace-point computation ----------------
+ *
+ * Host-side equivalent of the device trace kernels (ops/wave_bp.py
+ * trace_wave_bp): per trace segment, a banded edit DP anchored at the
+ * current (a, b) position (V-shaped band init = greedy chaining),
+ * committed at the min-cost band column (the pinned endpoint for the
+ * final segment).  Used as the wide-retry kernel on CPU backends where
+ * the 128-lane JAX kernel costs ~40ms/record; this runs ~1ms.
+ * Rolling rows only — no traceback is needed for (diffs, bspan) pairs.
+ */
+
+int32_t trace_points(const uint8_t *a, const uint8_t *b,
+                     int64_t abpos, int64_t aepos,
+                     int64_t bbpos, int64_t bepos,
+                     int32_t tspace, int32_t band,
+                     int32_t *out /* max_segs x 2 */, int32_t max_segs) {
+    const int32_t width = 2 * band + 1;
+    int32_t *D = (int32_t *)malloc((size_t)width * 4);
+    int32_t *E = (int32_t *)malloc((size_t)width * 4);
+    if (!D || !E) { free(D); free(E); return -1; }
+    int64_t cur_a = abpos, cur_b = bbpos;
+    int32_t nseg = 0;
+    while (cur_a < aepos) {
+        int64_t aend = (cur_a / tspace + 1) * tspace;
+        if (aend > aepos) aend = aepos;
+        int32_t m = (int32_t)(aend - cur_a);
+        /* V-init: D[k] = |k - band| for valid vb, else INF */
+        for (int32_t k = 0; k < width; k++) {
+            int64_t vb = cur_b + k - band;     /* row 0 frame */
+            D[k] = (vb >= bbpos && vb <= bepos)
+                ? (k > band ? k - band : band - k) : BA_INF;
+        }
+        for (int32_t i = 1; i <= m; i++) {
+            const uint8_t ai = a[cur_a + i - 1];
+            int32_t left = BA_INF;
+            for (int32_t k = 0; k < width; k++) {
+                int64_t vb = cur_b + i + k - band;  /* b consumed */
+                int32_t best = BA_INF;
+                if (vb >= bbpos && vb <= bepos) {
+                    if (vb >= bbpos + 1) {
+                        int32_t d = D[k]
+                            + (b[vb - 1] == ai ? 0 : 1);
+                        if (d < best) best = d;
+                    }
+                    if (k + 1 < width && D[k + 1] < BA_INF) {
+                        int32_t d = D[k + 1] + 1;
+                        if (d < best) best = d;
+                    }
+                    if (vb >= bbpos + 1 && left < BA_INF) {
+                        int32_t d = left + 1;
+                        if (d < best) best = d;
+                    }
+                }
+                E[k] = best;
+                left = best;
+            }
+            int32_t *t = D; D = E; E = t;
+        }
+        int32_t bestk = -1, bestv = BA_INF;
+        if (aend == aepos) {
+            /* final segment: endpoint pinned at bepos */
+            int64_t k = bepos - cur_b - m + band;
+            if (k >= 0 && k < width && D[k] < BA_INF) {
+                bestk = (int32_t)k;
+                bestv = D[k];
+            }
+        } else {
+            for (int32_t k = 0; k < width; k++) {
+                int64_t vb = cur_b + m + k - band;
+                if (vb > cur_b && vb <= bepos && D[k] < bestv) {
+                    bestv = D[k];
+                    bestk = k;
+                }
+            }
+        }
+        if (bestk < 0 || nseg >= max_segs) {
+            free(D); free(E);
+            return -2;               /* caller drops the record */
+        }
+        int64_t vb = cur_b + m + bestk - band;
+        out[2 * nseg] = bestv;
+        out[2 * nseg + 1] = (int32_t)(vb - cur_b);
+        nseg++;
+        cur_a = aend;
+        cur_b = vb;
+    }
+    free(D); free(E);
+    return nseg;
+}
+
+int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
+                           int32_t n_rec,
+                           const int64_t *astart, const int64_t *bstart,
+                           const int64_t *abpos, const int64_t *aepos,
+                           const int64_t *bbpos, const int64_t *bepos,
+                           int32_t tspace, int32_t band,
+                           int32_t *out /* n_rec x max_segs x 2 */,
+                           int32_t *nseg_out, int32_t *dsum_out,
+                           int32_t max_segs) {
+    /* coordinates are READ-LOCAL (trace boundaries are multiples of
+     * tspace in the A read's own frame); astart/bstart locate each
+     * record's reads in the block arrays */
+    for (int32_t r = 0; r < n_rec; r++) {
+        int32_t *o = out + (size_t)r * max_segs * 2;
+        int32_t ns = trace_points(a + astart[r], b + bstart[r],
+                                  abpos[r], aepos[r], bbpos[r],
+                                  bepos[r], tspace, band, o, max_segs);
+        if (ns < 0) ns = 0;          /* inconsistent: empty trace */
+        nseg_out[r] = ns;
+        int32_t d = 0;
+        for (int32_t s = 0; s < ns; s++) d += o[2 * s];
+        dsum_out[r] = d;
+    }
+    return 0;
+}

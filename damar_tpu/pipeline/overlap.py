@@ -396,10 +396,12 @@ def _n_segments_vec(abp: np.ndarray, aep: np.ndarray, tspace: int):
 
 
 def _wide_trace_kernel(cfg: "OverlapConfig"):
-    """The lane-per-diagonal trace kernel (128-lane band): the
-    robustness fallback for extents the 32-lane bit-parallel band
-    cannot force through (long low-identity stretches, e.g. stitched
-    records spanning quality dropouts)."""
+    """The wide-band trace kernel: the robustness fallback for extents
+    the 32-lane bit-parallel band cannot force through (long
+    low-identity stretches, e.g. stitched records spanning quality
+    dropouts).  TPU: the Pallas 128-lane kernel.  CPU: the native C
+    per-segment banded DP (the pure-JAX wide kernel costs ~40 ms per
+    record there); pure-JAX remains the no-toolchain fallback."""
     import jax
     use = cfg.use_pallas
     if use is None:
@@ -407,8 +409,27 @@ def _wide_trace_kernel(cfg: "OverlapConfig"):
     if use:
         from damar_tpu.ops.wave_pallas import trace_wave_pl
         return trace_wave_pl
+    from damar_tpu import native
+    if native.available():
+        return _native_wide_trace
     from damar_tpu.ops.wave import trace_wave
     return trace_wave
+
+
+def _native_wide_trace(a_bases, b_bases, astart, bstart, abpos, bbpos,
+                       alim, blim, tspace: int, W: int, max_segs: int):
+    """trace_wave-signature wrapper over native.trace_points_batch
+    (host arrays; read-local coordinates + block origins)."""
+    from damar_tpu import native
+    a = np.asarray(a_bases)
+    b = np.asarray(b_bases)
+    ab = np.asarray(abpos, np.int64)
+    bb = np.asarray(bbpos, np.int64)
+    return native.trace_points_batch(
+        a, b, np.asarray(astart, np.int64), np.asarray(bstart, np.int64),
+        ab, ab + np.asarray(alim, np.int64),
+        bb, bb + np.asarray(blim, np.int64),
+        tspace=tspace, band=W, max_segs=max_segs)
 
 
 def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,

@@ -87,3 +87,37 @@ class TestLasNative:
                     o.bbpos, o.bepos, o.diffs)
             flat = tr[offs[i]:offs[i + 1]].astype(np.int32)
             assert np.array_equal(flat.reshape(-1, 2), o.trace)
+
+
+class TestNativeTrace:
+    def test_trace_points_consistency(self, rng):
+        """Native per-segment trace chains satisfy the LAcheck
+        invariants on mutated pairs with arbitrary read origins and
+        off-boundary start positions."""
+        from damar_tpu import native
+        from damar_tpu.utils.sim import mutate
+        if not native.available():
+            return
+        r = np.random.default_rng(23)
+        for t in range(60):
+            n = int(r.integers(300, 1500))
+            a = r.integers(0, 4, n).astype(np.uint8)
+            b = mutate(a, 0.14, r)
+            pre = int(r.integers(0, 177))
+            A = np.concatenate([r.integers(0, 4, pre).astype(np.uint8), a])
+            B = np.concatenate([r.integers(0, 4, pre).astype(np.uint8), b])
+            ts = 100
+            off = int(r.integers(0, 97))
+            tr, nseg, dsum = native.trace_points_batch(
+                A, B, [pre], [pre], [off], [len(a)], [off], [len(b)],
+                tspace=ts, band=128, max_segs=64)
+            ns = int(nseg[0])
+            assert ns == (len(a) - 1) // ts - off // ts + 1
+            rows = tr[0, :ns]
+            assert rows[:, 1].sum() == len(b) - off
+            assert dsum[0] == rows[:, 0].sum()
+            a0 = off
+            for s in range(ns):
+                a1 = min((a0 // ts + 1) * ts, len(a))
+                assert rows[s, 0] >= abs((a1 - a0) - rows[s, 1])
+                a0 = a1
