@@ -187,12 +187,14 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         spur_len=cfg.tour.spur_len, bubble_max=cfg.tour.bubble_max)
     if polish:
         from damar_tpu.pipeline.consensus import polish_rounds
+        from damar_tpu.pipeline.touring import dedupe_contained_contigs
         out = []
         for c, t in zip(contigs, tours):
             lay = full_layout(tour_layout(t, seqs_of_fix), filt, frlen)
             out.append(polish_rounds(c, lay, seqs_of_fix,
                                      circular=t.circular))
-        contigs = out
+        # polished contigs expose duplicate repeat-branch walks
+        contigs, tours = dedupe_contained_contigs(out, tours)
     contig_path = os.path.join(workdir, "CONTIGS.fasta")
     write_fasta(contig_path,
                 [f"contig_{k} len={len(c)} reads={t.nreads()} "

@@ -211,11 +211,45 @@ def tour_layout(tour: Tour, seq_of) -> list[tuple[int, int, int]]:
     return layout
 
 
+def dedupe_contained_contigs(contigs: list[np.ndarray],
+                             tours: list["Tour"], k: int = 16,
+                             frac: float = 0.5
+                             ) -> tuple[list[np.ndarray], list["Tour"]]:
+    """Drop contigs whose sequence is (near-)contained in a longer
+    contig: repeat branch points make touring emit alternate walks of
+    the same genomic region as separate contigs (over-assembly).
+
+    Works on POLISHED contigs (run after consensus): two ~99%-identity
+    copies of a region share ~(0.99^k)^2 ~ 0.7 of exact k-mers, while
+    genuinely distinct regions share ~1e-4 — frac=0.5 separates them;
+    at RAW draft error exact k-mers never match and this is a no-op."""
+    order = np.argsort([-len(c) for c in contigs])
+    kept_idx: list[int] = []
+    seen: set[bytes] = set()
+    for i in order:
+        c = contigs[i]
+        cb = bytes(c.astype(np.uint8))
+        if len(cb) > k:
+            kms = [cb[p:p + k] for p in range(0, len(cb) - k, 11)]
+            hits = sum(1 for x in kms if x in seen)
+            if kms and hits / len(kms) >= frac:
+                continue                     # contained walk: drop
+        kept_idx.append(i)
+        rb = bytes((c[::-1] ^ 3).astype(np.uint8))
+        for p in range(len(cb) - k):
+            seen.add(cb[p:p + k])
+        for p in range(len(rb) - k):
+            seen.add(rb[p:p + k])
+    return ([contigs[i] for i in kept_idx],
+            [tours[i] for i in kept_idx])
+
+
 def assemble(las, rlen_of: dict[int, int], seq_of, fuzz: int = 25,
              min_dovetail: int = 1000, spur_len: int = 3,
              bubble_max: int = 8) -> tuple[list[np.ndarray], list[Tour],
                                            StringGraph]:
-    """Full L6: graph -> reduce -> clean -> tour -> contig sequences."""
+    """Full L6: graph -> reduce -> clean -> tour -> contig sequences
+    (duplicate repeat-branch walks dropped)."""
     from damar_tpu.pipeline.graph import build_graph, transitive_reduction
     g = build_graph(las, rlen_of, fuzz=fuzz, min_dovetail=min_dovetail)
     transitive_reduction(g)
@@ -223,6 +257,7 @@ def assemble(las, rlen_of: dict[int, int], seq_of, fuzz: int = 25,
     pop_bubbles(g, bubble_max)
     tours = tour_graph(g)
     contigs = [tour_to_seq(t, seq_of) for t in tours]
-    # order by length, longest first
+    # order by length, longest first (containment dedupe happens after
+    # polishing — raw drafts share no exact k-mers)
     order = np.argsort([-len(c) for c in contigs])
     return [contigs[i] for i in order], [tours[i] for i in order], g
