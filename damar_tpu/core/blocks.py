@@ -101,14 +101,14 @@ def block_from_reads(reads: list[np.ndarray], ids: np.ndarray | None = None,
 def revcomp_block(blk: ReadBlock) -> ReadBlock:
     """Per-read reverse-complemented copy of a block (for the COMP
     orientation pass): read order preserved, each read's bases reversed
-    and complemented in place, padding untouched."""
+    and complemented in place, padding untouched.  One vectorized
+    gather — this runs several times per block pair."""
     bases = blk.bases.copy()
     n = blk.nbases
-    # reverse each read's span
-    rev = np.empty(n, dtype=np.uint8)
-    for j in range(blk.nreads):
-        lo, hi = int(blk.starts[j]), int(blk.starts[j + 1])
-        rev[lo:hi] = 3 - blk.bases[lo:hi][::-1]
-    bases[:n] = rev
+    if n:
+        starts = blk.starts.astype(np.int64)
+        rid = blk.read_id[:n].astype(np.int64)
+        rev_idx = starts[rid] + starts[rid + 1] - 1 - np.arange(n)
+        bases[:n] = 3 - blk.bases[rev_idx]
     return ReadBlock(bases=bases, starts=blk.starts, read_id=blk.read_id,
                      rlen=blk.rlen, ids=blk.ids, nbases=blk.nbases)

@@ -20,7 +20,8 @@ class OverlapConfig:
     err: float = 0.70           # -e  min correlation (1 - pair error rate)
     min_len: int = 1000         # -l  min overlap length to report
     tspace: int = 100           # -s  trace-point spacing
-    identity: bool = True       # -I  report self-overlaps of a read? (False)
+    identity: bool = False      # -I  report self-overlaps of a read
+                                #     (tandem-like off-diagonal hits)
     # --- TPU kernel shape parameters (not in the reference) ---
     band_width: int = 128       # DP band lanes (multiple of 128)
     xdrop: int = 60             # X-drop termination threshold (diff units)

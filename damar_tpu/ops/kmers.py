@@ -27,7 +27,6 @@ def invalid_code(k: int) -> int:
 
 # retained for external callers; invalid_code(k) is what the seeding
 # radix path compares against
-INVALID_CODE = jnp.uint32(0xFFFFFFFF)
 
 
 def kmer_codes(bases: jax.Array, read_id: jax.Array, k: int,

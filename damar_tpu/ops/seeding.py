@@ -41,7 +41,6 @@ from damar_tpu.ops.sort import (compact_flagged, merge_ranks,
                                 radix_sort_packed, seg_starts_from_first,
                                 segment_sum_to_elements, unpack_field)
 
-INT32_MAX = jnp.int32(0x7FFFFFFF)
 
 
 def quantize_bits(n: int, step: int = 4) -> int:
@@ -173,7 +172,8 @@ def _diag_filter_impl(apos, bpos, nhits, a_read_id, b_read_id,
                       pos_bits: int, read_bits: int, band_shift: int,
                       hit_min: int, kmer: int, seed_cap: int,
                       upper_only: bool, suppress_equal,
-                      self_only: bool, min_diag, max_diag, strand):
+                      self_only: bool, min_diag, max_diag, strand,
+                      include_self: bool = False):
     """Shared banding core; `strand` is an optional per-hit comp bit
     (bool array or None) carried through the sort key so one pass bands
     both orientations.  Returns (ar, br, apos, bpos, cov[, strand],
@@ -183,7 +183,10 @@ def _diag_filter_impl(apos, bpos, nhits, a_read_id, b_read_id,
     ar = a_read_id[jnp.maximum(apos, 0)]
     br = b_read_id[jnp.maximum(bpos, 0)]
     if upper_only:
-        live &= ar < br
+        # include_self (daligner -I): keep read-vs-itself pairs too
+        # (their trivial self-diagonal never reaches here — the
+        # self-pair merge emits strict upper-triangle positions)
+        live &= (ar <= br) if include_self else (ar < br)
     if self_only:
         # datander mode: a read against itself on a shifted diagonal
         live &= ar == br
@@ -264,14 +267,16 @@ def _diag_filter_impl(apos, bpos, nhits, a_read_id, b_read_id,
 
 @partial(jax.jit, static_argnames=(
     "pos_bits", "read_bits", "band_shift", "hit_min", "kmer",
-    "seed_cap", "upper_only", "self_only", "min_diag", "max_diag"))
-def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
+    "seed_cap", "upper_only", "self_only", "min_diag", "max_diag",
+    "include_self"))
+def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id,
                     pos_bits: int, read_bits: int, band_shift: int,
                     hit_min: int, kmer: int, seed_cap: int,
                     upper_only: bool, suppress_equal=False,
                     self_only: bool = False,
                     min_diag: int | None = None,
-                    max_diag: int | None = None):
+                    max_diag: int | None = None,
+                    include_self: bool = False):
     """Band hits by (read pair, diagonal/2^w) and emit anchor seeds for
     bands whose novel k-mer coverage reaches hit_min bases.
 
@@ -290,16 +295,18 @@ def diagonal_filter(apos, bpos, nhits, a_read_id, b_read_id, nreads_b: int,
     return _diag_filter_impl(
         apos, bpos, nhits, a_read_id, b_read_id, pos_bits, read_bits,
         band_shift, hit_min, kmer, seed_cap, upper_only, suppress_equal,
-        self_only, min_diag, max_diag, strand=None)
+        self_only, min_diag, max_diag, strand=None,
+        include_self=include_self)
 
 
 @partial(jax.jit, static_argnames=(
     "pos_bits", "read_bits", "band_shift", "hit_min", "kmer",
-    "seed_cap", "upper_only"))
+    "seed_cap", "upper_only", "include_self"))
 def diagonal_filter_comp(apos, bpos, comp, nhits, a_read_id, b_read_id,
                          pos_bits: int, read_bits: int, band_shift: int,
                          hit_min: int, kmer: int, seed_cap: int,
-                         upper_only: bool, suppress_equal=False):
+                         upper_only: bool, suppress_equal=False,
+                         include_self: bool = False):
     """diagonal_filter over a MIXED-orientation hit stream (canonical
     seeding): `comp` is the per-hit orientation bit, carried in the
     band key so forward and comp hits band independently in ONE sort.
@@ -307,11 +314,21 @@ def diagonal_filter_comp(apos, bpos, comp, nhits, a_read_id, b_read_id,
     return _diag_filter_impl(
         apos, bpos, nhits, a_read_id, b_read_id, pos_bits, read_bits,
         band_shift, hit_min, kmer, seed_cap, upper_only, suppress_equal,
-        False, None, None, strand=comp)
+        False, None, None, strand=comp, include_self=include_self)
 
 
 def _pos_bits(*caps: int) -> int:
     return max(int(c - 1).bit_length() for c in caps)
+
+
+def _pow2_cap(want: int, cap: int, floor: int = 1 << 17) -> int:
+    """Smallest power-of-two buffer >= want, floored and capped (the
+    fill + banding sorts scale with buffer size; pow2 buckets keep the
+    compile cache small)."""
+    c = floor
+    while c < want and c < cap:
+        c *= 2
+    return min(c, cap)
 
 
 @partial(jax.jit, static_argnames=("out_cap", "upper_only"))
@@ -364,7 +381,7 @@ def find_tandem_seeds(blk, cfg, min_period: int = 8,
     apos, bpos, nhits, total_hits = _sized_hits(
         p, p, lo, cnt, cum, int(total), hit_cap)
     ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
-        apos, bpos, nhits, rid, rid, blk.nreads + 1,
+        apos, bpos, nhits, rid, rid,
         pos_bits=_pos_bits(blk.cap),
         read_bits=quantize_bits(blk.nreads + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
@@ -432,20 +449,15 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         want_raw = min(raw_hint or 2 * nb, hit_cap)
     # static raw-hit buffer; overflow is reported for the caller to
     # retry bigger (checked in its one late sync)
-    cap = 1 << 17
-    while cap < want_raw:
-        cap *= 2
-    cap = min(cap, hit_cap)
+    cap = _pow2_cap(want_raw, hit_cap)
     apos, bpos, nhits, total_hits = match_fill(ap, bp, lo, cnt, cum,
                                                hit_cap=cap)
     # pair-filter + compact before the banding sort (its cost scales
     # with buffer size); the self_pair path already materialized only
     # upper-triangle hits, so its buffer feeds the banding directly
     if not self_pair and (upper_only or bool(compact_cap)):
-        ccap = 1 << 17
-        want_c = min(compact_cap or max(nb // 4, 1 << 17), hit_cap)
-        while ccap < want_c:
-            ccap *= 2
+        ccap = _pow2_cap(min(compact_cap or max(nb // 4, 1 << 17),
+                             hit_cap), hit_cap)
         apos, bpos, nhits, total_c = compact_hits(
             apos, bpos, nhits, a_rid, b_rid, out_cap=ccap,
             upper_only=upper_only)
@@ -455,7 +467,7 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         total_c = total_hits
         overflow = total_hits > cap
     ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
-        apos, bpos, nhits, a_rid, b_rid, blk_b.nreads + 1,
+        apos, bpos, nhits, a_rid, b_rid,
         pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
         read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
@@ -464,7 +476,10 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
         "cov": cov, "nseeds": nseeds, "total_seeds": total_seeds,
         "total_hits": total_hits, "total_compact": total_c,
-        "overflow": overflow, "raw_cap": cap, "compact_cap": ccap,
+        # overflow covers BOTH fixed buffers: truncated seeds silently
+        # lose overlaps just like truncated hits
+        "overflow": overflow | (total_seeds > seed_cap),
+        "raw_cap": cap, "compact_cap": ccap,
     }
 
 
@@ -531,10 +546,7 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         lo, cnt, cum, total = match_count(ac, ap2, bc, bp2, k=cfg.kmer,
                                           max_count=t)
         want_raw = min(raw_hint or 2 * nb, hit_cap)
-    cap = 1 << 17
-    while cap < want_raw:
-        cap *= 2
-    cap = min(cap, hit_cap)
+    cap = _pow2_cap(want_raw, hit_cap)
     ap2v, bp2v, nhits, total_hits = match_fill(ap2, bp2, lo, cnt, cum,
                                                hit_cap=cap)
     apos, bpos, comp = _split_strand_hits(ap2v, bp2v, b_rid, b_starts,
@@ -546,13 +558,17 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
             read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
             band_shift=cfg.band_shift, hit_min=cfg.hit_min,
             kmer=cfg.kmer, seed_cap=seed_cap,
-            upper_only=bool(self_pair and upper_only))
+            upper_only=bool(self_pair and upper_only),
+            include_self=bool(getattr(cfg, "identity", False)))
     return {
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
         "cov": cov, "comp": scomp, "nseeds": nseeds,
         "total_seeds": total_seeds, "total_hits": total_hits,
         "total_compact": total_hits,
-        "overflow": total_hits > cap, "raw_cap": cap,
+        # overflow covers BOTH fixed buffers: truncated seeds silently
+        # lose overlaps just like truncated hits
+        "overflow": (total_hits > cap) | (total_seeds > seed_cap),
+        "raw_cap": cap,
         "compact_cap": cap,
     }
 
@@ -584,7 +600,7 @@ def find_seeds(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     apos, bpos, nhits, total_hits = _sized_hits(
         ap, bp, lo, cnt, cum, int(total), hit_cap)
     ar, br, sap, sbp, cov, nseeds, total_seeds = diagonal_filter(
-        apos, bpos, nhits, a_rid, b_rid, blk_b.nreads + 1,
+        apos, bpos, nhits, a_rid, b_rid,
         pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
         read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,

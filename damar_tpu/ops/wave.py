@@ -39,7 +39,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-INF = jnp.int32(1 << 20)
+INF = 1 << 20   # plain int: a module-level jnp scalar
+                # would initialize the backend at import
 
 
 def _shift_left(x, fill):
@@ -177,8 +178,9 @@ def extend_wave(a_bases, b_bases, aorigin, borigin, alim, blim,
         a_chars = _gather_chars(a_bases, aorigin, v0a, R, rv)
         v0b = st["rtot"] + st["boff"] - CTR
         b_tile = _gather_chars(b_bases, borigin, v0b, R + W, rv)
+        # traced trip count: XLA-TPU fully unrolls static bounds
         st, _, _ = jax.lax.fori_loop(
-            0, R, row_body, (st, a_chars, b_tile))
+            0, jnp.int32(R), row_body, (st, a_chars, b_tile))
         st["rtot"] = st["rtot"] + R
         # X-drop at chunk granularity: stop when the final row's best
         # score fell more than xdrop below the all-time best.  (Per-row
@@ -283,7 +285,7 @@ def trace_wave(a_bases, b_bases, astart, bstart, abpos, bbpos, alim, blim,
             Dn = _row_update(D, x, bw, diag_valid, lane_valid, lane)
             return jnp.where(row_active[:, None], Dn, D)
 
-        D = jax.lax.fori_loop(0, tspace, row_body, st["D"])
+        D = jax.lax.fori_loop(0, jnp.int32(tspace), row_body, st["D"])
 
         # commit: every live seed is now exactly at its segment end
         va = st["done"] + seg_rows

@@ -51,10 +51,14 @@ from damar_tpu.ops.wave_pallas import _pack_bases, _gather_packed
 
 BW = 32
 CTR = 16
-NEG = jnp.int32(-(1 << 20))
-U1 = jnp.uint32(1)
-TOP = jnp.uint32(1 << (BW - 1))
-MASKW = jnp.uint32(0xFFFFFFFF)
+# numpy scalars (module-level jnp scalars would initialize the JAX
+# backend at import time — hazardous with the tunneled TPU; large
+# uint32 literals overflow JAX's weak-int32 canonicalization)
+import numpy as _np
+NEG = -(1 << 20)
+U1 = 1
+NOT1 = _np.uint32(0xFFFFFFFE)
+MASKW = _np.uint32(0xFFFFFFFF)
 
 
 def _bit_weights():
@@ -127,10 +131,10 @@ def _row_step(VP, VN, Db, Dc, Eq):
     VPn = (VP & nd) | (Z & g & ~gp)
     VNn = (VN & nd) | (Z & gp & G0)
     # bit 0 exact: D'[0]-D'[-1] = G[0]-1  (D'[-1] = D[0]+1)
-    VPn = VPn & ~U1
-    VNn = (VNn & ~U1) | (G0 & U1)
+    VPn = VPn & NOT1
+    VNn = (VNn & NOT1) | (G0 & U1)
     Dbn = Db + 1 + ((VP & U1) - (VN & U1)).astype(jnp.int32)
-    Dcn = Dc + 1 - ((G0 >> jnp.uint32(CTR)) & U1).astype(jnp.int32)
+    Dcn = Dc + 1 - ((G0 >> CTR) & U1).astype(jnp.int32)
     return VPn, VNn, Dbn, Dcn, G0
 
 
@@ -149,9 +153,9 @@ def _shift_planes(PeqH, PeqL, PeqV, nb, nvalid):
     nh = ((nb >> 1) & 1).astype(jnp.uint32)
     nl = (nb & 1).astype(jnp.uint32)
     nv = nvalid.astype(jnp.uint32)
-    PeqH = (PeqH >> U1) | (nh << jnp.uint32(BW - 1))
-    PeqL = (PeqL >> U1) | (nl << jnp.uint32(BW - 1))
-    PeqV = (PeqV >> U1) | (nv << jnp.uint32(BW - 1))
+    PeqH = (PeqH >> U1) | (nh << (BW - 1))
+    PeqL = (PeqL >> U1) | (nl << (BW - 1))
+    PeqV = (PeqV >> U1) | (nv << (BW - 1))
     return PeqH, PeqL, PeqV
 
 
@@ -378,7 +382,12 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
         j_min = jnp.argmin(Dm, axis=1).astype(jnp.int32)
         j_end = jnp.clip(blim - vbb_end, 0, BW - 1)
         j_com = jnp.where(at_end, j_end, j_min)
-        vb_com = vbb_end + j_com
+        # clamp the commit into [prev_vb, blim]: when the alignment's
+        # drift overruns the 32-diagonal band every lane is invalid and
+        # argmin degenerates — an unclamped commit emits b coordinates
+        # past the read (callers' trace validation would catch the
+        # record, but the kernel must stay self-consistent)
+        vb_com = jnp.clip(vbb_end + j_com, st["prev_vb"], blim)
         d_com = jnp.take_along_axis(Dw, j_com[:, None], 1)[:, 0]
         d_com = jnp.where(d_com >= INF, alim + blim, d_com)
         bspan = vb_com - st["prev_vb"]

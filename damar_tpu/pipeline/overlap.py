@@ -739,8 +739,22 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         kw["raw_hint"] = (size_hints["raw"] * 5) // 4
     seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
                                                  **kw))
-    while seeds["overflow"] and seeds["raw_cap"] < hit_cap:
-        kw = dict(kw, raw_hint=2 * seeds["total_hits"])
+    # overflow retries grow whichever fixed buffer saturated: the raw
+    # hit buffer (up to hit_cap) and/or the seed buffer (up to 4x the
+    # requested cap) — truncation in either silently loses overlaps
+    seed_cap_max = seed_cap * 4
+    while seeds["overflow"] and (
+            (seeds["total_hits"] > seeds["raw_cap"]
+             and seeds["raw_cap"] < hit_cap)
+            or (seeds["total_seeds"] > kw["seed_cap"]
+                and kw["seed_cap"] < seed_cap_max)):
+        if seeds["total_hits"] > seeds["raw_cap"]:
+            kw = dict(kw, raw_hint=2 * seeds["total_hits"])
+        if seeds["total_seeds"] > kw["seed_cap"]:
+            sc = kw["seed_cap"]
+            while sc < min(2 * seeds["total_seeds"], seed_cap_max):
+                sc *= 2
+            kw = dict(kw, seed_cap=sc)
         seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
                                                      **kw))
     if size_hints is not None:

@@ -95,3 +95,32 @@ class TestOverlapE2E:
         assert m.novl == las_a.novl + las_b.novl
         rlen = np.array([len(r) for r in sim.reads])
         assert check_las(m, rlen) == []
+
+
+class TestIdentityOption:
+    def test_identity_reports_self_overlaps(self):
+        """OverlapConfig.identity (daligner -I): tandem-bearing reads
+        gain aread==bread records; default drops them."""
+        import numpy as np
+        from damar_tpu.utils.sim import make_genome, mutate
+        rng = np.random.default_rng(3)
+        unit = rng.integers(0, 4, 900).astype(np.uint8)
+        tandem = np.concatenate([mutate(unit, 0.05, rng)
+                                 for _ in range(3)])  # 3 copies
+        other = [rng.integers(0, 4, 2000).astype(np.uint8)
+                 for _ in range(3)]
+        reads = [tandem] + other
+        blk = block_from_reads(reads)
+        for ident, expect_self in ((False, False), (True, True)):
+            cfg = OverlapConfig(min_len=500, identity=ident,
+                                seed_batch=128)
+            la, lb, _ = overlap_block_pair(
+                blk, blk, cfg, self_block=True,
+                hit_cap=1 << 18, seed_cap=1 << 12)
+            h = la.columns.headers if la.columns is not None else None
+            selfs = (int((h[:, 7] == h[:, 8]).sum())
+                     if h is not None and len(h) else 0)
+            if expect_self:
+                assert selfs > 0, "identity=True found no self-overlaps"
+            else:
+                assert selfs == 0, f"{selfs} self records at default"

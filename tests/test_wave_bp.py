@@ -161,3 +161,27 @@ class TestTrace:
         # diff totals near the wide-band reference (greedy chaining on
         # a narrower band may cost slightly more)
         assert (ds <= ds_r * 1.2 + 10).all()
+
+
+class TestTraceClamp:
+    def test_commit_never_overruns_blim(self, rng):
+        """A partially-alignable pair whose tail drifts past the band
+        must still commit b coordinates inside [0, blim] (the kernel
+        stays self-consistent; callers' checks catch the bad record)."""
+        import jax.numpy as jnp
+        from damar_tpu.ops.wave_bp import trace_wave_bp
+        from damar_tpu.utils.sim import mutate
+        r = np.random.default_rng(33)
+        head = r.integers(0, 4, 150).astype(np.uint8)
+        a = np.concatenate([head, r.integers(0, 4, 100).astype(np.uint8)])
+        b = mutate(head, 0.1, r)          # B ends where A keeps going
+        blim = len(b)
+        tr, nseg, dsum = trace_wave_bp(
+            jnp.asarray(a), jnp.asarray(b),
+            jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+            jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+            jnp.array([len(a)], jnp.int32), jnp.array([blim], jnp.int32),
+            tspace=100, max_segs=8)
+        rows = np.asarray(tr)[0, :int(nseg[0])]
+        assert rows[:, 1].min() >= 0
+        assert rows[:, 1].sum() <= blim, rows.tolist()
