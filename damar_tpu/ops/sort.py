@@ -34,8 +34,45 @@ import jax
 import jax.numpy as jnp
 
 
+def _backend() -> str:
+    """Sort backend: "xla" (default, fastest on TPU), "radix"
+    (compile-cheap unrolled passes), or "host" (numpy stable sort via
+    pure_callback — ~3.5x faster than XLA's sort on the CPU fallback
+    path; NEVER the right choice on a real accelerator, and not safe
+    under shard_map, so it is opt-in via DAMAR_SORT=host).  Read at
+    trace time: flipping the env var mid-process needs
+    jax.clear_caches()."""
+    return os.environ.get("DAMAR_SORT", "xla")
+
+
 def _use_xla_sort() -> bool:
-    return os.environ.get("DAMAR_SORT", "xla") != "radix"
+    return _backend() not in ("radix", "host")
+
+
+def _host_lexsort(keys, payloads):
+    """Stable lexicographic host sort (keys most-significant first)
+    carrying payloads, as a pure_callback.  Used only by the "host"
+    backend on the CPU fallback path."""
+    import numpy as np
+    keys = tuple(keys)
+    payloads = tuple(payloads)
+    arrs = keys + payloads
+    nk = len(keys)
+
+    def cb(*a):
+        ks = a[:nk]
+        if nk == 1:
+            order = np.argsort(ks[0], kind="stable")
+        else:
+            # np.lexsort's primary key is its LAST element
+            order = np.lexsort(tuple(reversed(ks)))
+        return tuple(np.ascontiguousarray(x[order]) for x in a)
+
+    out = jax.pure_callback(
+        cb,
+        tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in arrs),
+        *arrs)
+    return tuple(out[:nk]), tuple(out[nk:])
 
 
 def _split_by_digit(dig, nd: int, arrays):
@@ -75,6 +112,9 @@ def _radix_passes(arrays, key_index: int, bits: int):
 def radix_sort_bits(key, payloads, bits: int):
     """Stable ascending sort of `key` (uint32/int32, values < 2**bits)
     carrying payload arrays.  Returns (key_sorted, payloads_sorted)."""
+    if _backend() == "host":
+        (k,), ps = _host_lexsort((key,), payloads)
+        return k, ps
     if _use_xla_sort():
         out = jax.lax.sort((key,) + tuple(payloads), num_keys=1,
                            is_stable=True)
@@ -93,6 +133,8 @@ def radix_sort_multi(keys, payloads, bits_list: tuple):
     (keys_sorted tuple, payloads_sorted tuple).
     """
     nk = len(keys)
+    if _backend() == "host":
+        return _host_lexsort(keys, payloads)
     if _use_xla_sort():
         out = jax.lax.sort(tuple(keys) + tuple(payloads), num_keys=nk,
                            is_stable=True)
@@ -138,6 +180,9 @@ def radix_sort_packed(words, payloads, total_bits: int):
     significant): LSD passes word by word.  Returns (words, payloads)
     sorted."""
     nw = len(words)
+    if _backend() == "host":
+        ks, ps = _host_lexsort(tuple(reversed(words)), payloads)
+        return tuple(reversed(ks)), ps
     if _use_xla_sort():
         # lax.sort keys are most-significant first
         out = jax.lax.sort(tuple(reversed(words)) + tuple(payloads),
