@@ -76,6 +76,9 @@ def main() -> None:
         # numpy stable sorts beat XLA:CPU's sort ~3.5x on the seeding
         # path; irrelevant (and unset) when the real chip is used
         os.environ.setdefault("DAMAR_SORT", "host")
+        # native C bit-parallel DP kernels (bit-identical replicas of
+        # the JAX bp kernels) run the extension/trace phases threaded
+        os.environ.setdefault("DAMAR_BP", "native")
     from damar_tpu.core.blocks import block_from_reads
     from damar_tpu.core.config import OverlapConfig
     from damar_tpu.pipeline.overlap import overlap_block_pair

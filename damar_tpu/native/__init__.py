@@ -29,7 +29,8 @@ def _build() -> str | None:
     for cc in ("cc", "gcc", "clang"):
         try:
             r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", _SRC, "-o", so],
+                [cc, "-O3", "-shared", "-fPIC", "-pthread", _SRC,
+                 "-o", so],
                 capture_output=True, timeout=120)
             if r.returncode == 0:
                 return so
@@ -85,8 +86,30 @@ def _lib():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
             lib.trace_points_batch.restype = ctypes.c_int64
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            lib.bp_extend_batch.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                i32p, i32p, i32p, i32p, u8p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                i32p, i32p, i32p, i32p]
+            lib.bp_extend_batch.restype = None
+            lib.bp_trace_batch.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+                i32p, i32p, i32p, i32p, i32p,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, i32p, i32p, i32p]
+            lib.bp_trace_batch.restype = None
             _LIB = lib
     return _LIB
+
+
+def _nthreads() -> int:
+    v = os.environ.get("DAMAR_NATIVE_THREADS")
+    if v:
+        return max(1, int(v))
+    return min(os.cpu_count() or 1, 16)
 
 
 def available() -> bool:
@@ -223,3 +246,65 @@ def trace_points_batch(a_codes, b_codes, astart, bstart, abpos, aepos,
     if rc != 0:
         return None
     return out[:n], nseg[:n], dsum[:n]
+
+
+def bp_extend_batch(a_bases, b_bases, aorigin, borigin, alim, blim,
+                    dirs, R: int, max_rows: int, diff_cost: int,
+                    xdrop: int):
+    """Batched bit-parallel band extension — exact native replica of
+    ops.wave_bp.extend_wave_bp (bit-identical outputs, asserted by
+    tests/test_native_bp.py).  Returns (best_va, best_vb, best_d,
+    best_score) int32 arrays, or None when native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a_bases, dtype=np.uint8)
+    b = np.ascontiguousarray(b_bases, dtype=np.uint8)
+    i32 = lambda x: np.ascontiguousarray(x, dtype=np.int32)
+    ao, bo = i32(aorigin), i32(borigin)
+    al, bl = i32(alim), i32(blim)
+    S = len(ao)
+    rv = np.ascontiguousarray(
+        np.zeros(S, np.uint8) if dirs is None
+        else np.asarray(dirs).astype(np.uint8))
+    va = np.zeros(max(S, 1), np.int32)
+    vb = np.zeros(max(S, 1), np.int32)
+    d = np.zeros(max(S, 1), np.int32)
+    sc = np.zeros(max(S, 1), np.int32)
+    p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.bp_extend_batch(
+        _u8p(a), np.int64(len(a)), _u8p(b), np.int64(len(b)),
+        p32(ao), p32(bo), p32(al), p32(bl), _u8p(rv),
+        np.int32(S), np.int32(R), np.int32(max_rows),
+        np.int32(diff_cost), np.int32(xdrop), np.int32(_nthreads()),
+        p32(va), p32(vb), p32(d), p32(sc))
+    return va[:S], vb[:S], d[:S], sc[:S]
+
+
+def bp_trace_batch(a_bases, b_bases, astart, bstart, abpos, bbpos,
+                   alim, blim, tspace: int, max_segs: int):
+    """Batched bit-parallel trace-point pass — exact native replica of
+    ops.wave_bp.trace_wave_bp.  Returns (trace [S, max_segs, 2], nseg,
+    dsum) int32, or None when native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a_bases, dtype=np.uint8)
+    b = np.ascontiguousarray(b_bases, dtype=np.uint8)
+    i32 = lambda x: np.ascontiguousarray(x, dtype=np.int32)
+    as_, bs_ = i32(astart), i32(bstart)
+    al, bl = i32(alim), i32(blim)
+    S = len(as_)
+    ab_bb = np.empty(2 * max(S, 1), np.int32)
+    ab_bb[0::2] = np.asarray(abpos, np.int32)[:S] if S else 0
+    ab_bb[1::2] = np.asarray(bbpos, np.int32)[:S] if S else 0
+    trace = np.zeros((max(S, 1), max_segs, 2), np.int32)
+    nseg = np.zeros(max(S, 1), np.int32)
+    dsum = np.zeros(max(S, 1), np.int32)
+    p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    lib.bp_trace_batch(
+        _u8p(a), np.int64(len(a)), _u8p(b), np.int64(len(b)),
+        p32(as_), p32(bs_), p32(ab_bb), p32(al), p32(bl),
+        np.int32(S), np.int32(tspace), np.int32(max_segs),
+        np.int32(_nthreads()), p32(trace), p32(nseg), p32(dsum))
+    return trace[:S], nseg[:S], dsum[:S]

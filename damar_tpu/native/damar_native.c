@@ -447,3 +447,326 @@ int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
     }
     return 0;
 }
+
+/* ---------------- bit-parallel band kernels ----------------
+ *
+ * Exact scalar replicas of ops/wave_bp.py (extend_wave_bp /
+ * trace_wave_bp): the Myers/Hyyro-style band-in-a-word DP the TPU
+ * path runs as batched VPU lanes.  Every integer operation below
+ * mirrors the JAX kernel so the CPU fallback produces BIT-IDENTICAL
+ * extents/traces (asserted by tests/test_native_bp.py); pthreads
+ * split the independent units across cores.
+ */
+#include <pthread.h>
+
+#define BP_BW  32
+#define BP_CTR 16
+#define BP_NEG (-(1 << 20))
+#define BP_INF (1 << 20)
+
+static inline int bp_char(const uint8_t *bases, int64_t n, int64_t idx) {
+    /* out-of-range reads are clamped garbage the masks neutralize
+     * (same contract as wave_pallas._gather_packed word clipping) */
+    if (idx < 0) idx = 0;
+    if (idx >= n) idx = n - 1;
+    return bases[idx] & 3;
+}
+
+static inline void bp_vinit(uint32_t *VP, uint32_t *VN, int32_t *Db) {
+    uint32_t vn = (1u << (BP_CTR + 1)) - 1u;
+    *VN = vn;
+    *VP = ~vn;
+    *Db = BP_CTR + 1;
+}
+
+static inline uint32_t bp_eq(uint32_t PH, uint32_t PL, uint32_t PV,
+                             uint32_t x) {
+    uint32_t mh = ((x >> 1) & 1u) - 1u;   /* 0 -> all ones, 1 -> 0 */
+    uint32_t ml = (x & 1u) - 1u;
+    return (PH ^ mh) & (PL ^ ml) & PV;
+}
+
+static inline uint32_t bp_row(uint32_t *VP, uint32_t *VN, int32_t *Db,
+                              int32_t *Dc, uint32_t Eq) {
+    /* one band-frame DP row; returns G0 (wave_bp._row_step) */
+    uint32_t vp = *VP, vn = *VN;
+    uint32_t X = Eq | (vn >> 1);
+    uint32_t seed = (X << 1) & vp;
+    uint32_t G0 = X | (vp & (seed | ((seed + vp) ^ vp)));
+    uint32_t g = ~G0;
+    uint32_t gp = g << 1;
+    uint32_t d = g ^ gp, nd = ~d;
+    uint32_t Z = ~(vp | vn);
+    uint32_t VPn = ((vp & nd) | (Z & g & ~gp)) & 0xFFFFFFFEu;
+    uint32_t VNn = (((vn & nd) | (Z & gp & G0)) & 0xFFFFFFFEu)
+                   | (G0 & 1u);
+    *Db += 1 + (int32_t)(vp & 1u) - (int32_t)(vn & 1u);
+    *Dc += 1 - (int32_t)((G0 >> BP_CTR) & 1u);
+    *VP = VPn;
+    *VN = VNn;
+    return G0;
+}
+
+static inline void bp_shift(uint32_t *PH, uint32_t *PL, uint32_t *PV,
+                            uint32_t c, uint32_t valid) {
+    *PH = (*PH >> 1) | (((c >> 1) & 1u) << (BP_BW - 1));
+    *PL = (*PL >> 1) | ((c & 1u) << (BP_BW - 1));
+    *PV = (*PV >> 1) | (valid << (BP_BW - 1));
+}
+
+static inline void bp_reconstruct(uint32_t VP, uint32_t VN, int32_t Db,
+                                  int32_t *D) {
+    int32_t v = Db;
+    for (int j = 0; j < BP_BW; j++) {
+        v += (int32_t)((VP >> j) & 1u) - (int32_t)((VN >> j) & 1u);
+        D[j] = v;
+    }
+}
+
+static void bp_extend_unit(const uint8_t *A, int64_t na,
+                           const uint8_t *B, int64_t nb,
+                           int32_t ao, int32_t bo, int32_t alim,
+                           int32_t blim, int rev, int R, int max_rows,
+                           int diff_cost, int xdrop, int32_t *o_va,
+                           int32_t *o_vb, int32_t *o_d, int32_t *o_s) {
+    *o_va = *o_vb = *o_d = *o_s = 0;
+    if (alim <= 0) return;
+    uint32_t VP, VN;
+    int32_t Db, Dc = 0;
+    bp_vinit(&VP, &VN, &Db);
+    int32_t vbb = 1 - BP_CTR;
+    int32_t rtot = 0;
+    int active = 1;
+    int32_t bs = 0, bva = 0, bvb = 0;
+    while (active && rtot < max_rows) {
+        /* fresh Peq planes at v-positions vbb-1 .. vbb+BW-2 */
+        uint32_t PH = 0, PL = 0, PV = 0;
+        for (int j = 0; j < BP_BW; j++) {
+            int32_t p = vbb - 1 + j;
+            int64_t bi = rev ? (int64_t)bo - 1 - p : (int64_t)bo + p;
+            uint32_t c = (uint32_t)bp_char(B, nb, bi);
+            PH |= ((c >> 1) & 1u) << j;
+            PL |= (c & 1u) << j;
+            PV |= (uint32_t)(p >= 0 && p < blim) << j;
+        }
+        int died = 0;
+        for (int r = 0; r < R; r++) {
+            int64_t av = (int64_t)rtot + r;
+            int64_t ai = rev ? (int64_t)ao - 1 - av : (int64_t)ao + av;
+            uint32_t Eq = bp_eq(PH, PL, PV, (uint32_t)bp_char(A, na, ai));
+            bp_row(&VP, &VN, &Db, &Dc, Eq);
+            int32_t t = rtot + r + 1;
+            int32_t vc = vbb + r + BP_CTR;
+            int32_t sc = t + vc - diff_cost * Dc;
+            int ok = t <= alim && vc >= 0 && vc <= blim;
+            if (ok && sc > bs) { bs = sc; bva = t; bvb = vc; }
+            if (ok && sc < bs - (xdrop + diff_cost)) died = 1;
+            int32_t nbp = vbb + r + BP_BW - 1;
+            int64_t bi = rev ? (int64_t)bo - 1 - nbp : (int64_t)bo + nbp;
+            bp_shift(&PH, &PL, &PV, (uint32_t)bp_char(B, nb, bi),
+                     (uint32_t)(nbp >= 0 && nbp < blim));
+        }
+        /* chunk tail: exact band-wide eval, X-drop, recenter */
+        int32_t t = rtot + R;
+        int32_t D[BP_BW];
+        bp_reconstruct(VP, VN, Db, D);
+        int32_t vbt = vbb + R - 1;
+        int32_t smax = BP_NEG;
+        int32_t jbest = 0;
+        for (int j = 0; j < BP_BW; j++) {
+            int32_t vbw = vbt + j;
+            int32_t sw = (vbw >= 0 && vbw <= blim && t <= alim)
+                         ? t + vbw - diff_cost * D[j] : BP_NEG;
+            if (sw > smax) { smax = sw; jbest = j; }
+        }
+        if (smax > bs) { bs = smax; bva = t; bvb = vbt + jbest; }
+        active = smax >= bs - xdrop && t < alim && !died;
+        int32_t Dmin = BP_INF;
+        int32_t jmin = 0;
+        for (int j = 0; j < BP_BW; j++) {
+            int32_t vbw = vbt + j;
+            int32_t dm = (vbw >= 0 && vbw <= blim) ? D[j] : BP_INF;
+            if (dm < Dmin) { Dmin = dm; jmin = j; }
+        }
+        int32_t drift = active ? jmin - BP_CTR : 0;
+        int32_t Dn[BP_BW];
+        for (int j = 0; j < BP_BW; j++) {
+            int32_t l = j + drift;
+            int32_t idx = l < 0 ? 0 : (l > BP_BW - 1 ? BP_BW - 1 : l);
+            int32_t over = l - idx;
+            if (over < 0) over = -over;
+            Dn[j] = D[idx] + over;
+        }
+        VP = 1u;       /* bit 0: +1 (Db = Dn[0] - 1) */
+        VN = 0u;
+        for (int j = 1; j < BP_BW; j++) {
+            int32_t dl = Dn[j] - Dn[j - 1];
+            if (dl > 0) VP |= 1u << j;
+            else if (dl < 0) VN |= 1u << j;
+        }
+        Db = Dn[0] - 1;
+        Dc = Dn[BP_CTR];
+        vbb = vbt + 1 + drift;
+        rtot = t;
+    }
+    if (bs <= 0) return;
+    *o_va = bva;
+    *o_vb = bvb;
+    *o_d = (bva + bvb - bs) / diff_cost;
+    *o_s = bs;
+}
+
+static void bp_trace_unit(const uint8_t *A, int64_t na,
+                          const uint8_t *B, int64_t nb,
+                          int64_t aorigin, int64_t borigin,
+                          int32_t abpos, int32_t alim, int32_t blim,
+                          int tspace, int max_segs, int32_t *trace,
+                          int32_t *o_nseg, int32_t *o_dsum) {
+    uint32_t VP, VN;
+    int32_t Db, DcT;
+    bp_vinit(&VP, &VN, &Db);
+    int32_t vbb = 1 - BP_CTR;
+    int32_t done = 0, nseg = 0, prev_vb = 0, dsum = 0;
+    while (done < alim) {
+        int32_t a = abpos + done;
+        int32_t nxt = (a / tspace + 1) * tspace - a;
+        int32_t rem = alim - done;
+        int32_t seg_rows = nxt < rem ? nxt : rem;
+        uint32_t PH = 0, PL = 0, PV = 0;
+        for (int j = 0; j < BP_BW; j++) {
+            int32_t p = vbb - 1 + j;
+            uint32_t c = (uint32_t)bp_char(B, nb, borigin + p);
+            PH |= ((c >> 1) & 1u) << j;
+            PL |= (c & 1u) << j;
+            PV |= (uint32_t)(p >= 0 && p < blim) << j;
+        }
+        for (int r = 0; r < seg_rows; r++) {
+            uint32_t x = (uint32_t)bp_char(A, na, aorigin + done + r);
+            uint32_t Eq = bp_eq(PH, PL, PV, x);
+            DcT = Db;                     /* Dc unused in the trace row */
+            bp_row(&VP, &VN, &Db, &DcT, Eq);
+            int32_t nbp = vbb + r + BP_BW - 1;
+            bp_shift(&PH, &PL, &PV,
+                     (uint32_t)bp_char(B, nb, borigin + nbp),
+                     (uint32_t)(nbp >= 0 && nbp < blim));
+        }
+        int32_t va = done + seg_rows;
+        int at_end = va == alim;
+        int32_t vbe = vbb + seg_rows - 1;
+        int32_t D[BP_BW];
+        bp_reconstruct(VP, VN, Db, D);
+        int32_t Dmin = BP_INF;
+        int32_t jmin = 0;
+        for (int j = 0; j < BP_BW; j++) {
+            int32_t vbw = vbe + j;
+            int32_t dm = (vbw >= 0 && vbw <= blim && vbw > prev_vb)
+                         ? D[j] : BP_INF;
+            if (dm < Dmin) { Dmin = dm; jmin = j; }
+        }
+        int32_t j_end = blim - vbe;
+        if (j_end < 0) j_end = 0;
+        if (j_end > BP_BW - 1) j_end = BP_BW - 1;
+        int32_t j_com = at_end ? j_end : jmin;
+        int32_t vb_com = vbe + j_com;
+        if (vb_com < prev_vb) vb_com = prev_vb;
+        if (vb_com > blim) vb_com = blim;
+        int32_t d_com = D[j_com];
+        if (d_com >= BP_INF) d_com = alim + blim;
+        int32_t ns = nseg < max_segs - 1 ? nseg : max_segs - 1;
+        trace[2 * ns] = d_com;
+        trace[2 * ns + 1] = vb_com - prev_vb;
+        bp_vinit(&VP, &VN, &Db);
+        vbb = vb_com - BP_CTR + 1;
+        done += seg_rows;
+        nseg += 1;
+        prev_vb = vb_com;
+        dsum += d_com;
+    }
+    *o_nseg = nseg;
+    *o_dsum = dsum;
+}
+
+typedef struct {
+    const uint8_t *A, *B;
+    int64_t na, nb;
+    const int32_t *i0, *i1, *i2, *i3;   /* per-kernel int args */
+    const uint8_t *rev;
+    int32_t S, R, max_rows, diff_cost, xdrop, tspace, max_segs;
+    int32_t *o0, *o1, *o2, *o3;
+    int32_t lo, hi;
+    int which;                           /* 0 = extend, 1 = trace */
+} BpJob;
+
+static void *bp_worker(void *vp) {
+    BpJob *j = (BpJob *)vp;
+    for (int32_t u = j->lo; u < j->hi; u++) {
+        if (j->which == 0) {
+            bp_extend_unit(j->A, j->na, j->B, j->nb, j->i0[u], j->i1[u],
+                           j->i2[u], j->i3[u], j->rev ? j->rev[u] : 0,
+                           j->R, j->max_rows, j->diff_cost, j->xdrop,
+                           j->o0 + u, j->o1 + u, j->o2 + u, j->o3 + u);
+        } else {
+            /* i0/i1 = astart/bstart (block origins), o3 = abpos/bbpos
+             * packed: reuse slots — see bp_trace_batch */
+            int64_t aorig = (int64_t)j->i0[u] + j->o3[2 * u];
+            int64_t borig = (int64_t)j->i1[u] + j->o3[2 * u + 1];
+            bp_trace_unit(j->A, j->na, j->B, j->nb, aorig, borig,
+                          j->o3[2 * u], j->i2[u], j->i3[u], j->tspace,
+                          j->max_segs,
+                          j->o0 + (size_t)u * j->max_segs * 2,
+                          j->o1 + u, j->o2 + u);
+        }
+    }
+    return NULL;
+}
+
+static void bp_run(BpJob *tmpl, int32_t S, int nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads > S) nthreads = S > 0 ? S : 1;
+    pthread_t tid[16];
+    BpJob jobs[16];
+    int32_t per = (S + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int i = 0; i < nthreads; i++) {
+        int32_t lo = i * per;
+        if (lo >= S) break;
+        jobs[nt] = *tmpl;
+        jobs[nt].lo = lo;
+        jobs[nt].hi = lo + per < S ? lo + per : S;
+        nt++;
+    }
+    if (nt == 1) {
+        bp_worker(&jobs[0]);
+        return;
+    }
+    for (int i = 0; i < nt; i++)
+        pthread_create(&tid[i], NULL, bp_worker, &jobs[i]);
+    for (int i = 0; i < nt; i++)
+        pthread_join(tid[i], NULL);
+}
+
+void bp_extend_batch(const uint8_t *A, int64_t na, const uint8_t *B,
+                     int64_t nb, const int32_t *ao, const int32_t *bo,
+                     const int32_t *alim, const int32_t *blim,
+                     const uint8_t *rev, int32_t S, int32_t R,
+                     int32_t max_rows, int32_t diff_cost, int32_t xdrop,
+                     int32_t nthreads, int32_t *va, int32_t *vb,
+                     int32_t *d, int32_t *sc) {
+    BpJob j = {A, B, na, nb, ao, bo, alim, blim, rev, S, R, max_rows,
+               diff_cost, xdrop, 0, 0, va, vb, d, sc, 0, 0, 0};
+    bp_run(&j, S, nthreads);
+}
+
+void bp_trace_batch(const uint8_t *A, int64_t na, const uint8_t *B,
+                    int64_t nb, const int32_t *astart,
+                    const int32_t *bstart, const int32_t *abp_bbp,
+                    const int32_t *alim, const int32_t *blim, int32_t S,
+                    int32_t tspace, int32_t max_segs, int32_t nthreads,
+                    int32_t *trace, int32_t *nseg, int32_t *dsum) {
+    /* abp_bbp: interleaved [abpos, bbpos] pairs (int32[2*S]) */
+    BpJob j = {A, B, na, nb, astart, bstart, alim, blim, NULL, S, 0, 0,
+               0, 0, tspace, max_segs, trace, nseg, dsum,
+               (int32_t *)abp_bbp, 0, 0, 1};
+    bp_run(&j, S, nthreads);
+}

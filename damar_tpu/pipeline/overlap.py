@@ -51,6 +51,12 @@ def _kernels(cfg: "OverlapConfig"):
     import jax
     from functools import partial as _p
     if cfg.dp_kernel == "bp":
+        import os
+        if os.environ.get("DAMAR_BP") == "native":
+            from damar_tpu import native
+            if native.available():
+                return (_p(_native_bp_extend, R=cfg.bp_chunk),
+                        _native_bp_trace)
         from damar_tpu.ops.wave_bp import extend_wave_bp, trace_wave_bp
         return _p(extend_wave_bp, R=cfg.bp_chunk), trace_wave_bp
     use = cfg.use_pallas
@@ -203,7 +209,11 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
     if n == 0:
         return None
     S = cfg.seed_batch
-    if dev_bases is not None:
+    ext_fn, _ = _kernels(cfg)
+    host = getattr(ext_fn, "host_kernel", False)
+    if host:
+        a_bases, b_bases = blk_a.bases, blk_b.bases
+    elif dev_bases is not None:
         a_bases, b_bases = dev_bases
     else:
         a_bases = jnp.asarray(blk_a.bases)
@@ -227,26 +237,27 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
     bound = np.minimum(u_alim, u_blim)
     order = np.argsort(bound, kind="stable").astype(np.int64)
 
-    ext_fn, _ = _kernels(cfg)
     kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
               diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
+    arr = (lambda x: x) if host else jnp.asarray
     # launch every batch before harvesting any: dispatch is async, so
-    # the device queue stays full
+    # the device queue stays full (host kernels run synchronously)
     results = []
     for lo in range(0, 2 * n, S):
         sel = order[lo:lo + S]
         m = len(sel)
         r_va, r_vb, r_d, _ = ext_fn(
             a_bases, b_bases,
-            jnp.asarray(_pad(u_ao[sel], S, 0)),
-            jnp.asarray(_pad(u_bo[sel], S, 0)),
-            jnp.asarray(_pad(u_alim[sel], S, 0)),
-            jnp.asarray(_pad(u_blim[sel], S, 0)),
-            dirs=jnp.asarray(np.pad(u_rev[sel], (0, S - m))), **kw)
+            arr(_pad(u_ao[sel], S, 0)),
+            arr(_pad(u_bo[sel], S, 0)),
+            arr(_pad(u_alim[sel], S, 0)),
+            arr(_pad(u_blim[sel], S, 0)),
+            dirs=arr(np.pad(u_rev[sel], (0, S - m))), **kw)
         results.append((m, r_va, r_vb, r_d))
     # single device-side concat of all batch results (fetched once)
-    stacked = jnp.concatenate(
-        [jnp.stack([r_va[:], r_vb[:], r_d[:]]) for m, r_va, r_vb, r_d
+    xp = np if host else jnp
+    stacked = xp.concatenate(
+        [xp.stack([r_va[:], r_vb[:], r_d[:]]) for m, r_va, r_vb, r_d
          in results], axis=1)
     return dict(stacked=stacked, order=order, n=n, S=S, comp=comp,
                 ar=ar_all, br=br_all, ap=ap_all, bp=bp_all,
@@ -432,6 +443,59 @@ def _native_wide_trace(a_bases, b_bases, astart, bstart, abpos, bbpos,
         tspace=tspace, band=W, max_segs=max_segs)
 
 
+def _native_bp_extend(a_bases, b_bases, aorigin, borigin, alim, blim,
+                      reverse: bool = False, R: int = 128,
+                      max_rows: int = 65536, diff_cost: int = 5,
+                      xdrop: int = 60, dirs=None, W: int = 128,
+                      SB: int = 256):
+    """extend_wave_bp-signature wrapper over native.bp_extend_batch —
+    the C replica is bit-identical to the JAX kernel (see
+    tests/test_native_bp.py), so the CPU fallback path (DAMAR_BP=
+    native) produces the same .las byte-for-byte.  W/SB are accepted
+    for signature parity (the bp band is fixed at 32 diagonals)."""
+    from damar_tpu import native
+    rv = (np.asarray(dirs) if dirs is not None
+          else np.full(np.asarray(aorigin).shape[0], reverse, bool))
+    return native.bp_extend_batch(
+        np.asarray(a_bases), np.asarray(b_bases), np.asarray(aorigin),
+        np.asarray(borigin), np.asarray(alim), np.asarray(blim), rv,
+        R=R, max_rows=max_rows, diff_cost=diff_cost, xdrop=xdrop)
+
+
+_native_bp_extend.host_kernel = True
+
+
+def _native_bp_trace(a_bases, b_bases, astart, bstart, abpos, bbpos,
+                     alim, blim, tspace: int = 100, max_segs: int = 660,
+                     W: int = 128, SB: int = 256):
+    """trace_wave_bp-signature wrapper over native.bp_trace_batch
+    (bit-identical C replica; W/SB accepted for signature parity)."""
+    from damar_tpu import native
+    return native.bp_trace_batch(
+        np.asarray(a_bases), np.asarray(b_bases), np.asarray(astart),
+        np.asarray(bstart), np.asarray(abpos), np.asarray(bbpos),
+        np.asarray(alim), np.asarray(blim), tspace=tspace,
+        max_segs=max_segs)
+
+
+_native_bp_trace.host_kernel = True
+
+
+def _pack_trace_np(tr: np.ndarray, expect: np.ndarray,
+                   total_cap: int) -> np.ndarray:
+    """Numpy twin of _pack_trace_jit for host trace kernels."""
+    S = len(expect)
+    starts = np.cumsum(expect) - expect
+    total = min(int(starts[-1] + expect[-1]) if S else 0, total_cap)
+    out = np.full((total_cap, 2), -1, np.int32)
+    if total:
+        rows = np.repeat(np.arange(S), expect)[:total]
+        seg = (np.arange(total) - np.repeat(starts, expect)[:total])
+        seg = np.minimum(seg, tr.shape[1] - 1)
+        out[:total] = tr[rows, seg]
+    return out
+
+
 def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
                   cfg: OverlapConfig, kernel=None):
     """Launch (async) the trace pass for a batch of extents.
@@ -467,7 +531,10 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
         jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
         tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
     total_cap = _round_slice(int(expect.sum()), 2048)
-    packed = _pack_trace_jit(tr, jnp.asarray(expect), total_cap)
+    if isinstance(tr, np.ndarray):            # host trace kernel
+        packed = _pack_trace_np(tr, expect, total_cap)
+    else:
+        packed = _pack_trace_jit(tr, jnp.asarray(expect), total_cap)
     return dict(packed=packed, nseg=nseg, dsum=dsum, expect=expect,
                 abp=abp, aep=aep, bbp=bbp, bep=bep, S=S)
 
@@ -515,10 +582,16 @@ def _trace_harvest_all(pends: list, cfg: OverlapConfig) -> list:
     live = [p for p in pends if p is not None]
     if not live:
         return [None for _ in pends]
-    packed_all = np.asarray(jnp.concatenate(
-        [p["packed"] for p in live]))
-    counts_all = np.asarray(jnp.concatenate(
-        [jnp.stack([p["nseg"], p["dsum"]], axis=1) for p in live]))
+    if all(isinstance(p["packed"], np.ndarray) for p in live):
+        packed_all = np.concatenate([p["packed"] for p in live])
+        counts_all = np.concatenate(
+            [np.stack([np.asarray(p["nseg"]), np.asarray(p["dsum"])],
+                      axis=1) for p in live])
+    else:
+        packed_all = np.asarray(jnp.concatenate(
+            [p["packed"] for p in live]))
+        counts_all = np.asarray(jnp.concatenate(
+            [jnp.stack([p["nseg"], p["dsum"]], axis=1) for p in live]))
     out, po, co = [], 0, 0
     for p in pends:
         if p is None:

@@ -1,0 +1,157 @@
+"""Differential tests: native C bit-parallel kernels vs the JAX bp
+kernels (ops/wave_bp.py).
+
+The C replicas (native/damar_native.c bp_extend_batch/bp_trace_batch)
+serve the CPU fallback path (DAMAR_BP=native); they must be
+BIT-IDENTICAL to the JAX kernels — same extents, same trace points,
+same .las bytes — so switching backends never changes results.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from damar_tpu import native
+from damar_tpu.utils.sim import mutate
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C toolchain")
+
+
+def _unit_batch(rng, S):
+    """Random mutated-pair units laid out in two block arrays; returns
+    (A, B, aorigin, borigin, alim, blim, rev) with mixed directions."""
+    a_parts, b_parts = [], []
+    for _ in range(S):
+        L = int(rng.integers(100, 2500))
+        src = rng.integers(0, 4, L).astype(np.uint8)
+        a_parts.append(src)
+        b_parts.append(mutate(src, float(rng.uniform(0.05, 0.25)), rng))
+    a_off = np.cumsum([0] + [len(x) for x in a_parts])
+    b_off = np.cumsum([0] + [len(x) for x in b_parts])
+    A, B = np.concatenate(a_parts), np.concatenate(b_parts)
+    ao, bo, alim, blim, rv = [], [], [], [], []
+    for i in range(S):
+        la = a_off[i + 1] - a_off[i]
+        lb = b_off[i + 1] - b_off[i]
+        pa = int(rng.integers(0, la))
+        pb = int(np.clip(pa + rng.integers(-30, 30), 0, lb - 1))
+        rev = bool(rng.integers(0, 2))
+        ao.append(a_off[i] + pa)
+        bo.append(b_off[i] + pb)
+        alim.append(pa if rev else la - pa)
+        blim.append(pb if rev else lb - pb)
+        rv.append(rev)
+    return (A, B, np.array(ao, np.int32), np.array(bo, np.int32),
+            np.array(alim, np.int32), np.array(blim, np.int32),
+            np.array(rv, bool))
+
+
+class TestExtendBitIdentity:
+    def test_fuzz_batches(self):
+        from damar_tpu.ops.wave_bp import extend_wave_bp
+        for seed in (5, 6, 7):
+            rng = np.random.default_rng(seed)
+            A, B, ao, bo, alim, blim, rv = _unit_batch(rng, 48)
+            kw = dict(R=128, max_rows=65536, diff_cost=5, xdrop=60)
+            ref = extend_wave_bp(
+                jnp.asarray(A), jnp.asarray(B), jnp.asarray(ao),
+                jnp.asarray(bo), jnp.asarray(alim), jnp.asarray(blim),
+                dirs=jnp.asarray(rv), **kw)
+            nat = native.bp_extend_batch(A, B, ao, bo, alim, blim, rv,
+                                         **kw)
+            for name, x, y in zip("va vb d s".split(), ref, nat):
+                np.testing.assert_array_equal(np.asarray(x), y,
+                                              err_msg=f"{name} s{seed}")
+
+
+class TestTraceBitIdentity:
+    def test_fuzz_batches(self):
+        from damar_tpu.ops.wave_bp import trace_wave_bp
+        for seed in (8, 9):
+            rng = np.random.default_rng(seed)
+            A, B, ao, bo, alim, blim, rv = _unit_batch(rng, 32)
+            # the trace pass runs FORWARD from its anchor: reverse
+            # units' (alim, blim) describe backward room, so clip every
+            # span to the array (out-of-array reads are unspecified
+            # garbage on both paths; in the pipeline extents are always
+            # in-array)
+            alim = np.minimum(alim, len(A) - ao).astype(np.int32)
+            blim = np.minimum(blim, len(B) - bo).astype(np.int32)
+            z = np.zeros(len(ao), np.int32)
+            ref = trace_wave_bp(
+                jnp.asarray(A), jnp.asarray(B), jnp.asarray(ao),
+                jnp.asarray(bo), jnp.asarray(z), jnp.asarray(z),
+                jnp.asarray(alim), jnp.asarray(blim),
+                tspace=100, max_segs=32)
+            nat = native.bp_trace_batch(A, B, ao, bo, z, z, alim, blim,
+                                        tspace=100, max_segs=32)
+            for name, x, y in zip(("trace", "nseg", "dsum"), ref, nat):
+                np.testing.assert_array_equal(np.asarray(x), y,
+                                              err_msg=f"{name} s{seed}")
+
+    def test_odd_tspace_and_offsets(self):
+        """Non-zero abpos (tspace boundaries off-phase) and a tspace
+        above TRACE_XOVR."""
+        from damar_tpu.ops.wave_bp import trace_wave_bp
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 4, 3000).astype(np.uint8)
+        der = mutate(src, 0.12, rng)
+        ab = np.array([137], np.int32)
+        bb = np.array([140], np.int32)
+        alim = np.array([2500], np.int32)
+        blim = np.array([len(der) - 140], np.int32)
+        z = np.zeros(1, np.int32)
+        for tspace in (100, 126, 250):
+            ref = trace_wave_bp(
+                jnp.asarray(src), jnp.asarray(der), jnp.asarray(z),
+                jnp.asarray(z), jnp.asarray(ab), jnp.asarray(bb),
+                jnp.asarray(alim), jnp.asarray(blim),
+                tspace=tspace, max_segs=64)
+            nat = native.bp_trace_batch(src, der, z, z, ab, bb, alim,
+                                        blim, tspace=tspace,
+                                        max_segs=64)
+            for x, y in zip(ref, nat):
+                np.testing.assert_array_equal(np.asarray(x), y)
+
+
+class TestDriverByteIdentity:
+    def test_pair_driver_las_identical(self):
+        """overlap_block_pair under DAMAR_BP=native +DAMAR_SORT=host
+        emits byte-identical .las columns to the default JAX path."""
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.pipeline.overlap import overlap_block_pair
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(30_000, seed=77)
+        sim = sample_reads(g, coverage=8, mean_len=3000, err=0.14,
+                           seed=78)
+        blk = block_from_reads(sim.reads)
+        cfg = OverlapConfig(seed_batch=256)
+
+        def run():
+            return overlap_block_pair(blk, blk, cfg, self_block=True,
+                                      hit_cap=1 << 19,
+                                      seed_cap=1 << 14)
+        la0, lb0, _ = run()
+        prev = {k: os.environ.get(k) for k in ("DAMAR_BP", "DAMAR_SORT")}
+        os.environ["DAMAR_BP"] = "native"
+        os.environ["DAMAR_SORT"] = "host"
+        jax.clear_caches()
+        try:
+            la1, lb1, _ = run()
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            jax.clear_caches()
+        assert la0.novl == la1.novl and lb0.novl == lb1.novl
+        for a, b in ((la0, la1), (lb0, lb1)):
+            np.testing.assert_array_equal(a.columns.headers,
+                                          b.columns.headers)
+            np.testing.assert_array_equal(a.columns.trace,
+                                          b.columns.trace)
