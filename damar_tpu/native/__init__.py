@@ -84,7 +84,8 @@ def _lib():
                 ctypes.c_int32, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
-                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+                ctypes.c_int32]
             lib.trace_points_batch.restype = ctypes.c_int64
             i32p = ctypes.POINTER(ctypes.c_int32)
             u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -242,7 +243,7 @@ def trace_points_batch(a_codes, b_codes, astart, bstart, abpos, aepos,
         _u8p(a), _u8p(b), np.int32(n), p64(as_), p64(bs_),
         p64(ab), p64(ae), p64(bb),
         p64(be), np.int32(tspace), np.int32(band), p32(out), p32(nseg),
-        p32(dsum), np.int32(max_segs))
+        p32(dsum), np.int32(max_segs), np.int32(_nthreads()))
     if rc != 0:
         return None
     return out[:n], nseg[:n], dsum[:n]

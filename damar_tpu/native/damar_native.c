@@ -16,6 +16,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <pthread.h>
 
 /* ---------------- 2-bit base codec ---------------- */
 
@@ -422,6 +423,31 @@ int32_t trace_points(const uint8_t *a, const uint8_t *b,
     return nseg;
 }
 
+typedef struct {
+    const uint8_t *a, *b;
+    const int64_t *astart, *bstart, *abpos, *aepos, *bbpos, *bepos;
+    int32_t tspace, band, max_segs;
+    int32_t *out, *nseg_out, *dsum_out;
+    int32_t lo, hi;
+} TpJob;
+
+static void *tp_worker(void *vp) {
+    TpJob *j = (TpJob *)vp;
+    for (int32_t r = j->lo; r < j->hi; r++) {
+        int32_t *o = j->out + (size_t)r * j->max_segs * 2;
+        int32_t ns = trace_points(j->a + j->astart[r],
+                                  j->b + j->bstart[r], j->abpos[r],
+                                  j->aepos[r], j->bbpos[r], j->bepos[r],
+                                  j->tspace, j->band, o, j->max_segs);
+        if (ns < 0) ns = 0;          /* inconsistent: empty trace */
+        j->nseg_out[r] = ns;
+        int32_t d = 0;
+        for (int32_t s = 0; s < ns; s++) d += o[2 * s];
+        j->dsum_out[r] = d;
+    }
+    return NULL;
+}
+
 int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
                            int32_t n_rec,
                            const int64_t *astart, const int64_t *bstart,
@@ -430,21 +456,37 @@ int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
                            int32_t tspace, int32_t band,
                            int32_t *out /* n_rec x max_segs x 2 */,
                            int32_t *nseg_out, int32_t *dsum_out,
-                           int32_t max_segs) {
+                           int32_t max_segs, int32_t nthreads) {
     /* coordinates are READ-LOCAL (trace boundaries are multiples of
      * tspace in the A read's own frame); astart/bstart locate each
-     * record's reads in the block arrays */
-    for (int32_t r = 0; r < n_rec; r++) {
-        int32_t *o = out + (size_t)r * max_segs * 2;
-        int32_t ns = trace_points(a + astart[r], b + bstart[r],
-                                  abpos[r], aepos[r], bbpos[r],
-                                  bepos[r], tspace, band, o, max_segs);
-        if (ns < 0) ns = 0;          /* inconsistent: empty trace */
-        nseg_out[r] = ns;
-        int32_t d = 0;
-        for (int32_t s = 0; s < ns; s++) d += o[2 * s];
-        dsum_out[r] = d;
+     * record's reads in the block arrays.  Records are independent:
+     * nthreads pthreads split them. */
+    TpJob tmpl = {a, b, astart, bstart, abpos, aepos, bbpos, bepos,
+                  tspace, band, max_segs, out, nseg_out, dsum_out,
+                  0, n_rec};
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (nthreads > n_rec) nthreads = n_rec > 0 ? n_rec : 1;
+    if (nthreads == 1) {
+        tp_worker(&tmpl);
+        return 0;
     }
+    pthread_t tid[16];
+    TpJob jobs[16];
+    int32_t per = (n_rec + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int i = 0; i < nthreads; i++) {
+        int32_t lo = i * per;
+        if (lo >= n_rec) break;
+        jobs[nt] = tmpl;
+        jobs[nt].lo = lo;
+        jobs[nt].hi = lo + per < n_rec ? lo + per : n_rec;
+        nt++;
+    }
+    for (int i = 0; i < nt; i++)
+        pthread_create(&tid[i], NULL, tp_worker, &jobs[i]);
+    for (int i = 0; i < nt; i++)
+        pthread_join(tid[i], NULL);
     return 0;
 }
 
@@ -457,7 +499,6 @@ int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
  * extents/traces (asserted by tests/test_native_bp.py); pthreads
  * split the independent units across cores.
  */
-#include <pthread.h>
 
 #define BP_BW  32
 #define BP_CTR 16

@@ -52,7 +52,12 @@ def _kernels(cfg: "OverlapConfig"):
     from functools import partial as _p
     if cfg.dp_kernel == "bp":
         import os
-        if os.environ.get("DAMAR_BP") == "native":
+        mode = os.environ.get("DAMAR_BP")
+        # the C replicas are bit-identical to the JAX bp kernels and
+        # several-fold faster on host, so the CPU backend uses them by
+        # default (DAMAR_BP=jax opts out, DAMAR_BP=native forces)
+        if mode != "jax" and (mode == "native"
+                              or jax.default_backend() == "cpu"):
             from damar_tpu import native
             if native.available():
                 return (_p(_native_bp_extend, R=cfg.bp_chunk),

@@ -11,6 +11,11 @@ import os
 
 # still set the env vars for any subprocesses tests may spawn
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# keep the JAX bp kernels (the TPU production path) under test: on the
+# CPU backend _kernels would otherwise auto-select the native C
+# replicas.  The native path is covered by tests/test_native_bp.py,
+# which overrides this per-test.
+os.environ.setdefault("DAMAR_BP", "jax")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
