@@ -811,3 +811,66 @@ void bp_trace_batch(const uint8_t *A, int64_t na, const uint8_t *B,
                (int32_t *)abp_bbp, 0, 0, 1};
     bp_run(&j, S, nthreads);
 }
+
+/* ---------------- stable radix argsort ----------------
+ *
+ * LSD byte-wise radix argsort of u64 keys (stable), used by the host
+ * sort backend (ops/sort.py DAMAR_SORT=host) in place of numpy's
+ * mergesort argsort: the seeding stage's banding/index sorts are the
+ * CPU fallback's hottest host op.  A prescan skips passes whose byte
+ * never varies (typical keys use <48 bits -> 3-5 passes).
+ */
+int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
+                          int64_t *order /* caller buffer [n] */) {
+    if (n <= 0) return 0;
+    /* sort (key, idx) pairs so every pass streams sequentially; 16-bit
+     * digits when n is large enough to amortize the 64k histogram */
+    uint64_t *k0 = (uint64_t *)malloc((size_t)n * 8);
+    uint64_t *k1 = (uint64_t *)malloc((size_t)n * 8);
+    int64_t *i0 = (int64_t *)malloc((size_t)n * 8);
+    int64_t *i1 = (int64_t *)malloc((size_t)n * 8);
+    if (!k0 || !k1 || !i0 || !i1) {
+        free(k0); free(k1); free(i0); free(i1);
+        return -1;
+    }
+    uint64_t all_or = 0, all_and = ~(uint64_t)0;
+    for (int64_t i = 0; i < n; i++) {
+        k0[i] = keys[i];
+        i0[i] = i;
+        all_or |= keys[i];
+        all_and &= keys[i];
+    }
+    uint64_t diff = all_or ^ all_and;
+    const int dbits = n >= 65536 ? 16 : 8;
+    const int nd = 1 << dbits;
+    const uint64_t dmask = (uint64_t)(nd - 1);
+    int64_t *cnt = (int64_t *)malloc((size_t)nd * 8);
+    if (!cnt) {
+        free(k0); free(k1); free(i0); free(i1);
+        return -1;
+    }
+    uint64_t *ks = k0, *kd = k1;
+    int64_t *is = i0, *id = i1;
+    for (int shift = 0; shift < 64; shift += dbits) {
+        if (!((diff >> shift) & dmask)) continue;
+        memset(cnt, 0, (size_t)nd * 8);
+        for (int64_t i = 0; i < n; i++)
+            cnt[(ks[i] >> shift) & dmask]++;
+        int64_t acc = 0;
+        for (int v = 0; v < nd; v++) {
+            int64_t c = cnt[v];
+            cnt[v] = acc;
+            acc += c;
+        }
+        for (int64_t i = 0; i < n; i++) {
+            int64_t p = cnt[(ks[i] >> shift) & dmask]++;
+            kd[p] = ks[i];
+            id[p] = is[i];
+        }
+        uint64_t *kt = ks; ks = kd; kd = kt;
+        int64_t *it = is; is = id; id = it;
+    }
+    memcpy(order, is, (size_t)n * 8);
+    free(k0); free(k1); free(i0); free(i1); free(cnt);
+    return 0;
+}

@@ -59,21 +59,26 @@ def _host_lexsort(keys, payloads):
     arrs = keys + payloads
     nk = len(keys)
 
+    def _argsort_u64(key64):
+        from damar_tpu import native
+        order = native.radix_argsort(key64)
+        return np.argsort(key64, kind="stable") if order is None \
+            else order
+
     def cb(*a):
         # the callback may receive jax.Array views (CPU zero-copy);
         # force real numpy or the u64 fold silently truncates to u32
         # under the default x64-disabled config
         a = tuple(np.asarray(x) for x in a)
         ks = a[:nk]
-        if nk == 1:
-            order = np.argsort(ks[0], kind="stable")
+        if nk == 1 and ks[0].dtype.itemsize <= 8:
+            order = _argsort_u64(ks[0].astype(np.uint64))
         elif nk == 2 and all(k.dtype.itemsize <= 4 for k in ks):
-            # fold two <=32-bit keys into one u64: a single stable
-            # argsort runs ~1.7x faster than the 2-key lexsort
+            # fold two <=32-bit keys into one u64: a single radix
+            # argsort replaces the 2-key lexsort
             hi = ks[0].astype(np.uint32).astype(np.uint64)
             lo = ks[1].astype(np.uint32).astype(np.uint64)
-            order = np.argsort((hi << np.uint64(32)) | lo,
-                               kind="stable")
+            order = _argsort_u64((hi << np.uint64(32)) | lo)
         else:
             # np.lexsort's primary key is its LAST element
             order = np.lexsort(tuple(reversed(ks)))
