@@ -23,6 +23,9 @@ class SimReads:
     end: np.ndarray              # genome end
     strand: np.ndarray           # 0 fwd, 1 revcomp
     err: float
+    # chimeric[i]: read i is a junction artifact of two unrelated
+    # genome spans (start/end describe its FIRST segment only)
+    chimeric: np.ndarray | None = None
 
     def true_overlap(self, i: int, j: int, min_olap: int = 1) -> bool:
         lo = max(self.start[i], self.start[j])
@@ -84,35 +87,55 @@ def mutate(seq: np.ndarray, err: float, rng: np.random.Generator,
 
 def sample_reads(genome: np.ndarray, coverage: float, mean_len: int,
                  err: float = 0.14, seed: int = 1, min_len: int = 500,
-                 circular: bool = True) -> SimReads:
-    """Sample reads to a target coverage with exponential-ish lengths."""
+                 circular: bool = True,
+                 chimera_frac: float = 0.0) -> SimReads:
+    """Sample reads to a target coverage with exponential-ish lengths.
+
+    chimera_frac: fraction of reads turned into chimeras (two
+    unrelated genome spans fused at a junction — the artifact LAgap
+    exists to break; SURVEY.md §2.6).  start/end of a chimeric read
+    describe its first segment.
+    """
     from damar_tpu.formats.fasta import revcomp
     rng = np.random.default_rng(seed)
     G = len(genome)
     total = int(G * coverage)
-    reads, starts, ends, strands = [], [], [], []
+    reads, starts, ends, strands, chims = [], [], [], [], []
     acc = 0
     gg = np.concatenate([genome, genome]) if circular else genome
-    while acc < total:
-        L = int(np.clip(rng.gamma(3.0, mean_len / 3.0), min_len, G))
+
+    def one_span(L):
         s = int(rng.integers(0, G if circular else max(1, G - L)))
         span = gg[s:s + L]
-        if len(span) < min_len:
-            continue
         strand = int(rng.integers(0, 2))
         r = span if strand == 0 else revcomp(span)
-        r = mutate(r, err, rng)
+        return mutate(r, err, rng), s, s + L, strand
+
+    while acc < total:
+        L = int(np.clip(rng.gamma(3.0, mean_len / 3.0), min_len, G))
+        chim = chimera_frac > 0 and rng.random() < chimera_frac \
+            and L >= 2 * min_len
+        if chim:
+            l1 = int(rng.integers(L // 4, 3 * L // 4))
+            r1, s, e, strand = one_span(l1)
+            r2, _, _, _ = one_span(L - l1)
+            r = np.concatenate([r1, r2])
+            e = s + l1
+        else:
+            r, s, e, strand = one_span(L)
         if len(r) < min_len:
             continue
         reads.append(r)
         starts.append(s)
-        ends.append(s + L)
+        ends.append(e)
         strands.append(strand)
+        chims.append(chim)
         acc += L
     return SimReads(
         genome=genome, reads=reads,
         start=np.array(starts), end=np.array(ends),
         strand=np.array(strands), err=err,
+        chimeric=np.array(chims, dtype=bool),
     )
 
 
