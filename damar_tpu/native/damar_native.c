@@ -17,6 +17,7 @@
 #include <stdlib.h>
 #include <string.h>
 #include <pthread.h>
+#include <unistd.h>
 
 /* ---------------- 2-bit base codec ---------------- */
 
@@ -820,11 +821,41 @@ void bp_trace_batch(const uint8_t *A, int64_t na, const uint8_t *B,
  * CPU fallback's hottest host op.  A prescan skips passes whose byte
  * never varies (typical keys use <48 bits -> 3-5 passes).
  */
+typedef struct {
+    const uint64_t *keys;
+    uint64_t *ks, *kd;
+    int64_t *is, *id;
+    int64_t lo, hi;
+    int shift;
+    uint64_t dmask;
+    int64_t *cnt;        /* this thread's digit histogram / offsets */
+} RxJob;
+
+static void *rx_hist(void *vp) {
+    RxJob *j = (RxJob *)vp;
+    for (int64_t i = j->lo; i < j->hi; i++)
+        j->cnt[(j->ks[i] >> j->shift) & j->dmask]++;
+    return NULL;
+}
+
+static void *rx_scatter(void *vp) {
+    RxJob *j = (RxJob *)vp;
+    for (int64_t i = j->lo; i < j->hi; i++) {
+        int64_t p = j->cnt[(j->ks[i] >> j->shift) & j->dmask]++;
+        j->kd[p] = j->ks[i];
+        j->id[p] = j->is[i];
+    }
+    return NULL;
+}
+
 int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
                           int64_t *order /* caller buffer [n] */) {
     if (n <= 0) return 0;
     /* sort (key, idx) pairs so every pass streams sequentially; 16-bit
-     * digits when n is large enough to amortize the 64k histogram */
+     * digits when n is large enough to amortize the 64k histogram.
+     * Parallel per pass: per-thread chunk histograms, a digit-major
+     * exclusive scan across (digit, thread), per-thread scatters —
+     * stable because chunk order is preserved within each digit. */
     uint64_t *k0 = (uint64_t *)malloc((size_t)n * 8);
     uint64_t *k1 = (uint64_t *)malloc((size_t)n * 8);
     int64_t *i0 = (int64_t *)malloc((size_t)n * 8);
@@ -844,28 +875,49 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
     const int dbits = n >= 65536 ? 16 : 8;
     const int nd = 1 << dbits;
     const uint64_t dmask = (uint64_t)(nd - 1);
-    int64_t *cnt = (int64_t *)malloc((size_t)nd * 8);
+    int nt = 1;
+    if (n >= 262144) {
+        long ncpu = sysconf(_SC_NPROCESSORS_ONLN);
+        nt = ncpu < 1 ? 1 : (ncpu > 8 ? 8 : (int)ncpu);
+    }
+    int64_t *cnt = (int64_t *)malloc((size_t)nd * nt * 8);
     if (!cnt) {
         free(k0); free(k1); free(i0); free(i1);
         return -1;
     }
     uint64_t *ks = k0, *kd = k1;
     int64_t *is = i0, *id = i1;
+    pthread_t tid[8];
+    RxJob jobs[8];
+    int64_t per = (n + nt - 1) / nt;
     for (int shift = 0; shift < 64; shift += dbits) {
         if (!((diff >> shift) & dmask)) continue;
-        memset(cnt, 0, (size_t)nd * 8);
-        for (int64_t i = 0; i < n; i++)
-            cnt[(ks[i] >> shift) & dmask]++;
-        int64_t acc = 0;
-        for (int v = 0; v < nd; v++) {
-            int64_t c = cnt[v];
-            cnt[v] = acc;
-            acc += c;
+        memset(cnt, 0, (size_t)nd * nt * 8);
+        for (int t = 0; t < nt; t++) {
+            jobs[t] = (RxJob){keys, ks, kd, is, id,
+                              t * per, (t + 1) * per < n ? (t + 1) * per : n,
+                              shift, dmask, cnt + (size_t)nd * t};
+            if (jobs[t].lo > n) jobs[t].lo = n;
         }
-        for (int64_t i = 0; i < n; i++) {
-            int64_t p = cnt[(ks[i] >> shift) & dmask]++;
-            kd[p] = ks[i];
-            id[p] = is[i];
+        if (nt == 1) rx_hist(&jobs[0]);
+        else {
+            for (int t = 0; t < nt; t++)
+                pthread_create(&tid[t], NULL, rx_hist, &jobs[t]);
+            for (int t = 0; t < nt; t++) pthread_join(tid[t], NULL);
+        }
+        /* digit-major exclusive scan over (digit, thread) */
+        int64_t acc = 0;
+        for (int v = 0; v < nd; v++)
+            for (int t = 0; t < nt; t++) {
+                int64_t c = cnt[(size_t)nd * t + v];
+                cnt[(size_t)nd * t + v] = acc;
+                acc += c;
+            }
+        if (nt == 1) rx_scatter(&jobs[0]);
+        else {
+            for (int t = 0; t < nt; t++)
+                pthread_create(&tid[t], NULL, rx_scatter, &jobs[t]);
+            for (int t = 0; t < nt; t++) pthread_join(tid[t], NULL);
         }
         uint64_t *kt = ks; ks = kd; kd = kt;
         int64_t *it = is; is = id; id = it;
