@@ -106,6 +106,13 @@ def _lib():
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
             lib.radix_argsort_u64.restype = ctypes.c_int64
+            lib.canon_kmers.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.canon_kmers.restype = None
             _LIB = lib
     return _LIB
 
@@ -251,6 +258,31 @@ def trace_points_batch(a_codes, b_codes, astart, bstart, abpos, aepos,
     if rc != 0:
         return None
     return out[:n], nseg[:n], dsum[:n]
+
+
+def canon_kmers(bases: np.ndarray, read_id: np.ndarray, k: int,
+                mask: np.ndarray | None = None):
+    """Canonical k-mer codes + strand bits — exact C replica of
+    ops.kmers.kmer_codes_canonical (asserted by tests/test_native_bp
+    .py).  Returns (codes uint32[n], strand bool[n]) or None when
+    native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(bases, dtype=np.uint8)
+    rid = np.ascontiguousarray(read_id, dtype=np.int32)
+    n = len(b)
+    m = (np.ascontiguousarray(mask, dtype=np.uint8)
+         if mask is not None else None)
+    codes = np.empty(n, np.uint32)
+    strand = np.empty(n, np.uint8)
+    lib.canon_kmers(
+        _u8p(b), np.int64(n),
+        rid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8p(m) if m is not None else None, np.int32(k),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _u8p(strand))
+    return codes, strand.astype(bool)
 
 
 def radix_argsort(keys: np.ndarray):

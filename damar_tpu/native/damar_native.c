@@ -926,3 +926,47 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
     free(k0); free(k1); free(i0); free(i1); free(cnt);
     return 0;
 }
+
+/* ---------------- canonical k-mer codes ----------------
+ *
+ * Exact replica of ops/kmers.py kmer_codes_canonical for the host
+ * seeding path (ops/seeding_host.py): per window, canonical
+ * min(code, rc) + strand bit; invalid windows (cross-read, tail,
+ * masked, pad bases) get 4**k.
+ */
+void canon_kmers(const uint8_t *bases, int64_t n, const int32_t *read_id,
+                 const uint8_t *mask /* may be NULL */, int32_t k,
+                 uint32_t *codes_out, uint8_t *strand_out) {
+    const uint32_t inval = ((uint32_t)1) << (2 * k);
+    const uint32_t cmask = inval - 1;
+    uint32_t code = 0, rc = 0;
+    /* prime the first window; out-of-range rolls read wrapped values
+     * exactly like jnp.roll — but every wrapped window is invalid
+     * (idx > n - k), so the values never matter */
+    for (int64_t i = 0; i < n; i++) {
+        /* incremental window: code = (code << 2 | b) & cmask needs the
+         * NEXT k-1 bases; compute lazily with a rolling window primed
+         * per position only when needed is O(nk) — keep the simple
+         * rolling form: */
+        if (i == 0) {
+            code = 0;
+            rc = 0;
+            for (int32_t j = 0; j < k; j++) {
+                uint32_t b = (j < n ? bases[j] : bases[j % n]) & 3u;
+                code = (code << 2) | b;
+                rc |= (3u - b) << (2 * j);
+            }
+        } else {
+            int64_t nxt = i + k - 1;
+            uint32_t b = (nxt < n ? bases[nxt] : bases[nxt % n]) & 3u;
+            code = ((code << 2) | b) & cmask;
+            rc = (rc >> 2) | ((3u - b) << (2 * (k - 1)));
+        }
+        int valid = i <= n - k && bases[i] < 4
+            && read_id[i] == read_id[(i + k - 1) % n];
+        if (mask && mask[i]) valid = 0;
+        uint32_t canon = rc < code ? rc : code;
+        codes_out[i] = valid ? canon : inval;
+        strand_out[i] = (uint8_t)(valid && rc < code);
+    }
+}

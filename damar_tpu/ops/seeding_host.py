@@ -1,0 +1,252 @@
+"""Host (numpy + native C) replica of the canonical seeding path.
+
+Serves the CPU backend (selected next to the native bp kernels,
+DAMAR_BP; see pipeline.overlap._kernels): the XLA seeding kernels are
+the TPU production path, but on the CPU fallback their sorts and
+scatter glue dominate the overlap wall clock.  This module reproduces
+ops.seeding.find_seeds_canonical_dev EXACTLY — same hits in the same
+order, same banding sort order (two-pass stable radix == the packed
+lexicographic key), same truncation semantics at hit_cap/seed_cap —
+so the emitted .las is byte-identical whichever backend ran
+(asserted by tests/test_native_bp.py).
+
+Layout notes mirror ops/seeding.py:
+  * canonical codes/strand: native C canon_kmers (exact replica of
+    kmers.kmer_codes_canonical);
+  * index + banding sorts: native parallel radix argsort;
+  * count/fill/coverage: vectorized numpy (run expansion via repeat).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from damar_tpu.ops.kmers import invalid_code
+from damar_tpu.ops.seeding import _pow2_cap, _pos_bits, quantize_bits
+
+
+def _argsort(keys: np.ndarray) -> np.ndarray:
+    from damar_tpu import native
+    order = native.radix_argsort(keys)
+    return np.argsort(keys, kind="stable") if order is None else order
+
+
+def _canon_index(bases, read_id, k: int, mask):
+    from damar_tpu import native
+    res = native.canon_kmers(bases, read_id, k, mask)
+    if res is None:                      # no toolchain: numpy fallback
+        import jax
+        from damar_tpu.ops.kmers import kmer_codes_canonical
+        import jax.numpy as jnp
+        c, s = kmer_codes_canonical(jnp.asarray(bases),
+                                    jnp.asarray(read_id), k,
+                                    jnp.asarray(mask)
+                                    if mask is not None else None)
+        res = np.asarray(c), np.asarray(s)
+    codes, strand = res
+    pos2 = (np.arange(len(codes), dtype=np.int32) << 1) \
+        | strand.astype(np.int32)
+    order = _argsort(codes.astype(np.uint64))
+    return codes[order], pos2[order]
+
+
+def _run_firsts(codes: np.ndarray):
+    """(first flags, per-element segment start index, per-element
+    segment length) of a sorted stream."""
+    n = len(codes)
+    first = np.empty(n, bool)
+    first[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=first[1:])
+    starts = np.maximum.accumulate(
+        np.where(first, np.arange(n, dtype=np.int64), 0))
+    seg_start_idx = np.flatnonzero(first)
+    seg_len = np.diff(np.append(seg_start_idx, n))
+    cnt = np.repeat(seg_len, seg_len)
+    return first, starts, cnt
+
+
+def _fill_hits(a_pos2, b_pos2, lo, c, cap: int):
+    """B-tuple-major hit materialization (match_fill): first `cap`
+    hits of the global enumeration.  Returns (ap2v, bp2v, nhits,
+    total)."""
+    total = int(c.sum())
+    nhits = min(total, cap)
+    if nhits == 0:
+        z = np.empty(0, np.int32)
+        return z, z, 0, total
+    if total > cap:
+        # truncate the run expansion at cap hits, exactly like the
+        # fixed device buffer: cut c at the tuple where cum crosses cap
+        cum = np.cumsum(c)
+        last = int(np.searchsorted(cum, cap, "left"))
+        c = c.copy()
+        c[last] = cap - (cum[last] - c[last])
+        c[last + 1:] = 0
+    idx = np.flatnonzero(c)
+    reps = c[idx]
+    bidx = np.repeat(idx, reps)
+    starts = np.cumsum(reps) - reps
+    off = np.arange(nhits, dtype=np.int64) - np.repeat(starts, reps)
+    ap2v = a_pos2[lo[bidx] + off].astype(np.int32)
+    bp2v = b_pos2[bidx].astype(np.int32)
+    return ap2v, bp2v, nhits, total
+
+
+def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
+                              mask_b=None, upper_only: bool = False,
+                              hit_cap: int = 1 << 21,
+                              seed_cap: int = 1 << 17, a_index=None,
+                              raw_hint: int | None = None,
+                              self_pair: bool = False) -> dict:
+    """Drop-in for find_seeds_canonical_dev returning numpy arrays
+    (same dict contract; fetch_seeds consumes either)."""
+    k = cfg.kmer
+    t = cfg.max_kmer_count or 128
+    inval = invalid_code(k)
+    ma = np.asarray(mask_a) if mask_a is not None else None
+    mb = np.asarray(mask_b) if mask_b is not None else None
+    ac, ap2 = a_index if a_index is not None else _canon_index(
+        blk_a.bases, blk_a.read_id, k, ma)
+    nb = blk_b.bases.shape[0]
+    if self_pair:
+        bc, bp2 = ac, ap2
+        first, starts, cnt = _run_firsts(ac)
+        lo = starts
+        rank = np.arange(len(ac), dtype=np.int64) - starts
+        ok = (ac != np.uint32(inval)) & (cnt <= t)
+        c = np.where(ok, rank, 0)
+        want_raw = min(raw_hint or nb // 2, hit_cap)
+    else:
+        bc, bp2 = _canon_index(blk_b.bases, blk_b.read_id, k, mb)
+        lo = np.searchsorted(ac, bc, "left").astype(np.int64)
+        hi = np.searchsorted(ac, bc, "right")
+        count_a = (hi - lo).astype(np.int64)
+        _, _, count_b = _run_firsts(bc)
+        ok = (bc != np.uint32(inval)) & (count_a <= t) & (count_b <= t)
+        c = np.where(ok, count_a, 0)
+        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    cap = _pow2_cap(want_raw, hit_cap)
+    ap2v, bp2v, nhits, total_hits = _fill_hits(ap2, bp2, lo, c, cap)
+
+    # split strand (comp = strand_a XOR strand_b; comp bpos mapped to
+    # the per-read rc frame)
+    b_rid = np.asarray(blk_b.read_id)
+    b_starts = np.asarray(blk_b.starts, np.int64)
+    apos = (ap2v >> 1).astype(np.int32)
+    bposf = (bp2v >> 1).astype(np.int64)
+    comp = ((ap2v ^ bp2v) & 1) == 1
+    r = b_rid[bposf].astype(np.int64)
+    blo = b_starts[r]
+    bhi = b_starts[r + 1]
+    bpos = np.where(comp, blo + bhi - bposf - k, bposf).astype(np.int32)
+
+    seeds = _band_filter(
+        apos, bpos, comp, np.asarray(blk_a.read_id),
+        b_rid, blk_a.cap, blk_b.cap,
+        max(blk_a.nreads, blk_b.nreads) + 1, cfg,
+        seed_cap=seed_cap,
+        upper_only=bool(self_pair and upper_only),
+        include_self=bool(getattr(cfg, "identity", False)))
+    ar, br, sap, sbp, cov, scomp, nseeds, total_seeds = seeds
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": cov, "comp": scomp,
+        "nseeds": np.int32(nseeds), "total_seeds": np.int32(total_seeds),
+        "total_hits": np.int32(total_hits),
+        "total_compact": np.int32(total_hits),
+        "overflow": np.bool_((total_hits > cap)
+                             | (total_seeds > seed_cap)),
+        "raw_cap": cap, "compact_cap": cap,
+    }
+
+
+def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
+                 nreads1, cfg, seed_cap: int, upper_only: bool,
+                 include_self: bool):
+    """Numpy replica of _diag_filter_impl (strand present, the
+    canonical path's configuration): double-bucket banding, stable
+    two-pass sort == the packed (ar,br,strand,bucket,apos) key sort,
+    novel-coverage per band, one anchor per qualifying band."""
+    kmer, hit_min, band_shift = cfg.kmer, cfg.hit_min, cfg.band_shift
+    pos_bits = _pos_bits(a_cap, b_cap)
+    read_bits = quantize_bits(nreads1)
+    bucket_bits = pos_bits + 2 - band_shift
+    n = len(apos)
+    ar = a_read_id[np.maximum(apos, 0)].astype(np.int64)
+    br = b_read_id[np.maximum(bpos, 0)].astype(np.int64)
+    live = np.ones(n, bool)
+    if upper_only:
+        live &= (ar <= br) if include_self else (ar < br)
+    # (dead_read marking sorts dead rows after every live row — they
+    # can never band with live rows nor seed; dropping them up front
+    # is order-identical)
+    if not live.all():
+        idx = np.flatnonzero(live)
+        apos, bpos = apos[idx], bpos[idx]
+        comp, ar, br = comp[idx], ar[idx], br[idx]
+        n = len(idx)
+    diag = apos.astype(np.int64) - bpos + len(b_read_id)
+    bucket = (diag >> band_shift).astype(np.int64)
+    # double-bucket concat: [band, band + 1]
+    ar2 = np.concatenate([ar, ar])
+    br2 = np.concatenate([br, br])
+    bkt2 = np.concatenate([bucket, bucket + 1])
+    ap2 = np.concatenate([apos, apos])
+    bp2 = np.concatenate([bpos, bpos])
+    st2 = np.concatenate([comp, comp]).astype(np.int64)
+    # two-pass stable sort == one lexicographic sort by
+    # (ar, br, strand, bucket, apos): pass 1 by the least-significant
+    # field, pass 2 by the rest folded into one u64
+    o1 = _argsort(np.maximum(ap2, 0).astype(np.uint64))
+    key2 = (((ar2 << read_bits | br2) << 1 | st2)
+            << bucket_bits | bkt2).astype(np.uint64)
+    assert 2 * read_bits + 1 + bucket_bits <= 64, "band key > 64 bits"
+    o2 = _argsort(key2[o1])
+    order = o1[o2]
+    ar_s, br_s = ar2[order], br2[order]
+    bkt_s, st_s = bkt2[order], st2[order]
+    ap_s, bp_s = ap2[order], bp2[order]
+    m = len(order)
+    if m == 0:
+        z = np.full(seed_cap, -1, np.int32)
+        z0 = np.zeros(seed_cap, np.int32)
+        return z, z, z, z, z0, z0, 0, 0
+    first = np.empty(m, bool)
+    first[0] = True
+    first[1:] = ((ar_s[1:] != ar_s[:-1]) | (br_s[1:] != br_s[:-1])
+                 | (bkt_s[1:] != bkt_s[:-1]) | (st_s[1:] != st_s[:-1]))
+    prev_ap = np.empty_like(ap_s)
+    prev_ap[0] = ap_s[0]
+    prev_ap[1:] = ap_s[:-1]
+    cov = np.where(first, kmer, np.minimum(ap_s - prev_ap, kmer))
+    cov = np.maximum(cov, 0)
+    seg_idx = np.flatnonzero(first)
+    seg_sum = np.add.reduceat(cov, seg_idx)
+    good = seg_sum >= hit_min
+    rep_idx = seg_idx[good]                   # first hit of each band
+    total_seeds = len(rep_idx)
+    nseeds = min(total_seeds, seed_cap)
+    rep_idx = rep_idx[:nseeds]
+
+    def out(vals, fill):
+        o = np.full(seed_cap, fill, np.int32)
+        o[:nseeds] = vals[:nseeds]
+        return o
+    return (out(ar_s[rep_idx], -1), out(br_s[rep_idx], -1),
+            out(ap_s[rep_idx], -1), out(bp_s[rep_idx], -1),
+            out(seg_sum[good], 0), out(st_s[rep_idx], 0),
+            nseeds, total_seeds)
+
+
+def fetch_seeds_host(seeds: dict) -> dict:
+    """fetch_seeds twin for host dicts (no device transfer)."""
+    n = int(seeds["nseeds"])
+    out = {"nseeds": n, "total_seeds": int(seeds["total_seeds"]),
+           "total_hits": int(seeds["total_hits"]),
+           "total_compact": int(seeds["total_compact"]),
+           "overflow": bool(seeds["overflow"]),
+           "raw_cap": seeds["raw_cap"],
+           "compact_cap": seeds["compact_cap"]}
+    for kk in ("aread", "bread", "apos", "bpos", "cov", "comp"):
+        if kk in seeds:
+            out[kk] = np.asarray(seeds[kk])[:n]
+    return out

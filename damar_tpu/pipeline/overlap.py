@@ -42,6 +42,22 @@ EXT_KEYS = ("aread", "bread", "abpos", "aepos", "bbpos", "bepos",
             "diffs")
 
 
+def _host_compute_enabled() -> bool:
+    """Whether the native-C host compute path (bit-identical replicas
+    of the bp kernels + the host seeding twin) serves this process.
+    The JAX kernels are the TPU production path; on the CPU backend
+    the C replicas are several-fold faster, so they are the default
+    there (DAMAR_BP=jax opts out, DAMAR_BP=native forces)."""
+    import os
+    mode = os.environ.get("DAMAR_BP")
+    if mode == "jax":
+        return False
+    if mode != "native" and jax.default_backend() != "cpu":
+        return False
+    from damar_tpu import native
+    return native.available()
+
+
 def _kernels(cfg: "OverlapConfig"):
     """Select the DP kernel implementation.  Default is the
     bit-parallel band kernels (ops.wave_bp — each seed's band packed
@@ -51,17 +67,9 @@ def _kernels(cfg: "OverlapConfig"):
     import jax
     from functools import partial as _p
     if cfg.dp_kernel == "bp":
-        import os
-        mode = os.environ.get("DAMAR_BP")
-        # the C replicas are bit-identical to the JAX bp kernels and
-        # several-fold faster on host, so the CPU backend uses them by
-        # default (DAMAR_BP=jax opts out, DAMAR_BP=native forces)
-        if mode != "jax" and (mode == "native"
-                              or jax.default_backend() == "cpu"):
-            from damar_tpu import native
-            if native.available():
-                return (_p(_native_bp_extend, R=cfg.bp_chunk),
-                        _native_bp_trace)
+        if _host_compute_enabled():
+            return (_p(_native_bp_extend, R=cfg.bp_chunk),
+                    _native_bp_trace)
         from damar_tpu.ops.wave_bp import extend_wave_bp, trace_wave_bp
         return _p(extend_wave_bp, R=cfg.bp_chunk), trace_wave_bp
     use = cfg.use_pallas
@@ -799,24 +807,42 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     blk_a_rc = revcomp_block(blk_a) if emit_mirrors else None
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
-    from damar_tpu.ops.seeding import (build_index_canonical,
-                                       find_seeds_canonical_dev)
-    am = jnp.asarray(mask_a) if mask_a is not None else None
-    a_bases_d = jnp.asarray(blk_a.bases)
-    a_rid_d = jnp.asarray(blk_a.read_id)
-    a_index = build_index_canonical(a_bases_d, a_rid_d, cfg.kmer, am)
+    host = _host_compute_enabled()
     # ONE canonical seeding pass covers both orientations (comp bit per
     # seed); comp seeds carry bpos already in rc-block coordinates
+    if host:
+        # native/numpy seeding twin — exact replica of the device
+        # path, so results (and the emitted .las) are byte-identical
+        from damar_tpu.ops import seeding_host as sh
+        am_np = np.asarray(mask_a) if mask_a is not None else None
+        a_index = sh._canon_index(blk_a.bases, blk_a.read_id,
+                                  cfg.kmer, am_np)
+        a_bases_d = blk_a.bases
+
+        def run_seeding(kw):
+            return sh.fetch_seeds_host(
+                sh.find_seeds_canonical_host(blk_a, blk_b, cfg, **kw))
+    else:
+        from damar_tpu.ops.seeding import (build_index_canonical,
+                                           find_seeds_canonical_dev)
+        am = jnp.asarray(mask_a) if mask_a is not None else None
+        a_bases_d = jnp.asarray(blk_a.bases)
+        a_rid_d = jnp.asarray(blk_a.read_id)
+        a_index = build_index_canonical(a_bases_d, a_rid_d, cfg.kmer,
+                                        am)
+
+        def run_seeding(kw):
+            kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d,
+                                      jnp.asarray(blk_b.bases),
+                                      jnp.asarray(blk_b.read_id)))
+            return fetch_seeds(find_seeds_canonical_dev(
+                blk_a, blk_b, cfg, **kw))
     kw = dict(mask_a=mask_a, mask_b=mask_b, upper_only=self_block,
               hit_cap=hit_cap, seed_cap=seed_cap, a_index=a_index,
-              dev_arrays=(a_bases_d, a_rid_d,
-                          jnp.asarray(blk_b.bases),
-                          jnp.asarray(blk_b.read_id)),
               self_pair=self_block)
     if size_hints and size_hints.get("raw"):
         kw["raw_hint"] = (size_hints["raw"] * 5) // 4
-    seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
-                                                 **kw))
+    seeds = run_seeding(kw)
     # overflow retries grow whichever fixed buffer saturated: the raw
     # hit buffer (up to hit_cap) and/or the seed buffer (up to 4x the
     # requested cap) — truncation in either silently loses overlaps
@@ -833,8 +859,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             while sc < min(2 * seeds["total_seeds"], seed_cap_max):
                 sc *= 2
             kw = dict(kw, seed_cap=sc)
-        seeds = fetch_seeds(find_seeds_canonical_dev(blk_a, blk_b, cfg,
-                                                     **kw))
+        seeds = run_seeding(kw)
     if size_hints is not None:
         size_hints["raw"] = max(seeds["total_hits"],
                                 size_hints.get("raw", 0) // 2)
@@ -847,7 +872,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         bb = blk_b_rc if comp else blk_b
         pends.append((comp, extend_seeds_launch(
             blk_a, bb, by_comp[comp], cfg, comp,
-            dev_bases=(a_bases_d, jnp.asarray(bb.bases)))))
+            dev_bases=None if host
+            else (a_bases_d, jnp.asarray(bb.bases)))))
     for comp, pend in pends:
         exts = extend_seeds_harvest(pend)
         stats["extents"] += exts["n"]
