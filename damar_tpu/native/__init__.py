@@ -27,15 +27,19 @@ def _build() -> str | None:
     if os.path.exists(so):
         return so
     for cc in ("cc", "gcc", "clang"):
-        try:
-            r = subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-pthread", _SRC,
-                 "-o", so],
-                capture_output=True, timeout=120)
-            if r.returncode == 0:
-                return so
-        except (FileNotFoundError, subprocess.TimeoutExpired):
-            continue
+        # -march=native vectorizes the lockstep bp kernels; the .so is
+        # machine-local (gitignored, name keyed on source hash), so
+        # host-specific codegen is safe.  Fall back without it.
+        for extra in (["-march=native"], []):
+            try:
+                r = subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-pthread"]
+                    + extra + [_SRC, "-o", so],
+                    capture_output=True, timeout=120)
+                if r.returncode == 0:
+                    return so
+            except (FileNotFoundError, subprocess.TimeoutExpired):
+                break
     return None
 
 

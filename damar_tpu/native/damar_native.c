@@ -739,24 +739,36 @@ typedef struct {
     int which;                           /* 0 = extend, 1 = trace */
 } BpJob;
 
+static void bp_extend_group(const uint8_t *, int64_t, const uint8_t *,
+                            int64_t, const int32_t *, const int32_t *,
+                            const int32_t *, const int32_t *,
+                            const uint8_t *, int, int, int, int, int,
+                            int32_t *, int32_t *, int32_t *, int32_t *);
+static void bp_trace_group(const uint8_t *, int64_t, const uint8_t *,
+                           int64_t, const int32_t *, const int32_t *,
+                           const int32_t *, const int32_t *,
+                           const int32_t *, int, int, int, int32_t *,
+                           int32_t *, int32_t *);
+#define BP_GROUP 16
+
 static void *bp_worker(void *vp) {
     BpJob *j = (BpJob *)vp;
-    for (int32_t u = j->lo; u < j->hi; u++) {
+    for (int32_t u = j->lo; u < j->hi; u += BP_GROUP) {
+        int nl = j->hi - u < BP_GROUP ? j->hi - u : BP_GROUP;
         if (j->which == 0) {
-            bp_extend_unit(j->A, j->na, j->B, j->nb, j->i0[u], j->i1[u],
-                           j->i2[u], j->i3[u], j->rev ? j->rev[u] : 0,
-                           j->R, j->max_rows, j->diff_cost, j->xdrop,
-                           j->o0 + u, j->o1 + u, j->o2 + u, j->o3 + u);
+            bp_extend_group(j->A, j->na, j->B, j->nb, j->i0 + u,
+                            j->i1 + u, j->i2 + u, j->i3 + u,
+                            j->rev ? j->rev + u : NULL, nl, j->R,
+                            j->max_rows, j->diff_cost, j->xdrop,
+                            j->o0 + u, j->o1 + u, j->o2 + u, j->o3 + u);
         } else {
             /* i0/i1 = astart/bstart (block origins), o3 = abpos/bbpos
              * packed: reuse slots — see bp_trace_batch */
-            int64_t aorig = (int64_t)j->i0[u] + j->o3[2 * u];
-            int64_t borig = (int64_t)j->i1[u] + j->o3[2 * u + 1];
-            bp_trace_unit(j->A, j->na, j->B, j->nb, aorig, borig,
-                          j->o3[2 * u], j->i2[u], j->i3[u], j->tspace,
-                          j->max_segs,
-                          j->o0 + (size_t)u * j->max_segs * 2,
-                          j->o1 + u, j->o2 + u);
+            bp_trace_group(j->A, j->na, j->B, j->nb, j->i0 + u,
+                           j->i1 + u, j->o3 + 2 * u, j->i2 + u,
+                           j->i3 + u, nl, j->tspace, j->max_segs,
+                           j->o0 + (size_t)u * j->max_segs * 2,
+                           j->o1 + u, j->o2 + u);
         }
     }
     return NULL;
@@ -968,5 +980,304 @@ void canon_kmers(const uint8_t *bases, int64_t n, const int32_t *read_id,
         uint32_t canon = rc < code ? rc : code;
         codes_out[i] = valid ? canon : inval;
         strand_out[i] = (uint8_t)(valid && rc < code);
+    }
+}
+
+/* ---------------- lockstep (SIMD) bp kernels ----------------
+ *
+ * VBL-lane transcriptions of the scalar bp_extend_unit/bp_trace_unit
+ * above — the same layout the JAX kernels use ([S]-vector ops over
+ * batched units), so -O3 -march=native auto-vectorizes the uint32
+ * lane loops.  Semantics are IDENTICAL: per-lane masks reproduce the
+ * JAX where()-gating, so outputs remain bit-identical to the JAX
+ * kernels (tests/test_native_bp.py).  Lanes run until the whole
+ * group finishes; inactive lanes keep evolving but all their output
+ * updates are gated, exactly like the JAX batch.
+ */
+#define VBL 16
+
+static void bp_extend_group(const uint8_t *A, int64_t na,
+                            const uint8_t *B, int64_t nb,
+                            const int32_t *ao, const int32_t *bo,
+                            const int32_t *alim, const int32_t *blim,
+                            const uint8_t *rev, int nl, int R,
+                            int max_rows, int diff_cost, int xdrop,
+                            int32_t *o_va, int32_t *o_vb, int32_t *o_d,
+                            int32_t *o_s) {
+    uint32_t VP[VBL], VN[VBL], PH[VBL], PL[VBL], PV[VBL], Eq[VBL];
+    uint32_t ach[VBL], bch[VBL];
+    int32_t Db[VBL], Dc[VBL], vbb[VBL], bs[VBL], bva[VBL], bvb[VBL];
+    int32_t al[VBL], bl[VBL], aoo[VBL], boo[VBL];
+    uint8_t rv[VBL], act[VBL], died[VBL];
+    for (int l = 0; l < VBL; l++) {
+        int live = l < nl;
+        al[l] = live ? alim[l] : 0;
+        bl[l] = live ? blim[l] : 0;
+        aoo[l] = live ? ao[l] : 0;
+        boo[l] = live ? bo[l] : 0;
+        rv[l] = live && rev ? rev[l] : 0;
+        bp_vinit(&VP[l], &VN[l], &Db[l]);
+        Dc[l] = 0;
+        vbb[l] = 1 - BP_CTR;
+        bs[l] = bva[l] = bvb[l] = 0;
+        act[l] = al[l] > 0;
+    }
+    int32_t rtot = 0;
+    int any = 0;
+    for (int l = 0; l < VBL; l++) any |= act[l];
+    while (any && rtot < max_rows) {
+        for (int l = 0; l < VBL; l++) {
+            PH[l] = PL[l] = PV[l] = 0;
+            for (int j = 0; j < BP_BW; j++) {
+                int32_t p = vbb[l] - 1 + j;
+                int64_t bi = rv[l] ? (int64_t)boo[l] - 1 - p
+                                   : (int64_t)boo[l] + p;
+                uint32_t c = (uint32_t)bp_char(B, nb, bi);
+                PH[l] |= ((c >> 1) & 1u) << j;
+                PL[l] |= (c & 1u) << j;
+                PV[l] |= (uint32_t)(p >= 0 && p < bl[l]) << j;
+            }
+            died[l] = 0;
+        }
+        for (int r = 0; r < R; r++) {
+            int64_t av = (int64_t)rtot + r;
+            for (int l = 0; l < VBL; l++) {
+                int64_t ai = rv[l] ? (int64_t)aoo[l] - 1 - av
+                                   : (int64_t)aoo[l] + av;
+                ach[l] = (uint32_t)bp_char(A, na, ai);
+            }
+            for (int l = 0; l < VBL; l++) {
+                int32_t nbp = vbb[l] + r + BP_BW - 1;
+                int64_t bi = rv[l] ? (int64_t)boo[l] - 1 - nbp
+                                   : (int64_t)boo[l] + nbp;
+                bch[l] = ((uint32_t)bp_char(B, nb, bi) << 1)
+                         | (uint32_t)(nbp >= 0 && nbp < bl[l]);
+            }
+            for (int l = 0; l < VBL; l++)
+                Eq[l] = bp_eq(PH[l], PL[l], PV[l], ach[l]);
+            for (int l = 0; l < VBL; l++) {
+                uint32_t vp = VP[l], vn = VN[l];
+                uint32_t X = Eq[l] | (vn >> 1);
+                uint32_t seed = (X << 1) & vp;
+                uint32_t G0 = X | (vp & (seed | ((seed + vp) ^ vp)));
+                uint32_t g = ~G0;
+                uint32_t gp = g << 1;
+                uint32_t d = g ^ gp, ndm = ~d;
+                uint32_t Z = ~(vp | vn);
+                VP[l] = ((vp & ndm) | (Z & g & ~gp)) & 0xFFFFFFFEu;
+                VN[l] = (((vn & ndm) | (Z & gp & G0)) & 0xFFFFFFFEu)
+                        | (G0 & 1u);
+                Db[l] += 1 + (int32_t)(vp & 1u) - (int32_t)(vn & 1u);
+                Dc[l] += 1 - (int32_t)((G0 >> BP_CTR) & 1u);
+            }
+            int32_t t = rtot + r + 1;
+            for (int l = 0; l < VBL; l++) {
+                int32_t vc = vbb[l] + r + BP_CTR;
+                int32_t sc = t + vc - diff_cost * Dc[l];
+                int ok = act[l] && t <= al[l] && vc >= 0 && vc <= bl[l];
+                int improve = ok && sc > bs[l];
+                bs[l] = improve ? sc : bs[l];
+                bva[l] = improve ? t : bva[l];
+                bvb[l] = improve ? vc : bvb[l];
+                died[l] |= (uint8_t)(ok && sc < bs[l]
+                                     - (xdrop + diff_cost));
+            }
+            for (int l = 0; l < VBL; l++) {
+                uint32_t c = bch[l] >> 1, v = bch[l] & 1u;
+                PH[l] = (PH[l] >> 1) | (((c >> 1) & 1u) << (BP_BW - 1));
+                PL[l] = (PL[l] >> 1) | ((c & 1u) << (BP_BW - 1));
+                PV[l] = (PV[l] >> 1) | (v << (BP_BW - 1));
+            }
+        }
+        int32_t t = rtot + R;
+        for (int l = 0; l < VBL; l++) {
+            int32_t D[BP_BW];
+            bp_reconstruct(VP[l], VN[l], Db[l], D);
+            int32_t vbt = vbb[l] + R - 1;
+            int32_t smax = BP_NEG, jbest = 0;
+            for (int j = 0; j < BP_BW; j++) {
+                int32_t vbw = vbt + j;
+                int32_t sw = (vbw >= 0 && vbw <= bl[l] && t <= al[l])
+                             ? t + vbw - diff_cost * D[j] : BP_NEG;
+                if (sw > smax) { smax = sw; jbest = j; }
+            }
+            if (act[l] && smax > bs[l]) {
+                bs[l] = smax;
+                bva[l] = t;
+                bvb[l] = vbt + jbest;
+            }
+            act[l] = (uint8_t)(act[l] && smax >= bs[l] - xdrop
+                               && t < al[l] && !died[l]);
+            int32_t Dmin = BP_INF, jmin = 0;
+            for (int j = 0; j < BP_BW; j++) {
+                int32_t vbw = vbt + j;
+                int32_t dm = (vbw >= 0 && vbw <= bl[l]) ? D[j] : BP_INF;
+                if (dm < Dmin) { Dmin = dm; jmin = j; }
+            }
+            int32_t drift = act[l] ? jmin - BP_CTR : 0;
+            int32_t Dn[BP_BW];
+            for (int j = 0; j < BP_BW; j++) {
+                int32_t ll = j + drift;
+                int32_t idx = ll < 0 ? 0
+                              : (ll > BP_BW - 1 ? BP_BW - 1 : ll);
+                int32_t over = ll - idx;
+                if (over < 0) over = -over;
+                Dn[j] = D[idx] + over;
+            }
+            VP[l] = 1u;
+            VN[l] = 0u;
+            for (int j = 1; j < BP_BW; j++) {
+                int32_t dl = Dn[j] - Dn[j - 1];
+                if (dl > 0) VP[l] |= 1u << j;
+                else if (dl < 0) VN[l] |= 1u << j;
+            }
+            Db[l] = Dn[0] - 1;
+            Dc[l] = Dn[BP_CTR];
+            vbb[l] = vbt + 1 + drift;
+        }
+        rtot = t;
+        any = 0;
+        for (int l = 0; l < VBL; l++) any |= act[l];
+    }
+    for (int l = 0; l < nl; l++) {
+        if (bs[l] <= 0) {
+            o_va[l] = o_vb[l] = o_d[l] = o_s[l] = 0;
+        } else {
+            o_va[l] = bva[l];
+            o_vb[l] = bvb[l];
+            o_d[l] = (bva[l] + bvb[l] - bs[l]) / diff_cost;
+            o_s[l] = bs[l];
+        }
+    }
+}
+
+static void bp_trace_group(const uint8_t *A, int64_t na,
+                           const uint8_t *B, int64_t nb,
+                           const int32_t *astart, const int32_t *bstart,
+                           const int32_t *abp_bbp, const int32_t *alim,
+                           const int32_t *blim, int nl, int tspace,
+                           int max_segs, int32_t *trace, int32_t *nseg,
+                           int32_t *dsum) {
+    uint32_t VP[VBL], VN[VBL], PH[VBL], PL[VBL], PV[VBL], Eq[VBL];
+    uint32_t ach[VBL], bch[VBL];
+    int32_t Db[VBL], vbb[VBL], done[VBL], prev_vb[VBL], ns[VBL],
+        ds[VBL], segr[VBL], al[VBL], bl[VBL], abp[VBL];
+    int64_t aor[VBL], bor[VBL];
+    uint8_t go[VBL];
+    for (int l = 0; l < VBL; l++) {
+        int live = l < nl;
+        al[l] = live ? alim[l] : 0;
+        bl[l] = live ? blim[l] : 0;
+        abp[l] = live ? abp_bbp[2 * l] : 0;
+        aor[l] = live ? (int64_t)astart[l] + abp_bbp[2 * l] : 0;
+        bor[l] = live ? (int64_t)bstart[l] + abp_bbp[2 * l + 1] : 0;
+        bp_vinit(&VP[l], &VN[l], &Db[l]);
+        vbb[l] = 1 - BP_CTR;
+        done[l] = prev_vb[l] = ns[l] = ds[l] = 0;
+    }
+    int any = 0;
+    for (int l = 0; l < VBL; l++) any |= done[l] < al[l];
+    while (any) {
+        int32_t max_rows_g = 0;
+        for (int l = 0; l < VBL; l++) {
+            int live = done[l] < al[l];
+            if (live) {
+                int32_t a = abp[l] + done[l];
+                int32_t nxt = (a / tspace + 1) * tspace - a;
+                int32_t rem = al[l] - done[l];
+                segr[l] = nxt < rem ? nxt : rem;
+            } else {
+                segr[l] = 0;
+            }
+            if (segr[l] > max_rows_g) max_rows_g = segr[l];
+            PH[l] = PL[l] = PV[l] = 0;
+            for (int j = 0; j < BP_BW; j++) {
+                int32_t p = vbb[l] - 1 + j;
+                uint32_t c = (uint32_t)bp_char(B, nb, bor[l] + p);
+                PH[l] |= ((c >> 1) & 1u) << j;
+                PL[l] |= (c & 1u) << j;
+                PV[l] |= (uint32_t)(p >= 0 && p < bl[l]) << j;
+            }
+        }
+        for (int r = 0; r < max_rows_g; r++) {
+            for (int l = 0; l < VBL; l++) {
+                go[l] = r < segr[l];
+                ach[l] = (uint32_t)bp_char(A, na,
+                                           aor[l] + done[l] + r);
+                int32_t nbp = vbb[l] + r + BP_BW - 1;
+                bch[l] = ((uint32_t)bp_char(B, nb, bor[l] + nbp) << 1)
+                         | (uint32_t)(nbp >= 0 && nbp < bl[l]);
+            }
+            for (int l = 0; l < VBL; l++)
+                Eq[l] = bp_eq(PH[l], PL[l], PV[l], ach[l]);
+            for (int l = 0; l < VBL; l++) {
+                uint32_t gm = go[l] ? 0xFFFFFFFFu : 0u;
+                uint32_t vp = VP[l], vn = VN[l];
+                uint32_t X = Eq[l] | (vn >> 1);
+                uint32_t seed = (X << 1) & vp;
+                uint32_t G0 = X | (vp & (seed | ((seed + vp) ^ vp)));
+                uint32_t g = ~G0;
+                uint32_t gp = g << 1;
+                uint32_t d = g ^ gp, ndm = ~d;
+                uint32_t Z = ~(vp | vn);
+                uint32_t VPn = ((vp & ndm) | (Z & g & ~gp))
+                               & 0xFFFFFFFEu;
+                uint32_t VNn = (((vn & ndm) | (Z & gp & G0))
+                                & 0xFFFFFFFEu) | (G0 & 1u);
+                int32_t Dbn = Db[l] + 1 + (int32_t)(vp & 1u)
+                              - (int32_t)(vn & 1u);
+                VP[l] = (VPn & gm) | (vp & ~gm);
+                VN[l] = (VNn & gm) | (vn & ~gm);
+                Db[l] = go[l] ? Dbn : Db[l];
+                uint32_t c = bch[l] >> 1, v = bch[l] & 1u;
+                uint32_t PHn = (PH[l] >> 1)
+                               | (((c >> 1) & 1u) << (BP_BW - 1));
+                uint32_t PLn = (PL[l] >> 1) | ((c & 1u) << (BP_BW - 1));
+                uint32_t PVn = (PV[l] >> 1) | (v << (BP_BW - 1));
+                PH[l] = (PHn & gm) | (PH[l] & ~gm);
+                PL[l] = (PLn & gm) | (PL[l] & ~gm);
+                PV[l] = (PVn & gm) | (PV[l] & ~gm);
+            }
+        }
+        for (int l = 0; l < VBL; l++) {
+            if (done[l] >= al[l]) continue;       /* frozen lane */
+            int32_t va = done[l] + segr[l];
+            int at_end = va == al[l];
+            int32_t vbe = vbb[l] + segr[l] - 1;
+            int32_t D[BP_BW];
+            bp_reconstruct(VP[l], VN[l], Db[l], D);
+            int32_t Dmin = BP_INF, jmin = 0;
+            for (int j = 0; j < BP_BW; j++) {
+                int32_t vbw = vbe + j;
+                int32_t dm = (vbw >= 0 && vbw <= bl[l]
+                              && vbw > prev_vb[l]) ? D[j] : BP_INF;
+                if (dm < Dmin) { Dmin = dm; jmin = j; }
+            }
+            int32_t j_end = bl[l] - vbe;
+            if (j_end < 0) j_end = 0;
+            if (j_end > BP_BW - 1) j_end = BP_BW - 1;
+            int32_t j_com = at_end ? j_end : jmin;
+            int32_t vb_com = vbe + j_com;
+            if (vb_com < prev_vb[l]) vb_com = prev_vb[l];
+            if (vb_com > bl[l]) vb_com = bl[l];
+            int32_t d_com = D[j_com];
+            if (d_com >= BP_INF) d_com = al[l] + bl[l];
+            int32_t slot = ns[l] < max_segs - 1 ? ns[l] : max_segs - 1;
+            int32_t *tr = trace + ((size_t)l * max_segs + slot) * 2;
+            tr[0] = d_com;
+            tr[1] = vb_com - prev_vb[l];
+            bp_vinit(&VP[l], &VN[l], &Db[l]);
+            vbb[l] = vb_com - BP_CTR + 1;
+            done[l] += segr[l];
+            ns[l] += 1;
+            prev_vb[l] = vb_com;
+            ds[l] += d_com;
+        }
+        any = 0;
+        for (int l = 0; l < VBL; l++) any |= done[l] < al[l];
+    }
+    for (int l = 0; l < nl; l++) {
+        nseg[l] = ns[l];
+        dsum[l] = ds[l];
     }
 }
