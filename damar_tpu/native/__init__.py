@@ -117,6 +117,14 @@ def _lib():
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.canon_kmers.restype = None
+            i64 = ctypes.c_int64
+            lib.band_filter.argtypes = [
+                i32p, i32p, u8p, i32p, i32p, i64, i64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64,
+                i32p, i32p, i32p, i32p, i32p, i32p,
+                ctypes.POINTER(i64)]
+            lib.band_filter.restype = i64
             _LIB = lib
     return _LIB
 
@@ -287,6 +295,38 @@ def canon_kmers(bases: np.ndarray, read_id: np.ndarray, k: int,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         _u8p(strand))
     return codes, strand.astype(bool)
+
+
+def band_filter(apos, bpos, comp, ar, br, bcap: int, band_shift: int,
+                kmer: int, hit_min: int, read_bits: int,
+                bucket_bits: int, pos_bits: int, seed_cap: int):
+    """Diagonal band filter C core (see damar_native.c band_filter;
+    exact replica of the numpy/_diag_filter_impl banding).  Returns
+    (s_ar, s_br, s_ap, s_bp, s_cov, s_comp, nseeds, total_seeds) with
+    arrays sized nseeds, or None when native is unavailable or the
+    fused sort key exceeds 64 bits (caller falls back to numpy)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    i32 = lambda x: np.ascontiguousarray(x, dtype=np.int32)
+    ap, bp = i32(apos), i32(bpos)
+    a, b = i32(ar), i32(br)
+    cm = np.ascontiguousarray(np.asarray(comp), dtype=np.uint8)
+    n = len(ap)
+    cap = max(min(seed_cap, max(n, 1) * 2), 1)
+    outs = [np.zeros(cap, np.int32) for _ in range(6)]
+    ns = ctypes.c_int64(0)
+    p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    total = lib.band_filter(
+        p32(ap), p32(bp), _u8p(cm), p32(a), p32(b),
+        np.int64(n), np.int64(bcap), np.int32(band_shift),
+        np.int32(kmer), np.int32(hit_min), np.int32(read_bits),
+        np.int32(bucket_bits), np.int32(pos_bits), np.int64(seed_cap),
+        *[p32(o) for o in outs], ctypes.byref(ns))
+    if total < 0:
+        return None
+    k = int(ns.value)
+    return tuple(o[:k] for o in outs) + (k, int(total))
 
 
 def radix_argsort(keys: np.ndarray):

@@ -368,24 +368,33 @@ int32_t trace_points(const uint8_t *a, const uint8_t *b,
         }
         for (int32_t i = 1; i <= m; i++) {
             const uint8_t ai = a[cur_a + i - 1];
+            /* hoist the vb-bound tests: valid k range is
+             * [klo, khi); vb == bbpos only possible at k == klo0 */
+            int64_t base = cur_b + i - band;        /* vb at k = 0 */
+            int32_t klo = bbpos - base < 0 ? 0 : (int32_t)(bbpos - base);
+            int32_t khi = bepos - base + 1 > width ? width
+                          : (int32_t)(bepos - base + 1);
             int32_t left = BA_INF;
-            for (int32_t k = 0; k < width; k++) {
-                int64_t vb = cur_b + i + k - band;  /* b consumed */
-                int32_t best = BA_INF;
-                if (vb >= bbpos && vb <= bepos) {
-                    if (vb >= bbpos + 1) {
-                        int32_t d = D[k]
-                            + (b[vb - 1] == ai ? 0 : 1);
-                        if (d < best) best = d;
+            for (int32_t k = 0; k < (klo < width ? klo : width); k++)
+                E[k] = BA_INF;
+            for (int32_t k = khi < 0 ? 0 : khi; k < width; k++)
+                E[k] = BA_INF;
+            for (int32_t k = klo; k < khi; k++) {
+                int64_t vb = base + k;
+                int32_t best;
+                if (vb >= bbpos + 1) {
+                    int32_t d0 = D[k] + (b[vb - 1] == ai ? 0 : 1);
+                    int32_t d2 = left + 1;        /* BA_INF saturates */
+                    best = d0 < d2 ? d0 : d2;
+                    if (k + 1 < width) {
+                        int32_t d1 = D[k + 1] + 1;
+                        if (d1 < best) best = d1;
                     }
-                    if (k + 1 < width && D[k + 1] < BA_INF) {
-                        int32_t d = D[k + 1] + 1;
-                        if (d < best) best = d;
-                    }
-                    if (vb >= bbpos + 1 && left < BA_INF) {
-                        int32_t d = left + 1;
-                        if (d < best) best = d;
-                    }
+                    if (best > BA_INF) best = BA_INF;
+                } else {
+                    /* vb == bbpos: only the down move applies */
+                    best = k + 1 < width && D[k + 1] < BA_INF
+                           ? D[k + 1] + 1 : BA_INF;
                 }
                 E[k] = best;
                 left = best;
@@ -433,8 +442,13 @@ typedef struct {
 } TpJob;
 
 static void *tp_worker(void *vp) {
+    /* strided record assignment: retry batches arrive length-sorted,
+     * so contiguous ranges leave one thread with all the long
+     * records; lo is the thread index, hi carries (n_rec << 8) | nt */
     TpJob *j = (TpJob *)vp;
-    for (int32_t r = j->lo; r < j->hi; r++) {
+    int32_t nt = j->hi & 0xFF;
+    int32_t n_rec = j->hi >> 8;
+    for (int32_t r = j->lo; r < n_rec; r += nt) {
         int32_t *o = j->out + (size_t)r * j->max_segs * 2;
         int32_t ns = trace_points(j->a + j->astart[r],
                                   j->b + j->bstart[r], j->abpos[r],
@@ -462,31 +476,24 @@ int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
      * tspace in the A read's own frame); astart/bstart locate each
      * record's reads in the block arrays.  Records are independent:
      * nthreads pthreads split them. */
-    TpJob tmpl = {a, b, astart, bstart, abpos, aepos, bbpos, bepos,
-                  tspace, band, max_segs, out, nseg_out, dsum_out,
-                  0, n_rec};
     if (nthreads < 1) nthreads = 1;
     if (nthreads > 16) nthreads = 16;
     if (nthreads > n_rec) nthreads = n_rec > 0 ? n_rec : 1;
+    TpJob tmpl = {a, b, astart, bstart, abpos, aepos, bbpos, bepos,
+                  tspace, band, max_segs, out, nseg_out, dsum_out,
+                  0, (n_rec << 8) | nthreads};
     if (nthreads == 1) {
         tp_worker(&tmpl);
         return 0;
     }
     pthread_t tid[16];
     TpJob jobs[16];
-    int32_t per = (n_rec + nthreads - 1) / nthreads;
-    int nt = 0;
     for (int i = 0; i < nthreads; i++) {
-        int32_t lo = i * per;
-        if (lo >= n_rec) break;
-        jobs[nt] = tmpl;
-        jobs[nt].lo = lo;
-        jobs[nt].hi = lo + per < n_rec ? lo + per : n_rec;
-        nt++;
-    }
-    for (int i = 0; i < nt; i++)
+        jobs[i] = tmpl;
+        jobs[i].lo = i;
         pthread_create(&tid[i], NULL, tp_worker, &jobs[i]);
-    for (int i = 0; i < nt; i++)
+    }
+    for (int i = 0; i < nthreads; i++)
         pthread_join(tid[i], NULL);
     return 0;
 }
@@ -1280,4 +1287,92 @@ static void bp_trace_group(const uint8_t *A, int64_t na,
         nseg[l] = ns[l];
         dsum[l] = ds[l];
     }
+}
+
+/* ---------------- diagonal band filter ----------------
+ *
+ * C core of the host seeding twin's banding stage
+ * (ops/seeding_host.py _band_filter; semantics of ops/seeding.py
+ * _diag_filter_impl): double-bucket hits into diagonal bands, stable
+ * sort by (ar, br, strand, bucket, apos), sum novel k-mer coverage
+ * per band, emit the first hit of every band reaching hit_min.
+ * Inputs are the LIVE hits only (caller applies the upper-triangle
+ * rule).  Returns the band count (total_seeds) or negative on error;
+ * seeds beyond seed_cap are counted but not written.
+ */
+int64_t band_filter(const int32_t *apos, const int32_t *bpos,
+                    const uint8_t *comp, const int32_t *ar,
+                    const int32_t *br, int64_t n, int64_t bcap,
+                    int32_t band_shift, int32_t kmer, int32_t hit_min,
+                    int32_t read_bits, int32_t bucket_bits,
+                    int32_t pos_bits, int64_t seed_cap, int32_t *s_ar,
+                    int32_t *s_br, int32_t *s_ap, int32_t *s_bp,
+                    int32_t *s_cov, int32_t *s_comp,
+                    int64_t *nseeds_out) {
+    if (2 * read_bits + 1 + bucket_bits + pos_bits > 64)
+        return -9;                     /* caller falls back to numpy */
+    int64_t m = 2 * n;
+    uint64_t *key = (uint64_t *)malloc((size_t)m * 8);
+    int64_t *ord = (int64_t *)malloc((size_t)m * 8);
+    if ((!key || !ord) && m) {
+        free(key); free(ord);
+        return -1;
+    }
+    for (int64_t e = 0; e < m; e++) {
+        int64_t s = e < n ? e : e - n;
+        uint64_t bkt = (uint64_t)(((int64_t)apos[s] - bpos[s] + bcap)
+                                  >> band_shift) + (e < n ? 0 : 1);
+        uint64_t k2 = ((((((uint64_t)ar[s] << read_bits)
+                          | (uint64_t)br[s]) << 1)
+                        | (uint64_t)(comp[s] & 1)) << bucket_bits)
+                      | bkt;
+        key[e] = (k2 << pos_bits) | (uint64_t)apos[s];
+    }
+    int64_t rc = radix_argsort_u64(key, m, ord);
+    if (rc != 0) {
+        free(key); free(ord);
+        return rc;
+    }
+    /* one linear pass: segment = run of equal band keys (key without
+     * the apos field); novel coverage = min(apos - prev_apos, kmer) */
+    int64_t nseeds = 0, total = 0;
+    int64_t seg_first = -1;
+    int32_t seg_sum = 0, prev_ap = 0;
+    uint64_t prev_band = ~(uint64_t)0;
+    for (int64_t i = 0; i <= m; i++) {
+        uint64_t band = i < m ? key[ord[i]] >> pos_bits : ~(uint64_t)0;
+        int32_t ap = i < m ? (int32_t)(key[ord[i]]
+                                       & ((((uint64_t)1) << pos_bits)
+                                          - 1)) : 0;
+        if (i == m || band != prev_band) {
+            if (seg_first >= 0 && seg_sum >= hit_min) {
+                if (total < seed_cap) {
+                    int64_t s = ord[seg_first] < n ? ord[seg_first]
+                                : ord[seg_first] - n;
+                    s_ar[nseeds] = ar[s];
+                    s_br[nseeds] = br[s];
+                    s_ap[nseeds] = apos[s];
+                    s_bp[nseeds] = bpos[s];
+                    s_cov[nseeds] = seg_sum;
+                    s_comp[nseeds] = comp[s] & 1;
+                    nseeds++;
+                }
+                total++;
+            }
+            if (i == m) break;
+            seg_first = i;
+            seg_sum = kmer;
+        } else {
+            int32_t cov = ap - prev_ap;
+            if (cov > kmer) cov = kmer;
+            if (cov < 0) cov = 0;
+            seg_sum += cov;
+        }
+        prev_ap = ap;
+        prev_band = band;
+    }
+    free(key);
+    free(ord);
+    *nseeds_out = nseeds;
+    return total;
 }

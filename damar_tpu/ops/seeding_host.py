@@ -184,6 +184,22 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
         apos, bpos = apos[idx], bpos[idx]
         comp, ar, br = comp[idx], ar[idx], br[idx]
         n = len(idx)
+    from damar_tpu import native
+    res = native.band_filter(
+        apos, bpos, comp, ar, br, bcap=len(b_read_id),
+        band_shift=band_shift, kmer=kmer, hit_min=hit_min,
+        read_bits=read_bits, bucket_bits=bucket_bits,
+        pos_bits=pos_bits, seed_cap=seed_cap)
+    if res is not None:
+        s_ar, s_br, s_ap, s_bp, s_cov, s_comp, nseeds, total = res
+
+        def pad(v, fill):
+            o = np.full(seed_cap, fill, np.int32)
+            o[:nseeds] = v
+            return o
+        return (pad(s_ar, -1), pad(s_br, -1), pad(s_ap, -1),
+                pad(s_bp, -1), pad(s_cov, 0), pad(s_comp, 0),
+                nseeds, total)
     diag = apos.astype(np.int64) - bpos + len(b_read_id)
     bucket = (diag >> band_shift).astype(np.int64)
     # double-bucket concat: [band, band + 1]
