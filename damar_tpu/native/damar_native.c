@@ -958,35 +958,35 @@ void canon_kmers(const uint8_t *bases, int64_t n, const int32_t *read_id,
                  uint32_t *codes_out, uint8_t *strand_out) {
     const uint32_t inval = ((uint32_t)1) << (2 * k);
     const uint32_t cmask = inval - 1;
-    uint32_t code = 0, rc = 0;
-    /* prime the first window; out-of-range rolls read wrapped values
-     * exactly like jnp.roll — but every wrapped window is invalid
-     * (idx > n - k), so the values never matter */
-    for (int64_t i = 0; i < n; i++) {
-        /* incremental window: code = (code << 2 | b) & cmask needs the
-         * NEXT k-1 bases; compute lazily with a rolling window primed
-         * per position only when needed is O(nk) — keep the simple
-         * rolling form: */
-        if (i == 0) {
-            code = 0;
-            rc = 0;
-            for (int32_t j = 0; j < k; j++) {
-                uint32_t b = (j < n ? bases[j] : bases[j % n]) & 3u;
-                code = (code << 2) | b;
-                rc |= (3u - b) << (2 * j);
-            }
-        } else {
-            int64_t nxt = i + k - 1;
-            uint32_t b = (nxt < n ? bases[nxt] : bases[nxt % n]) & 3u;
-            code = ((code << 2) | b) & cmask;
-            rc = (rc >> 2) | ((3u - b) << (2 * (k - 1)));
+    if (n < k) {               /* no whole window fits: all invalid */
+        for (int64_t i = 0; i < n; i++) {
+            codes_out[i] = inval;
+            strand_out[i] = 0;
         }
-        int valid = i <= n - k && bases[i] < 4
-            && read_id[i] == read_id[(i + k - 1) % n];
-        if (mask && mask[i]) valid = 0;
+        return;
+    }
+    /* rolling window, branch-light: prime k-1 bases, then one new
+     * base per position; tail positions (i > n - k) are invalid by
+     * contract (kmer_codes_canonical's idx <= n - k) */
+    uint32_t code = 0, rc = 0;
+    for (int32_t j = 0; j < k - 1; j++) {
+        uint32_t b = bases[j] & 3u;
+        code = (code << 2) | b;
+        rc = (rc >> 2) | ((3u - b) << (2 * (k - 1)));
+    }
+    for (int64_t i = 0; i + k <= n; i++) {
+        uint32_t b = bases[i + k - 1] & 3u;
+        code = ((code << 2) | b) & cmask;
+        rc = (rc >> 2) | ((3u - b) << (2 * (k - 1)));
+        int valid = bases[i] < 4 && read_id[i] == read_id[i + k - 1]
+            && !(mask && mask[i]);
         uint32_t canon = rc < code ? rc : code;
         codes_out[i] = valid ? canon : inval;
         strand_out[i] = (uint8_t)(valid && rc < code);
+    }
+    for (int64_t i = n - k + 1; i < n; i++) {
+        codes_out[i] = inval;
+        strand_out[i] = 0;
     }
 }
 
@@ -1309,8 +1309,9 @@ int64_t band_filter(const int32_t *apos, const int32_t *bpos,
                     int32_t *s_br, int32_t *s_ap, int32_t *s_bp,
                     int32_t *s_cov, int32_t *s_comp,
                     int64_t *nseeds_out) {
-    if (2 * read_bits + 1 + bucket_bits + pos_bits > 64)
+    if (2 * read_bits + 1 + bucket_bits > 64)
         return -9;                     /* caller falls back to numpy */
+    int fused = 2 * read_bits + 1 + bucket_bits + pos_bits <= 64;
     int64_t m = 2 * n;
     uint64_t *key = (uint64_t *)malloc((size_t)m * 8);
     int64_t *ord = (int64_t *)malloc((size_t)m * 8);
@@ -1326,9 +1327,34 @@ int64_t band_filter(const int32_t *apos, const int32_t *bpos,
                           | (uint64_t)br[s]) << 1)
                         | (uint64_t)(comp[s] & 1)) << bucket_bits)
                       | bkt;
-        key[e] = (k2 << pos_bits) | (uint64_t)apos[s];
+        key[e] = fused ? (k2 << pos_bits) | (uint64_t)apos[s] : k2;
     }
-    int64_t rc = radix_argsort_u64(key, m, ord);
+    int64_t rc;
+    if (fused) {
+        rc = radix_argsort_u64(key, m, ord);
+    } else {
+        /* two-pass stable sort (apos, then the band key over the
+         * permuted entries) == one lexicographic sort; needed when
+         * band key + apos exceed 64 bits (big blocks) */
+        uint64_t *ap64 = (uint64_t *)malloc((size_t)m * 8);
+        int64_t *o1 = (int64_t *)malloc((size_t)m * 8);
+        if ((!ap64 || !o1) && m) {
+            free(ap64); free(o1); free(key); free(ord);
+            return -1;
+        }
+        for (int64_t e = 0; e < m; e++)
+            ap64[e] = (uint64_t)apos[e < n ? e : e - n];
+        rc = radix_argsort_u64(ap64, m, o1);
+        if (rc == 0) {
+            for (int64_t e = 0; e < m; e++)
+                ap64[e] = key[o1[e]];         /* permuted band keys */
+            rc = radix_argsort_u64(ap64, m, ord);
+            for (int64_t e = 0; e < m; e++)
+                ord[e] = o1[ord[e]];
+        }
+        free(ap64);
+        free(o1);
+    }
     if (rc != 0) {
         free(key); free(ord);
         return rc;
@@ -1340,10 +1366,13 @@ int64_t band_filter(const int32_t *apos, const int32_t *bpos,
     int32_t seg_sum = 0, prev_ap = 0;
     uint64_t prev_band = ~(uint64_t)0;
     for (int64_t i = 0; i <= m; i++) {
-        uint64_t band = i < m ? key[ord[i]] >> pos_bits : ~(uint64_t)0;
-        int32_t ap = i < m ? (int32_t)(key[ord[i]]
-                                       & ((((uint64_t)1) << pos_bits)
-                                          - 1)) : 0;
+        uint64_t band = ~(uint64_t)0;
+        int32_t ap = 0;
+        if (i < m) {
+            int64_t e = ord[i];
+            band = fused ? key[e] >> pos_bits : key[e];
+            ap = apos[e < n ? e : e - n];
+        }
         if (i == m || band != prev_band) {
             if (seg_first >= 0 && seg_sum >= hit_min) {
                 if (total < seed_cap) {
