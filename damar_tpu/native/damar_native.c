@@ -1015,7 +1015,10 @@ static void bp_extend_group(const uint8_t *A, int64_t na,
     uint32_t ach[VBL], bch[VBL];
     int32_t Db[VBL], Dc[VBL], vbb[VBL], bs[VBL], bva[VBL], bvb[VBL];
     int32_t al[VBL], bl[VBL], aoo[VBL], boo[VBL];
-    uint8_t rv[VBL], act[VBL], died[VBL];
+    int64_t abase[VBL], bbase[VBL];
+    int64_t sgn[VBL];
+    uint8_t rv[VBL];
+    int32_t act[VBL], died[VBL];
     for (int l = 0; l < VBL; l++) {
         int live = l < nl;
         al[l] = live ? alim[l] : 0;
@@ -1023,6 +1026,10 @@ static void bp_extend_group(const uint8_t *A, int64_t na,
         aoo[l] = live ? ao[l] : 0;
         boo[l] = live ? bo[l] : 0;
         rv[l] = live && rev ? rev[l] : 0;
+        /* v-index -> base index is base + sgn * v for both dirs */
+        sgn[l] = rv[l] ? -1 : 1;
+        abase[l] = rv[l] ? (int64_t)aoo[l] - 1 : (int64_t)aoo[l];
+        bbase[l] = rv[l] ? (int64_t)boo[l] - 1 : (int64_t)boo[l];
         bp_vinit(&VP[l], &VN[l], &Db[l]);
         Dc[l] = 0;
         vbb[l] = 1 - BP_CTR;
@@ -1049,15 +1056,15 @@ static void bp_extend_group(const uint8_t *A, int64_t na,
         for (int r = 0; r < R; r++) {
             int64_t av = (int64_t)rtot + r;
             for (int l = 0; l < VBL; l++) {
-                int64_t ai = rv[l] ? (int64_t)aoo[l] - 1 - av
-                                   : (int64_t)aoo[l] + av;
-                ach[l] = (uint32_t)bp_char(A, na, ai);
+                int64_t ai = abase[l] + sgn[l] * av;
+                ai = ai < 0 ? 0 : (ai >= na ? na - 1 : ai);
+                ach[l] = (uint32_t)(A[ai] & 3);
             }
             for (int l = 0; l < VBL; l++) {
                 int32_t nbp = vbb[l] + r + BP_BW - 1;
-                int64_t bi = rv[l] ? (int64_t)boo[l] - 1 - nbp
-                                   : (int64_t)boo[l] + nbp;
-                bch[l] = ((uint32_t)bp_char(B, nb, bi) << 1)
+                int64_t bi = bbase[l] + sgn[l] * nbp;
+                bi = bi < 0 ? 0 : (bi >= nb ? nb - 1 : bi);
+                bch[l] = ((uint32_t)(B[bi] & 3) << 1)
                          | (uint32_t)(nbp >= 0 && nbp < bl[l]);
             }
             for (int l = 0; l < VBL; l++)
@@ -1081,13 +1088,13 @@ static void bp_extend_group(const uint8_t *A, int64_t na,
             for (int l = 0; l < VBL; l++) {
                 int32_t vc = vbb[l] + r + BP_CTR;
                 int32_t sc = t + vc - diff_cost * Dc[l];
-                int ok = act[l] && t <= al[l] && vc >= 0 && vc <= bl[l];
-                int improve = ok && sc > bs[l];
+                int32_t ok = act[l] & (t <= al[l]) & (vc >= 0)
+                             & (vc <= bl[l]);
+                int32_t improve = ok & (sc > bs[l]);
                 bs[l] = improve ? sc : bs[l];
                 bva[l] = improve ? t : bva[l];
                 bvb[l] = improve ? vc : bvb[l];
-                died[l] |= (uint8_t)(ok && sc < bs[l]
-                                     - (xdrop + diff_cost));
+                died[l] |= ok & (sc < bs[l] - (xdrop + diff_cost));
             }
             for (int l = 0; l < VBL; l++) {
                 uint32_t c = bch[l] >> 1, v = bch[l] & 1u;
