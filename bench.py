@@ -60,9 +60,12 @@ def _try_tpu_subprocess(budget_s: float = 1500.0) -> bool:
     are done.  On timeout/failure the caller falls back to CPU.
     """
     import subprocess
+    inner = [sys.executable, __file__, "--inner"]
+    if "--profile" in sys.argv:
+        inner.append("--profile")
     try:
-        r = subprocess.run([sys.executable, __file__, "--inner"],
-                           capture_output=True, timeout=budget_s)
+        r = subprocess.run(inner, capture_output=True,
+                           timeout=budget_s)
     except subprocess.TimeoutExpired:
         print("# WARNING: TPU bench exceeded its wall budget "
               f"({budget_s:.0f}s) — backend wedged mid-run; falling "

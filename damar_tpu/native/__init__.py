@@ -30,16 +30,27 @@ def _build() -> str | None:
         # -march=native vectorizes the lockstep bp kernels; the .so is
         # machine-local (gitignored, name keyed on source hash), so
         # host-specific codegen is safe.  Fall back without it.
+        # Compile to a temp name and rename only on success: a killed/
+        # timed-out cc must not leave a partial .so that the exists()
+        # check above would hand to CDLL forever after.
+        tmp = so + ".build"
         for extra in (["-march=native"], []):
             try:
                 r = subprocess.run(
                     [cc, "-O3", "-shared", "-fPIC", "-pthread"]
-                    + extra + [_SRC, "-o", so],
+                    + extra + [_SRC, "-o", tmp],
                     capture_output=True, timeout=120)
                 if r.returncode == 0:
+                    os.replace(tmp, so)
                     return so
             except (FileNotFoundError, subprocess.TimeoutExpired):
                 break
+            finally:
+                if os.path.exists(tmp):
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
     return None
 
 
@@ -51,7 +62,16 @@ def _lib():
             return None
         so = _build()
         if so:
-            lib = ctypes.CDLL(so)
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                # corrupt cached artifact: drop it so the next process
+                # rebuilds, and fall back to the numpy paths now
+                try:
+                    os.remove(so)
+                except OSError:
+                    pass
+                return None
             lib.pack2bit.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8)]

@@ -438,17 +438,15 @@ typedef struct {
     const int64_t *astart, *bstart, *abpos, *aepos, *bbpos, *bepos;
     int32_t tspace, band, max_segs;
     int32_t *out, *nseg_out, *dsum_out;
-    int32_t lo, hi;
+    int32_t lo, nt, n_rec;
 } TpJob;
 
 static void *tp_worker(void *vp) {
     /* strided record assignment: retry batches arrive length-sorted,
      * so contiguous ranges leave one thread with all the long
-     * records; lo is the thread index, hi carries (n_rec << 8) | nt */
+     * records; lo is the thread index */
     TpJob *j = (TpJob *)vp;
-    int32_t nt = j->hi & 0xFF;
-    int32_t n_rec = j->hi >> 8;
-    for (int32_t r = j->lo; r < n_rec; r += nt) {
+    for (int32_t r = j->lo; r < j->n_rec; r += j->nt) {
         int32_t *o = j->out + (size_t)r * j->max_segs * 2;
         int32_t ns = trace_points(j->a + j->astart[r],
                                   j->b + j->bstart[r], j->abpos[r],
@@ -481,7 +479,7 @@ int64_t trace_points_batch(const uint8_t *a, const uint8_t *b,
     if (nthreads > n_rec) nthreads = n_rec > 0 ? n_rec : 1;
     TpJob tmpl = {a, b, astart, bstart, abpos, aepos, bbpos, bepos,
                   tspace, band, max_segs, out, nseg_out, dsum_out,
-                  0, (n_rec << 8) | nthreads};
+                  0, nthreads, n_rec};
     if (nthreads == 1) {
         tp_worker(&tmpl);
         return 0;
@@ -570,169 +568,6 @@ static inline void bp_reconstruct(uint32_t VP, uint32_t VN, int32_t Db,
         v += (int32_t)((VP >> j) & 1u) - (int32_t)((VN >> j) & 1u);
         D[j] = v;
     }
-}
-
-static void bp_extend_unit(const uint8_t *A, int64_t na,
-                           const uint8_t *B, int64_t nb,
-                           int32_t ao, int32_t bo, int32_t alim,
-                           int32_t blim, int rev, int R, int max_rows,
-                           int diff_cost, int xdrop, int32_t *o_va,
-                           int32_t *o_vb, int32_t *o_d, int32_t *o_s) {
-    *o_va = *o_vb = *o_d = *o_s = 0;
-    if (alim <= 0) return;
-    uint32_t VP, VN;
-    int32_t Db, Dc = 0;
-    bp_vinit(&VP, &VN, &Db);
-    int32_t vbb = 1 - BP_CTR;
-    int32_t rtot = 0;
-    int active = 1;
-    int32_t bs = 0, bva = 0, bvb = 0;
-    while (active && rtot < max_rows) {
-        /* fresh Peq planes at v-positions vbb-1 .. vbb+BW-2 */
-        uint32_t PH = 0, PL = 0, PV = 0;
-        for (int j = 0; j < BP_BW; j++) {
-            int32_t p = vbb - 1 + j;
-            int64_t bi = rev ? (int64_t)bo - 1 - p : (int64_t)bo + p;
-            uint32_t c = (uint32_t)bp_char(B, nb, bi);
-            PH |= ((c >> 1) & 1u) << j;
-            PL |= (c & 1u) << j;
-            PV |= (uint32_t)(p >= 0 && p < blim) << j;
-        }
-        int died = 0;
-        for (int r = 0; r < R; r++) {
-            int64_t av = (int64_t)rtot + r;
-            int64_t ai = rev ? (int64_t)ao - 1 - av : (int64_t)ao + av;
-            uint32_t Eq = bp_eq(PH, PL, PV, (uint32_t)bp_char(A, na, ai));
-            bp_row(&VP, &VN, &Db, &Dc, Eq);
-            int32_t t = rtot + r + 1;
-            int32_t vc = vbb + r + BP_CTR;
-            int32_t sc = t + vc - diff_cost * Dc;
-            int ok = t <= alim && vc >= 0 && vc <= blim;
-            if (ok && sc > bs) { bs = sc; bva = t; bvb = vc; }
-            if (ok && sc < bs - (xdrop + diff_cost)) died = 1;
-            int32_t nbp = vbb + r + BP_BW - 1;
-            int64_t bi = rev ? (int64_t)bo - 1 - nbp : (int64_t)bo + nbp;
-            bp_shift(&PH, &PL, &PV, (uint32_t)bp_char(B, nb, bi),
-                     (uint32_t)(nbp >= 0 && nbp < blim));
-        }
-        /* chunk tail: exact band-wide eval, X-drop, recenter */
-        int32_t t = rtot + R;
-        int32_t D[BP_BW];
-        bp_reconstruct(VP, VN, Db, D);
-        int32_t vbt = vbb + R - 1;
-        int32_t smax = BP_NEG;
-        int32_t jbest = 0;
-        for (int j = 0; j < BP_BW; j++) {
-            int32_t vbw = vbt + j;
-            int32_t sw = (vbw >= 0 && vbw <= blim && t <= alim)
-                         ? t + vbw - diff_cost * D[j] : BP_NEG;
-            if (sw > smax) { smax = sw; jbest = j; }
-        }
-        if (smax > bs) { bs = smax; bva = t; bvb = vbt + jbest; }
-        active = smax >= bs - xdrop && t < alim && !died;
-        int32_t Dmin = BP_INF;
-        int32_t jmin = 0;
-        for (int j = 0; j < BP_BW; j++) {
-            int32_t vbw = vbt + j;
-            int32_t dm = (vbw >= 0 && vbw <= blim) ? D[j] : BP_INF;
-            if (dm < Dmin) { Dmin = dm; jmin = j; }
-        }
-        int32_t drift = active ? jmin - BP_CTR : 0;
-        int32_t Dn[BP_BW];
-        for (int j = 0; j < BP_BW; j++) {
-            int32_t l = j + drift;
-            int32_t idx = l < 0 ? 0 : (l > BP_BW - 1 ? BP_BW - 1 : l);
-            int32_t over = l - idx;
-            if (over < 0) over = -over;
-            Dn[j] = D[idx] + over;
-        }
-        VP = 1u;       /* bit 0: +1 (Db = Dn[0] - 1) */
-        VN = 0u;
-        for (int j = 1; j < BP_BW; j++) {
-            int32_t dl = Dn[j] - Dn[j - 1];
-            if (dl > 0) VP |= 1u << j;
-            else if (dl < 0) VN |= 1u << j;
-        }
-        Db = Dn[0] - 1;
-        Dc = Dn[BP_CTR];
-        vbb = vbt + 1 + drift;
-        rtot = t;
-    }
-    if (bs <= 0) return;
-    *o_va = bva;
-    *o_vb = bvb;
-    *o_d = (bva + bvb - bs) / diff_cost;
-    *o_s = bs;
-}
-
-static void bp_trace_unit(const uint8_t *A, int64_t na,
-                          const uint8_t *B, int64_t nb,
-                          int64_t aorigin, int64_t borigin,
-                          int32_t abpos, int32_t alim, int32_t blim,
-                          int tspace, int max_segs, int32_t *trace,
-                          int32_t *o_nseg, int32_t *o_dsum) {
-    uint32_t VP, VN;
-    int32_t Db, DcT;
-    bp_vinit(&VP, &VN, &Db);
-    int32_t vbb = 1 - BP_CTR;
-    int32_t done = 0, nseg = 0, prev_vb = 0, dsum = 0;
-    while (done < alim) {
-        int32_t a = abpos + done;
-        int32_t nxt = (a / tspace + 1) * tspace - a;
-        int32_t rem = alim - done;
-        int32_t seg_rows = nxt < rem ? nxt : rem;
-        uint32_t PH = 0, PL = 0, PV = 0;
-        for (int j = 0; j < BP_BW; j++) {
-            int32_t p = vbb - 1 + j;
-            uint32_t c = (uint32_t)bp_char(B, nb, borigin + p);
-            PH |= ((c >> 1) & 1u) << j;
-            PL |= (c & 1u) << j;
-            PV |= (uint32_t)(p >= 0 && p < blim) << j;
-        }
-        for (int r = 0; r < seg_rows; r++) {
-            uint32_t x = (uint32_t)bp_char(A, na, aorigin + done + r);
-            uint32_t Eq = bp_eq(PH, PL, PV, x);
-            DcT = Db;                     /* Dc unused in the trace row */
-            bp_row(&VP, &VN, &Db, &DcT, Eq);
-            int32_t nbp = vbb + r + BP_BW - 1;
-            bp_shift(&PH, &PL, &PV,
-                     (uint32_t)bp_char(B, nb, borigin + nbp),
-                     (uint32_t)(nbp >= 0 && nbp < blim));
-        }
-        int32_t va = done + seg_rows;
-        int at_end = va == alim;
-        int32_t vbe = vbb + seg_rows - 1;
-        int32_t D[BP_BW];
-        bp_reconstruct(VP, VN, Db, D);
-        int32_t Dmin = BP_INF;
-        int32_t jmin = 0;
-        for (int j = 0; j < BP_BW; j++) {
-            int32_t vbw = vbe + j;
-            int32_t dm = (vbw >= 0 && vbw <= blim && vbw > prev_vb)
-                         ? D[j] : BP_INF;
-            if (dm < Dmin) { Dmin = dm; jmin = j; }
-        }
-        int32_t j_end = blim - vbe;
-        if (j_end < 0) j_end = 0;
-        if (j_end > BP_BW - 1) j_end = BP_BW - 1;
-        int32_t j_com = at_end ? j_end : jmin;
-        int32_t vb_com = vbe + j_com;
-        if (vb_com < prev_vb) vb_com = prev_vb;
-        if (vb_com > blim) vb_com = blim;
-        int32_t d_com = D[j_com];
-        if (d_com >= BP_INF) d_com = alim + blim;
-        int32_t ns = nseg < max_segs - 1 ? nseg : max_segs - 1;
-        trace[2 * ns] = d_com;
-        trace[2 * ns + 1] = vb_com - prev_vb;
-        bp_vinit(&VP, &VN, &Db);
-        vbb = vb_com - BP_CTR + 1;
-        done += seg_rows;
-        nseg += 1;
-        prev_vb = vb_com;
-        dsum += d_com;
-    }
-    *o_nseg = nseg;
-    *o_dsum = dsum;
 }
 
 typedef struct {

@@ -331,21 +331,24 @@ def _pow2_cap(want: int, cap: int, floor: int = 1 << 17) -> int:
     return min(c, cap)
 
 
-@partial(jax.jit, static_argnames=("out_cap", "upper_only"))
+@partial(jax.jit, static_argnames=("out_cap", "upper_only",
+                                   "include_self"))
 def compact_hits(apos, bpos, nhits, a_rid, b_rid, out_cap: int,
-                 upper_only: bool, suppress_equal=False):
+                 upper_only: bool, suppress_equal=False,
+                 include_self: bool = False):
     """Drop pair-filtered hits (a==b self matches, lower-triangle
     duplicates) and compact survivors into a smaller buffer BEFORE the
     banding sort — the sort cost scales with buffer size, and on a
     self-block forward pass read-vs-itself hits are the large
-    majority.  Returns (apos, bpos, n, total); total > out_cap means
+    majority.  include_self (daligner -I) keeps read-vs-itself pairs.
+    Returns (apos, bpos, n, total); total > out_cap means
     the caller must retry with a bigger out_cap."""
     n = apos.shape[0]
     live = jnp.arange(n, dtype=jnp.int32) < nhits
     ar = a_rid[jnp.maximum(apos, 0)]
     br = b_rid[jnp.maximum(bpos, 0)]
     if upper_only:
-        live &= ar < br
+        live &= (ar <= br) if include_self else (ar < br)
     live &= ~(jnp.asarray(suppress_equal) & (ar == br))
     (oa, ob), n_out, total = compact_flagged(live, (apos, bpos),
                                              out_cap=out_cap)
@@ -460,7 +463,8 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
                              hit_cap), hit_cap)
         apos, bpos, nhits, total_c = compact_hits(
             apos, bpos, nhits, a_rid, b_rid, out_cap=ccap,
-            upper_only=upper_only)
+            upper_only=upper_only,
+            include_self=bool(getattr(cfg, "identity", False)))
         overflow = (total_hits > cap) | (total_c > ccap)
     else:
         ccap = cap
@@ -471,7 +475,8 @@ def find_seeds_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         pos_bits=_pos_bits(blk_a.cap, blk_b.cap),
         read_bits=quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1),
         band_shift=cfg.band_shift, hit_min=cfg.hit_min, kmer=cfg.kmer,
-        seed_cap=seed_cap, upper_only=bool(self_pair and upper_only))
+        seed_cap=seed_cap, upper_only=bool(self_pair and upper_only),
+        include_self=bool(getattr(cfg, "identity", False)))
     return {
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
         "cov": cov, "nseeds": nseeds, "total_seeds": total_seeds,

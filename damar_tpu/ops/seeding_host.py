@@ -53,6 +53,9 @@ def _run_firsts(codes: np.ndarray):
     """(first flags, per-element segment start index, per-element
     segment length) of a sorted stream."""
     n = len(codes)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return np.zeros(0, bool), z, z
     first = np.empty(n, bool)
     first[0] = True
     np.not_equal(codes[1:], codes[:-1], out=first[1:])
@@ -212,12 +215,16 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
     # two-pass stable sort == one lexicographic sort by
     # (ar, br, strand, bucket, apos): pass 1 by the least-significant
     # field, pass 2 by the rest folded into one u64
-    o1 = _argsort(np.maximum(ap2, 0).astype(np.uint64))
-    key2 = (((ar2 << read_bits | br2) << 1 | st2)
-            << bucket_bits | bkt2).astype(np.uint64)
-    assert 2 * read_bits + 1 + bucket_bits <= 64, "band key > 64 bits"
-    o2 = _argsort(key2[o1])
-    order = o1[o2]
+    if 2 * read_bits + 1 + bucket_bits <= 64:
+        o1 = _argsort(np.maximum(ap2, 0).astype(np.uint64))
+        key2 = (((ar2 << read_bits | br2) << 1 | st2)
+                << bucket_bits | bkt2).astype(np.uint64)
+        o2 = _argsort(key2[o1])
+        order = o1[o2]
+    else:
+        # band key alone exceeds 64 bits (very large blocks):
+        # lexsort columns directly — primary key LAST
+        order = np.lexsort((np.maximum(ap2, 0), bkt2, st2, br2, ar2))
     ar_s, br_s = ar2[order], br2[order]
     bkt_s, st_s = bkt2[order], st2[order]
     ap_s, bp_s = ap2[order], bp2[order]

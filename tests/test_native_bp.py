@@ -117,6 +117,54 @@ class TestTraceBitIdentity:
                 np.testing.assert_array_equal(np.asarray(x), y)
 
 
+class TestBandFilterDualPaths:
+    """The banding stage has four implementations that must agree
+    element-for-element: C fused-key, C two-pass (>64-bit fused key),
+    numpy fused, numpy lexsort (>64-bit band key).  Key widths change
+    only the sort key packing, never the order, so inflating
+    a_cap/nreads1 on the SAME hits must reproduce identical seeds."""
+
+    def _hits(self):
+        rng = np.random.default_rng(21)
+        n = 4000
+        nreads = 40
+        rid = np.sort(rng.integers(0, nreads, 3000)).astype(np.int32)
+        apos = rng.integers(0, 3000, n).astype(np.int32)
+        bpos = rng.integers(0, 3000, n).astype(np.int32)
+        comp = rng.integers(0, 2, n).astype(bool)
+        return apos, bpos, comp, rid, rid
+
+    def test_all_paths_agree(self, monkeypatch):
+        from damar_tpu import native
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.ops.seeding_host import _band_filter
+        cfg = OverlapConfig()
+        apos, bpos, comp, a_rid, b_rid = self._hits()
+        kw = dict(seed_cap=1 << 12, upper_only=False,
+                  include_self=False)
+        base = _band_filter(apos, bpos, comp, a_rid, b_rid,
+                            a_cap=4096, b_cap=4096, nreads1=41,
+                            cfg=cfg, **kw)           # C fused
+        twop = _band_filter(apos, bpos, comp, a_rid, b_rid,
+                            a_cap=1 << 28, b_cap=4096, nreads1=41,
+                            cfg=cfg, **kw)           # C two-pass
+        wide = _band_filter(apos, bpos, comp, a_rid, b_rid,
+                            a_cap=1 << 28, b_cap=4096,
+                            nreads1=3_000_000, cfg=cfg,
+                            **kw)                    # numpy lexsort
+        monkeypatch.setattr(native, "band_filter",
+                            lambda *a, **k: None)
+        nump = _band_filter(apos, bpos, comp, a_rid, b_rid,
+                            a_cap=4096, b_cap=4096, nreads1=41,
+                            cfg=cfg, **kw)           # numpy fused
+        for name, other in (("two-pass", twop), ("lexsort", wide),
+                            ("numpy", nump)):
+            for i, (x, y) in enumerate(zip(base, other)):
+                np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y),
+                    err_msg=f"{name} field {i}")
+
+
 class TestDriverByteIdentity:
     def test_pair_driver_las_identical(self):
         """overlap_block_pair under DAMAR_BP=native +DAMAR_SORT=host
