@@ -126,6 +126,9 @@ def _lib():
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 ctypes.c_int32, i32p, i32p, i32p]
             lib.bp_trace_batch.restype = None
+            lib.bp_trace64_batch.argtypes = \
+                lib.bp_trace_batch.argtypes
+            lib.bp_trace64_batch.restype = None
             lib.radix_argsort_u64.argtypes = [
                 ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64)]
@@ -402,10 +405,13 @@ def bp_extend_batch(a_bases, b_bases, aorigin, borigin, alim, blim,
 
 
 def bp_trace_batch(a_bases, b_bases, astart, bstart, abpos, bbpos,
-                   alim, blim, tspace: int, max_segs: int):
+                   alim, blim, tspace: int, max_segs: int,
+                   wide: bool = False):
     """Batched bit-parallel trace-point pass — exact native replica of
-    ops.wave_bp.trace_wave_bp.  Returns (trace [S, max_segs, 2], nseg,
-    dsum) int32, or None when native is unavailable."""
+    ops.wave_bp.trace_wave_bp.  wide=True selects the 64-diagonal
+    band variant (the cheap retry tier for drifting alignments).
+    Returns (trace [S, max_segs, 2], nseg, dsum) int32, or None when
+    native is unavailable."""
     lib = _lib()
     if lib is None:
         return None
@@ -422,9 +428,9 @@ def bp_trace_batch(a_bases, b_bases, astart, bstart, abpos, bbpos,
     nseg = np.zeros(max(S, 1), np.int32)
     dsum = np.zeros(max(S, 1), np.int32)
     p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-    lib.bp_trace_batch(
-        _u8p(a), np.int64(len(a)), _u8p(b), np.int64(len(b)),
-        p32(as_), p32(bs_), p32(ab_bb), p32(al), p32(bl),
-        np.int32(S), np.int32(tspace), np.int32(max_segs),
-        np.int32(_nthreads()), p32(trace), p32(nseg), p32(dsum))
+    fn = lib.bp_trace64_batch if wide else lib.bp_trace_batch
+    fn(_u8p(a), np.int64(len(a)), _u8p(b), np.int64(len(b)),
+       p32(as_), p32(bs_), p32(ab_bb), p32(al), p32(bl),
+       np.int32(S), np.int32(tspace), np.int32(max_segs),
+       np.int32(_nthreads()), p32(trace), p32(nseg), p32(dsum))
     return trace[:S], nseg[:S], dsum[:S]

@@ -1247,3 +1247,221 @@ int64_t band_filter(const int32_t *apos, const int32_t *bpos,
     *nseeds_out = nseeds;
     return total;
 }
+
+/* ---------------- 64-diagonal bp trace (retry tier) ----------------
+ *
+ * uint64 variant of the lockstep trace kernel: BW=64 diagonals per
+ * band word, CTR=32.  Serves as the FIRST retry tier for records
+ * whose alignment drifts past the 32-diagonal band within a segment
+ * (~1% of records) — ~2x the cost of the 32-lane kernel vs ~100x for
+ * the wide per-cell DP, which remains the final fallback.  Same
+ * formulas as bp_trace_group with 64-bit words.
+ */
+#define BQ_BW  64
+#define BQ_CTR 32
+#define VQL 8
+
+static void bq_trace_group(const uint8_t *A, int64_t na,
+                           const uint8_t *B, int64_t nb,
+                           const int32_t *astart, const int32_t *bstart,
+                           const int32_t *abp_bbp, const int32_t *alim,
+                           const int32_t *blim, int nl, int tspace,
+                           int max_segs, int32_t *trace, int32_t *nseg,
+                           int32_t *dsum) {
+    uint64_t VP[VQL], VN[VQL], PH[VQL], PL[VQL], PV[VQL], Eq[VQL];
+    uint64_t ach[VQL], bch[VQL];
+    int64_t Db[VQL];
+    int32_t vbb[VQL], done[VQL], prev_vb[VQL], ns[VQL], ds[VQL],
+        segr[VQL], al[VQL], bl[VQL], abp[VQL];
+    int64_t aor[VQL], bor[VQL];
+    uint8_t go[VQL];
+    for (int l = 0; l < VQL; l++) {
+        int live = l < nl;
+        al[l] = live ? alim[l] : 0;
+        bl[l] = live ? blim[l] : 0;
+        abp[l] = live ? abp_bbp[2 * l] : 0;
+        aor[l] = live ? (int64_t)astart[l] + abp_bbp[2 * l] : 0;
+        bor[l] = live ? (int64_t)bstart[l] + abp_bbp[2 * l + 1] : 0;
+        VN[l] = (((uint64_t)1) << (BQ_CTR + 1)) - 1;
+        VP[l] = ~VN[l];
+        Db[l] = BQ_CTR + 1;
+        vbb[l] = 1 - BQ_CTR;
+        done[l] = prev_vb[l] = ns[l] = ds[l] = 0;
+    }
+    int any = 0;
+    for (int l = 0; l < VQL; l++) any |= done[l] < al[l];
+    while (any) {
+        int32_t max_rows_g = 0;
+        for (int l = 0; l < VQL; l++) {
+            int live = done[l] < al[l];
+            if (live) {
+                int32_t a = abp[l] + done[l];
+                int32_t nxt = (a / tspace + 1) * tspace - a;
+                int32_t rem = al[l] - done[l];
+                segr[l] = nxt < rem ? nxt : rem;
+            } else {
+                segr[l] = 0;
+            }
+            if (segr[l] > max_rows_g) max_rows_g = segr[l];
+            PH[l] = PL[l] = PV[l] = 0;
+            for (int j = 0; j < BQ_BW; j++) {
+                int32_t p = vbb[l] - 1 + j;
+                uint64_t c = (uint64_t)bp_char(B, nb, bor[l] + p);
+                PH[l] |= ((c >> 1) & 1u) << j;
+                PL[l] |= (c & 1u) << j;
+                PV[l] |= (uint64_t)(p >= 0 && p < bl[l]) << j;
+            }
+        }
+        for (int r = 0; r < max_rows_g; r++) {
+            for (int l = 0; l < VQL; l++) {
+                go[l] = r < segr[l];
+                ach[l] = (uint64_t)bp_char(A, na,
+                                           aor[l] + done[l] + r);
+                int32_t nbp = vbb[l] + r + BQ_BW - 1;
+                bch[l] = ((uint64_t)bp_char(B, nb, bor[l] + nbp) << 1)
+                         | (uint64_t)(nbp >= 0 && nbp < bl[l]);
+            }
+            for (int l = 0; l < VQL; l++) {
+                uint64_t mh = ((ach[l] >> 1) & 1u) - 1u;
+                uint64_t ml = (ach[l] & 1u) - 1u;
+                Eq[l] = (PH[l] ^ mh) & (PL[l] ^ ml) & PV[l];
+            }
+            for (int l = 0; l < VQL; l++) {
+                uint64_t gm = go[l] ? ~(uint64_t)0 : 0;
+                uint64_t vp = VP[l], vn = VN[l];
+                uint64_t X = Eq[l] | (vn >> 1);
+                uint64_t seed = (X << 1) & vp;
+                uint64_t G0 = X | (vp & (seed | ((seed + vp) ^ vp)));
+                uint64_t g = ~G0;
+                uint64_t gp = g << 1;
+                uint64_t d = g ^ gp, ndm = ~d;
+                uint64_t Z = ~(vp | vn);
+                uint64_t VPn = ((vp & ndm) | (Z & g & ~gp))
+                               & ~(uint64_t)1;
+                uint64_t VNn = (((vn & ndm) | (Z & gp & G0))
+                                & ~(uint64_t)1) | (G0 & 1u);
+                int64_t Dbn = Db[l] + 1 + (int64_t)(vp & 1u)
+                              - (int64_t)(vn & 1u);
+                VP[l] = (VPn & gm) | (vp & ~gm);
+                VN[l] = (VNn & gm) | (vn & ~gm);
+                Db[l] = go[l] ? Dbn : Db[l];
+                uint64_t c = bch[l] >> 1, v = bch[l] & 1u;
+                uint64_t PHn = (PH[l] >> 1)
+                               | (((c >> 1) & 1u) << (BQ_BW - 1));
+                uint64_t PLn = (PL[l] >> 1)
+                               | ((c & 1u) << (BQ_BW - 1));
+                uint64_t PVn = (PV[l] >> 1) | (v << (BQ_BW - 1));
+                PH[l] = (PHn & gm) | (PH[l] & ~gm);
+                PL[l] = (PLn & gm) | (PL[l] & ~gm);
+                PV[l] = (PVn & gm) | (PV[l] & ~gm);
+            }
+        }
+        for (int l = 0; l < VQL; l++) {
+            if (done[l] >= al[l]) continue;
+            int32_t va = done[l] + segr[l];
+            int at_end = va == al[l];
+            int32_t vbe = vbb[l] + segr[l] - 1;
+            int64_t D[BQ_BW];
+            {
+                int64_t v = Db[l];
+                for (int j = 0; j < BQ_BW; j++) {
+                    v += (int64_t)((VP[l] >> j) & 1u)
+                         - (int64_t)((VN[l] >> j) & 1u);
+                    D[j] = v;
+                }
+            }
+            int64_t Dmin = BP_INF;
+            int32_t jmin = 0;
+            for (int j = 0; j < BQ_BW; j++) {
+                int32_t vbw = vbe + j;
+                int64_t dm = (vbw >= 0 && vbw <= bl[l]
+                              && vbw > prev_vb[l]) ? D[j] : BP_INF;
+                if (dm < Dmin) { Dmin = dm; jmin = j; }
+            }
+            int32_t j_end = bl[l] - vbe;
+            if (j_end < 0) j_end = 0;
+            if (j_end > BQ_BW - 1) j_end = BQ_BW - 1;
+            int32_t j_com = at_end ? j_end : jmin;
+            int32_t vb_com = vbe + j_com;
+            if (vb_com < prev_vb[l]) vb_com = prev_vb[l];
+            if (vb_com > bl[l]) vb_com = bl[l];
+            int64_t d_com = D[j_com];
+            if (d_com >= BP_INF) d_com = al[l] + bl[l];
+            int32_t slot = ns[l] < max_segs - 1 ? ns[l] : max_segs - 1;
+            int32_t *tr = trace + ((size_t)l * max_segs + slot) * 2;
+            tr[0] = (int32_t)d_com;
+            tr[1] = vb_com - prev_vb[l];
+            VN[l] = (((uint64_t)1) << (BQ_CTR + 1)) - 1;
+            VP[l] = ~VN[l];
+            Db[l] = BQ_CTR + 1;
+            vbb[l] = vb_com - BQ_CTR + 1;
+            done[l] += segr[l];
+            ns[l] += 1;
+            prev_vb[l] = vb_com;
+            ds[l] += (int32_t)d_com;
+        }
+        any = 0;
+        for (int l = 0; l < VQL; l++) any |= done[l] < al[l];
+    }
+    for (int l = 0; l < nl; l++) {
+        nseg[l] = ns[l];
+        dsum[l] = ds[l];
+    }
+}
+
+typedef struct {
+    const uint8_t *A, *B;
+    int64_t na, nb;
+    const int32_t *as, *bs, *ab, *al, *bl;
+    int32_t S, tspace, max_segs, glo, ghi;
+    int32_t *tr, *ns, *ds;
+} BqJob;
+
+static void *bq_worker(void *vp) {
+    BqJob *q = (BqJob *)vp;
+    for (int32_t gg = q->glo; gg < q->ghi; gg++) {
+        int32_t u = gg * VQL;
+        int nl = q->S - u < VQL ? q->S - u : VQL;
+        bq_trace_group(q->A, q->na, q->B, q->nb, q->as + u, q->bs + u,
+                       q->ab + 2 * u, q->al + u, q->bl + u, nl,
+                       q->tspace, q->max_segs,
+                       q->tr + (size_t)u * q->max_segs * 2,
+                       q->ns + u, q->ds + u);
+    }
+    return NULL;
+}
+
+void bp_trace64_batch(const uint8_t *A, int64_t na, const uint8_t *B,
+                      int64_t nb, const int32_t *astart,
+                      const int32_t *bstart, const int32_t *abp_bbp,
+                      const int32_t *alim, const int32_t *blim,
+                      int32_t S, int32_t tspace, int32_t max_segs,
+                      int32_t nthreads, int32_t *trace, int32_t *nseg,
+                      int32_t *dsum) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    int32_t groups = (S + VQL - 1) / VQL;
+    if (groups < 1) return;
+    if (nthreads > groups) nthreads = groups;
+    int32_t per_g = (groups + nthreads - 1) / nthreads;
+    BqJob qs[16];
+    pthread_t tid[16];
+    int nt = 0;
+    for (int i = 0; i < nthreads; i++) {
+        int32_t glo = i * per_g;
+        if (glo >= groups) break;
+        qs[nt] = (BqJob){A, B, na, nb, astart, bstart, abp_bbp, alim,
+                         blim, S, tspace, max_segs, glo,
+                         glo + per_g < groups ? glo + per_g : groups,
+                         trace, nseg, dsum};
+        nt++;
+    }
+    if (nt == 1) {
+        bq_worker(&qs[0]);
+        return;
+    }
+    for (int i = 0; i < nt; i++)
+        pthread_create(&tid[i], NULL, bq_worker, &qs[i]);
+    for (int i = 0; i < nt; i++)
+        pthread_join(tid[i], NULL);
+}

@@ -494,6 +494,24 @@ def _native_bp_trace(a_bases, b_bases, astart, bstart, abpos, bbpos,
 _native_bp_trace.host_kernel = True
 
 
+def _native_bp64_trace(a_bases, b_bases, astart, bstart, abpos, bbpos,
+                       alim, blim, tspace: int = 100,
+                       max_segs: int = 660, W: int = 128,
+                       SB: int = 256):
+    """64-diagonal bit-parallel trace (native-only retry tier): ~2x
+    the 32-lane kernel's cost vs ~100x for the wide per-cell DP, and
+    it forces through most drift failures."""
+    from damar_tpu import native
+    return native.bp_trace_batch(
+        np.asarray(a_bases), np.asarray(b_bases), np.asarray(astart),
+        np.asarray(bstart), np.asarray(abpos), np.asarray(bbpos),
+        np.asarray(alim), np.asarray(blim), tspace=tspace,
+        max_segs=max_segs, wide=True)
+
+
+_native_bp64_trace.host_kernel = True
+
+
 def _pack_trace_np(tr: np.ndarray, expect: np.ndarray,
                    total_cap: int) -> np.ndarray:
     """Numpy twin of _pack_trace_jit for host trace kernels."""
@@ -1018,15 +1036,16 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
         if res is None:
             continue
         emit(chunk, res, comp, mirrored, retry_sink=retries)
-    # extents the default trace band could not force through get ONE
-    # retry with the wide (128-lane) kernel — stitchable low-identity
-    # stretches exceed the bit-parallel band's 32-diagonal reach.  All
-    # retry groups launch before any harvest (async dispatch), then one
+    # extents the default trace band could not force through get
+    # retried with progressively wider kernels: first the 64-diagonal
+    # bit-parallel tier (native, CPU; ~2x the default band's cost),
+    # then the wide (128-lane) kernel — stitchable low-identity
+    # stretches exceed the bit-parallel bands' reach.  All retry
+    # groups launch before any harvest (async dispatch), then one
     # stacked readback serves them all.
-    if retries:
-        wide = _wide_trace_kernel(cfg)
+    def retry_round(groups: dict, kernel, sink):
         retry_pend = []
-        for (comp, mirrored), parts in retries.items():
+        for (comp, mirrored), parts in groups.items():
             chunk = {k: np.concatenate([p[k] for p in parts])
                      for k in parts[0]}
             if not mirrored:
@@ -1038,13 +1057,22 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
                 bbas = jnp.asarray(blk_a_rc.bases) if comp else a_bases
                 s0, s1 = sb, sa
             pend = _trace_launch(ab, bbas, s0, s1, chunk, cfg,
-                                 kernel=wide)
+                                 kernel=kernel)
             retry_pend.append((pend, chunk, comp, mirrored))
         retry_res = _trace_harvest_all([p[0] for p in retry_pend], cfg)
         for (pend, chunk, comp, mirrored), res in zip(retry_pend,
                                                       retry_res):
             if res is not None:
-                emit(chunk, res, comp, mirrored, retry_sink=None)
+                emit(chunk, res, comp, mirrored, retry_sink=sink)
+
+    if retries:
+        from damar_tpu import native
+        if jax.default_backend() == "cpu" and native.available():
+            still: dict = {}
+            retry_round(retries, _native_bp64_trace, still)
+            retries = still
+    if retries:
+        retry_round(retries, _wide_trace_kernel(cfg), None)
 
     las_a = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_a))
     las_a.sort()

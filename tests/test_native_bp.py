@@ -117,6 +117,37 @@ class TestTraceBitIdentity:
                 np.testing.assert_array_equal(np.asarray(x), y)
 
 
+class TestTrace64Tier:
+    def test_catches_band_drift(self):
+        """A pair whose alignment drifts 25 diagonals inside one
+        segment — beyond the 32-band's drift capacity (BW-1-CTR = 15
+        net inserted bases per segment) but within the 64-band's (31):
+        the 32-lane kernel cannot commit a consistent trace, the
+        64-diagonal tier can."""
+        rng = np.random.default_rng(13)
+        head = rng.integers(0, 4, 400).astype(np.uint8)
+        tail = rng.integers(0, 4, 800).astype(np.uint8)
+        a = np.concatenate([head, tail])
+        b = np.concatenate([head, rng.integers(0, 4, 25).astype(
+            np.uint8), tail])          # 25-base insertion in B
+        z = np.zeros(1, np.int32)
+        alim = np.array([len(a)], np.int32)
+        blim = np.array([len(b)], np.int32)
+        r32 = native.bp_trace_batch(a, b, z, z, z, z, alim, blim,
+                                    tspace=100, max_segs=32)
+        r64 = native.bp_trace_batch(a, b, z, z, z, z, alim, blim,
+                                    tspace=100, max_segs=32, wide=True)
+        ns32, ns64 = int(r32[1][0]), int(r64[1][0])
+        bspan64 = int(r64[0][0, :ns64, 1].sum())
+        # the 64-band trace must span the whole of B; diffs ~ the
+        # insertion length (the 32-band one under-spans or over-costs)
+        assert bspan64 == len(b)
+        assert int(r64[2][0]) < 80
+        bad32 = int(r32[0][0, :ns32, 1].sum()) != len(b) \
+            or int(r32[2][0]) > int(r64[2][0])
+        assert bad32, "32-band unexpectedly matched the 64-band tier"
+
+
 class TestBandFilterDualPaths:
     """The banding stage has four implementations that must agree
     element-for-element: C fused-key, C two-pass (>64-bit fused key),
