@@ -477,6 +477,64 @@ def cmd_assemble(args):
           f"{' (polished)' if args.polish else ''}")
 
 
+def cmd_ogtour(args):
+    """Standalone touring stage (OGtour equivalent, upstream
+    touring/OGtour ⟨VERIFY⟩): db + filtered .las -> tours JSON
+    checkpoint (graph -> transitive reduction -> spur/bubble cleanup
+    -> unbranched walks).  tour2fasta consumes the JSON."""
+    from damar_tpu.formats.las import read_las
+    from damar_tpu.pipeline.graph import (build_graph,
+                                          transitive_reduction)
+    from damar_tpu.pipeline.touring import (clip_spurs, pop_bubbles,
+                                            tour_graph)
+    db = _db(args.db)
+    las = read_las(args.las)
+    g = build_graph(las, _rlen_map(db), fuzz=args.fuzz,
+                    min_dovetail=args.min_dovetail)
+    transitive_reduction(g)
+    clip_spurs(g, args.spur_len)
+    pop_bubbles(g, args.bubble_max)
+    tours = tour_graph(g)
+    doc = {"tours": [{"circular": t.circular,
+                      "steps": [[v.read, v.dir, cut]
+                                for v, cut in t.steps]}
+                     for t in tours]}
+    with open(args.out, "w") as f:
+        json.dump(doc, f)
+    print(f"{args.out}: {len(tours)} tours, "
+          f"reads {[len(t.steps) for t in tours[:10]]}")
+
+
+def cmd_tour2fasta(args):
+    """Standalone contig emission (tour2fasta equivalent): db + tours
+    JSON -> contig FASTA via the junction-stitching layout."""
+    from damar_tpu.formats.fasta import revcomp, write_fasta
+    from damar_tpu.pipeline.graph import Vertex
+    from damar_tpu.pipeline.touring import Tour, tour_to_seq
+    db = _db(args.db)
+    with open(args.tours) as f:
+        doc = json.load(f)
+
+    def seq_of(i, d):
+        s = db.read_seq(i)
+        return revcomp(s) if d else s
+
+    tours = [Tour(steps=[(Vertex(r, d), cut) for r, d, cut
+                         in t["steps"]], circular=t["circular"])
+             for t in doc["tours"]]
+    contigs = [tour_to_seq(t, seq_of) for t in tours]
+    order = np.argsort([-len(c) for c in contigs])
+    contigs = [contigs[i] for i in order]
+    tours = [tours[i] for i in order]
+    write_fasta(args.out,
+                [f"contig_{k} len={len(c)} reads={t.nreads()} "
+                 f"circular={t.circular}"
+                 for k, (c, t) in enumerate(zip(contigs, tours))],
+                contigs)
+    print(f"{args.out}: {len(contigs)} contigs, "
+          f"lengths {[len(c) for c in contigs[:10]]}")
+
+
 def cmd_ctanalyze(args):
     """Contig post-analysis (CT* equivalent): per-contig coverage/
     support/termination + assembly N50 stats."""
@@ -612,6 +670,12 @@ def build_parser():
          A("--svg", default=None),
          A("--fuzz", type=int, default=40),
          A("--min-dovetail", type=int, default=1000))
+    tool("ogtour", cmd_ogtour, A("db"), A("las"), A("out"),
+         A("--fuzz", type=int, default=40),
+         A("--min-dovetail", type=int, default=1000),
+         A("--spur-len", type=int, default=3, dest="spur_len"),
+         A("--bubble-max", type=int, default=8, dest="bubble_max"))
+    tool("tour2fasta", cmd_tour2fasta, A("db"), A("tours"), A("out"))
     tool("ctanalyze", cmd_ctanalyze, A("db"), A("las"),
          A("--fuzz", type=int, default=40),
          A("--min-dovetail", type=int, default=1000),

@@ -116,4 +116,15 @@ class TestOverlapTools:
         contigs = os.path.join(w, "ctg.fasta")
         run(["assemble", db, las1, contigs, "--min-dovetail", "800"])
         assert os.path.getsize(contigs) > 1000
+        # staged path: ogtour -> tours.json -> tour2fasta must equal
+        # the one-shot assemble output (same walks, same stitching)
+        tours = os.path.join(w, "tours.json")
+        run(["ogtour", db, las1, tours, "--min-dovetail", "800"])
+        assert json.load(open(tours))["tours"]
+        ctg2 = os.path.join(w, "ctg2.fasta")
+        run(["tour2fasta", db, tours, ctg2])
+        from damar_tpu.formats.fasta import read_fasta
+        _, s1 = read_fasta(contigs)
+        _, s2 = read_fasta(ctg2)
+        assert sorted(len(s) for s in s1) == sorted(len(s) for s in s2)
         capsys.readouterr()
