@@ -152,12 +152,17 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
 
     filt_path = os.path.join(workdir, "FIX.filtered.las")
     if not os.path.exists(filt_path):
-        merged = []
-        for b in range(1, max(fdb.nblocks, 1) + 1):
-            p = os.path.join(workdir, f"FIX.{b}.las")
-            if os.path.exists(p):
-                merged.extend(lasmod.read_las(p).overlaps)
-        full = lasmod.LasFile(cfg.overlap.tspace, merged)
+        # columnar merge of the per-block rounds (no per-record
+        # objects at block scale; native streaming merge when built)
+        parts = [p for b in range(1, max(fdb.nblocks, 1) + 1)
+                 if os.path.exists(p := os.path.join(workdir,
+                                                     f"FIX.{b}.las"))]
+        merged_path = os.path.join(workdir, "FIX.merged.las")
+        if parts:
+            lasmod.merge_las(parts, merged_path)
+            full = lasmod.read_las(merged_path)
+        else:
+            full = lasmod.LasFile(cfg.overlap.tspace, [])
         full.sort()
         stitched, needs = scrub.stitch_las(full, fuzz=cfg.scrub.stitch_fuzz)
         if len(needs):
@@ -176,7 +181,12 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         lasmod.write_las(filt_path, filt)
     filt = lasmod.read_las(filt_path)
     from damar_tpu.formats.oflags import OVL_DISCARD
-    kept = sum(1 for o in filt.overlaps if not o.flags & OVL_DISCARD)
+    if filt.columns is not None:
+        kept = int(((filt.columns.headers[:, 6]
+                     & OVL_DISCARD) == 0).sum())
+    else:
+        kept = sum(1 for o in filt.overlaps
+                   if not o.flags & OVL_DISCARD)
     d(records=filt.novl, kept=kept)
 
     # ---- 7. assemble ------------------------------------------------------
