@@ -106,9 +106,11 @@ def revcomp_block(blk: ReadBlock) -> ReadBlock:
     bases = blk.bases.copy()
     n = blk.nbases
     if n:
-        starts = blk.starts.astype(np.int64)
-        rid = blk.read_id[:n].astype(np.int64)
-        rev_idx = starts[rid] + starts[rid + 1] - 1 - np.arange(n)
-        bases[:n] = 3 - blk.bases[rev_idx]
+        from damar_tpu import native
+        if not native.revcomp_reads(blk.bases, blk.starts, bases):
+            starts = blk.starts.astype(np.int64)
+            rid = blk.read_id[:n].astype(np.int64)
+            rev_idx = starts[rid] + starts[rid + 1] - 1 - np.arange(n)
+            bases[:n] = 3 - blk.bases[rev_idx]
     return ReadBlock(bases=bases, starts=blk.starts, read_id=blk.read_id,
                      rlen=blk.rlen, ids=blk.ids, nbases=blk.nbases)

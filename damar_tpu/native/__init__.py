@@ -140,6 +140,9 @@ def _lib():
                 ctypes.POINTER(ctypes.c_uint32),
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.canon_kmers.restype = None
+            lib.revcomp_reads.argtypes = [
+                u8p, i32p, ctypes.c_int32, u8p]
+            lib.revcomp_reads.restype = None
             i64 = ctypes.c_int64
             lib.band_filter.argtypes = [
                 i32p, i32p, u8p, i32p, i32p, i64, i64,
@@ -293,6 +296,21 @@ def trace_points_batch(a_codes, b_codes, astart, bstart, abpos, aepos,
     if rc != 0:
         return None
     return out[:n], nseg[:n], dsum[:n]
+
+
+def revcomp_reads(bases: np.ndarray, starts: np.ndarray,
+                  out: np.ndarray) -> bool:
+    """Per-read reverse complement into `out` (bases/out uint8,
+    starts int32 [nreads+1]).  Returns False when native is
+    unavailable (caller keeps the numpy gather)."""
+    lib = _lib()
+    if lib is None:
+        return False
+    s = np.ascontiguousarray(starts, dtype=np.int32)
+    lib.revcomp_reads(
+        _u8p(bases), s.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int32(len(s) - 1), _u8p(out))
+    return True
 
 
 def canon_kmers(bases: np.ndarray, read_id: np.ndarray, k: int,

@@ -121,3 +121,22 @@ class TestNativeTrace:
                 a1 = min((a0 // ts + 1) * ts, len(a))
                 assert rows[s, 0] >= abs((a1 - a0) - rows[s, 1])
                 a0 = a1
+
+
+class TestRevcompReads:
+    def test_matches_numpy_gather(self, rng):
+        """native.revcomp_reads vs the numpy gather form
+        (core.blocks.revcomp_block's fallback)."""
+        from damar_tpu.core.blocks import block_from_reads
+        reads = [rng.integers(0, 4, int(rng.integers(10, 500)))
+                 .astype(np.uint8) for _ in range(25)]
+        blk = block_from_reads(reads)
+        out = blk.bases.copy()
+        assert native.revcomp_reads(blk.bases, blk.starts, out)
+        n = blk.nbases
+        starts = blk.starts.astype(np.int64)
+        rid = blk.read_id[:n].astype(np.int64)
+        rev_idx = starts[rid] + starts[rid + 1] - 1 - np.arange(n)
+        ref = blk.bases.copy()
+        ref[:n] = 3 - blk.bases[rev_idx]
+        np.testing.assert_array_equal(out, ref)
