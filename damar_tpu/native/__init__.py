@@ -143,6 +143,10 @@ def _lib():
             lib.revcomp_reads.argtypes = [
                 u8p, i32p, ctypes.c_int32, u8p]
             lib.revcomp_reads.restype = None
+            lib.plain_kmers.argtypes = [
+                u8p, ctypes.c_int64, i32p, u8p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint32)]
+            lib.plain_kmers.restype = None
             i64 = ctypes.c_int64
             lib.band_filter.argtypes = [
                 i32p, i32p, u8p, i32p, i32p, i64, i64,
@@ -368,6 +372,26 @@ def band_filter(apos, bpos, comp, ar, br, bcap: int, band_shift: int,
         return None
     k = int(ns.value)
     return tuple(o[:k] for o in outs) + (k, int(total))
+
+
+def plain_kmers(bases: np.ndarray, read_id: np.ndarray, k: int,
+                mask: np.ndarray | None = None):
+    """Forward-only k-mer codes — exact C replica of
+    ops.kmers.kmer_codes.  Returns uint32[n] codes or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(bases, dtype=np.uint8)
+    rid = np.ascontiguousarray(read_id, dtype=np.int32)
+    m = (np.ascontiguousarray(mask, dtype=np.uint8)
+         if mask is not None else None)
+    codes = np.empty(len(b), np.uint32)
+    lib.plain_kmers(
+        _u8p(b), np.int64(len(b)),
+        rid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8p(m) if m is not None else None, np.int32(k),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return codes
 
 
 def radix_argsort(keys: np.ndarray):

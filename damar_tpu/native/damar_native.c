@@ -1483,3 +1483,27 @@ void revcomp_reads(const uint8_t *bases, const int32_t *starts,
             dst[i] = (uint8_t)(3 - src[-1 - i]);
     }
 }
+
+/* Plain (forward-only) k-mer codes — exact replica of
+ * ops/kmers.py kmer_codes for the host tandem-seeding path. */
+void plain_kmers(const uint8_t *bases, int64_t n, const int32_t *read_id,
+                 const uint8_t *mask /* may be NULL */, int32_t k,
+                 uint32_t *codes_out) {
+    const uint32_t inval = ((uint32_t)1) << (2 * k);
+    const uint32_t cmask = inval - 1;
+    if (n < k) {
+        for (int64_t i = 0; i < n; i++) codes_out[i] = inval;
+        return;
+    }
+    uint32_t code = 0;
+    for (int32_t j = 0; j < k - 1; j++)
+        code = (code << 2) | (bases[j] & 3u);
+    for (int64_t i = 0; i + k <= n; i++) {
+        code = ((code << 2) | (bases[i + k - 1] & 3u)) & cmask;
+        int valid = bases[i] < 4 && read_id[i] == read_id[i + k - 1]
+            && !(mask && mask[i]);
+        codes_out[i] = valid ? code : inval;
+    }
+    for (int64_t i = n - k + 1; i < n; i++)
+        codes_out[i] = inval;
+}

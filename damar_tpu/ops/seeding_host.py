@@ -164,7 +164,9 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
 
 def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
                  nreads1, cfg, seed_cap: int, upper_only: bool,
-                 include_self: bool):
+                 include_self: bool, self_only: bool = False,
+                 min_diag: int | None = None,
+                 max_diag: int | None = None):
     """Numpy replica of _diag_filter_impl (strand present, the
     canonical path's configuration): double-bucket banding, stable
     two-pass sort == the packed (ar,br,strand,bucket,apos) key sort,
@@ -179,6 +181,12 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
     live = np.ones(n, bool)
     if upper_only:
         live &= (ar <= br) if include_self else (ar < br)
+    if self_only:                       # datander: a read vs itself
+        live &= ar == br
+    if min_diag is not None:
+        live &= (apos.astype(np.int64) - bpos) >= min_diag
+    if max_diag is not None:
+        live &= (apos.astype(np.int64) - bpos) <= max_diag
     # (dead_read marking sorts dead rows after every live row — they
     # can never band with live rows nor seed; dropping them up front
     # is order-identical)
@@ -258,6 +266,47 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
             out(ap_s[rep_idx], -1), out(bp_s[rep_idx], -1),
             out(seg_sum[good], 0), out(st_s[rep_idx], 0),
             nseeds, total_seeds)
+
+
+def find_tandem_seeds_host(blk, cfg, min_period: int = 8,
+                           max_period: int = 2000,
+                           hit_cap: int = 1 << 20,
+                           seed_cap: int = 1 << 15) -> dict:
+    """Host twin of ops.seeding.find_tandem_seeds (datander seeding:
+    a block against itself on bounded positive diagonals).  Exact
+    replica — same hits, same band order, same outputs."""
+    from damar_tpu import native
+    k = cfg.kmer
+    t = cfg.max_kmer_count or 128
+    inval = invalid_code(k)
+    codes = native.plain_kmers(blk.bases, blk.read_id, k)
+    if codes is None:
+        import jax.numpy as jnp
+        from damar_tpu.ops.kmers import kmer_codes
+        c, _ = kmer_codes(jnp.asarray(blk.bases),
+                          jnp.asarray(blk.read_id), k)
+        codes = np.asarray(c)
+    order = _argsort(codes.astype(np.uint64))
+    c_s = codes[order]
+    p_s = order.astype(np.int32)           # pos payload == stable order
+    first, starts, cnt = _run_firsts(c_s)
+    # generic self-merge: every tuple matches its whole code segment
+    ok = (c_s != np.uint32(inval)) & (cnt <= t)
+    c = np.where(ok, cnt, 0)
+    cap = _pow2_cap(int(c.sum()), hit_cap)
+    ap, bp, nhits, total_hits = _fill_hits(p_s, p_s, starts, c, cap)
+    rid = np.asarray(blk.read_id)
+    comp = np.zeros(nhits, bool)
+    ar, br, sap, sbp, cov, _, nseeds, total_seeds = _band_filter(
+        ap, bp, comp, rid, rid, blk.cap, blk.cap, blk.nreads + 1, cfg,
+        seed_cap=seed_cap, upper_only=False, include_self=False,
+        self_only=True, min_diag=min_period, max_diag=max_period)
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": cov, "nseeds": int(nseeds),
+        "total_seeds": int(total_seeds), "nhits": int(nhits),
+        "total_hits": int(total_hits),
+    }
 
 
 def fetch_seeds_host(seeds: dict) -> dict:

@@ -33,9 +33,15 @@ def tandem_track(blk: ReadBlock, ocfg: OverlapConfig, cfg: MaskConfig,
     Intervals >= tan_min_len are merged per read.
     """
     from damar_tpu.ops.seeding import find_tandem_seeds
-    from damar_tpu.pipeline.overlap import extend_seeds
+    from damar_tpu.pipeline.overlap import (_host_compute_enabled,
+                                            extend_seeds)
 
-    seeds = find_tandem_seeds(blk, ocfg, max_period=max_period)
+    if _host_compute_enabled():
+        from damar_tpu.ops.seeding_host import find_tandem_seeds_host
+        seeds = find_tandem_seeds_host(blk, ocfg,
+                                       max_period=max_period)
+    else:
+        seeds = find_tandem_seeds(blk, ocfg, max_period=max_period)
     exts = extend_seeds(blk, blk, seeds, ocfg, comp=False)
     per_read: dict[int, list] = {}
     sel = np.nonzero(exts["aread"] == exts["bread"])[0]

@@ -117,6 +117,31 @@ class TestTraceBitIdentity:
                 np.testing.assert_array_equal(np.asarray(x), y)
 
 
+class TestTandemHostTwin:
+    def test_matches_device_path(self):
+        """find_tandem_seeds_host (datander seeding) must reproduce
+        the JAX path exactly."""
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.ops.seeding import find_tandem_seeds
+        from damar_tpu.ops.seeding_host import find_tandem_seeds_host
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(60_000, seed=41, tandem=2, tandem_period=90,
+                        tandem_len=1500)
+        sim = sample_reads(g, coverage=6, mean_len=3500, err=0.13,
+                           seed=42)
+        blk = block_from_reads(sim.reads)
+        cfg = OverlapConfig()
+        ref = find_tandem_seeds(blk, cfg)
+        host = find_tandem_seeds_host(blk, cfg)
+        assert ref["nseeds"] > 0
+        for k in ("aread", "bread", "apos", "bpos", "cov"):
+            np.testing.assert_array_equal(np.asarray(ref[k]),
+                                          np.asarray(host[k]), k)
+        for k in ("nseeds", "total_seeds", "nhits", "total_hits"):
+            assert int(ref[k]) == int(host[k]), k
+
+
 class TestTrace64Tier:
     def test_catches_band_drift(self):
         """A pair whose alignment drifts 25 diagonals inside one
