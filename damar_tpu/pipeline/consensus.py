@@ -163,6 +163,21 @@ def _align_ops(template: np.ndarray, c: np.ndarray, band: int,
                                               semiglobal))
 
 
+def _align_ops_batch(template: np.ndarray, covers: list[np.ndarray],
+                     band: int) -> list[tuple[np.ndarray, int]]:
+    """Batched _align_ops: one native call for all covers of a
+    window (the per-call wrapper overhead dominated the polish
+    phase); numpy fallback per cover."""
+    from damar_tpu import native
+    r = native.band_align_paths(template, covers, band)
+    if r is not None:
+        ops_all, offs, jst = r
+        return [(ops_all[offs[i]:offs[i + 1]], int(jst[i]))
+                for i in range(len(covers))]
+    return [_path_to_ops(_banded_align_path_np(template, c, band))
+            for c in covers]
+
+
 def _vote_ops(votes: np.ndarray, ins_votes: list[dict],
               ops: np.ndarray, jstart: int, c: np.ndarray) -> None:
     """Vectorized column-vote registration from an ops array (the
@@ -185,7 +200,7 @@ def _vote_ops(votes: np.ndarray, ins_votes: list[dict],
         nxt = np.concatenate([ins[1:], [False]])
         for s_, e_ in zip(np.nonzero(ins & ~prev)[0],
                           np.nonzero(ins & ~nxt)[0]):
-            key = tuple(int(x) for x in c[j_arr[s_]:j_arr[e_] + 1])
+            key = c[j_arr[s_]:j_arr[e_] + 1].tobytes()
             iv = ins_votes[int(i_arr[s_])]
             iv[key] = iv.get(key, 0) + 1
 
@@ -200,7 +215,6 @@ def _consensus_calls(template: np.ndarray, votes: np.ndarray,
     # out), so a template vote would double-count its errors; votes
     # are a clean majority over the covering reads.
     m = len(template)
-    out: list[int] = []
     # insertion calls use a PLURALITY threshold (0.35x coverage, >= 2):
     # a template deletion is real, but the covers' own errors split its
     # insertion votes across adjacent columns and key variants, so a
@@ -208,27 +222,34 @@ def _consensus_calls(template: np.ndarray, votes: np.ndarray,
     # 0.981 -> 0.986 two-round identity on 13%-error 12x simulations);
     # chance agreement of 2+ covers on (column, string) is ~1e-3
     need = max(2.0, 0.35 * n_cov)
-    for i in range(m):
+    # vectorized base calls (the per-position loop dominated polish):
+    # tot == 0 keeps the template char; call 4 (deletion) emits
+    # nothing; otherwise the majority base.  The template itself does
+    # NOT vote (its source read is among the covers).
+    tot = votes.sum(axis=1)
+    calls = np.argmax(votes, axis=1)
+    keep = (tot == 0) | (calls != 4)
+    base = np.where(tot == 0, template,
+                    np.minimum(calls, 3)).astype(np.uint8)
+    emit = base[keep]
+    cum_keep = np.concatenate([[0], np.cumsum(keep)])
+    parts: list[np.ndarray] = []
+    prev = 0
+    for i in range(m + 1):
         ins = ins_votes[i]
-        if ins:
-            key, cnt = max(ins.items(), key=lambda kv: kv[1])
-            if cnt >= need:
-                out.extend(key)
-        tot = votes[i].sum()
-        if tot == 0:
-            out.append(int(template[i]))
+        if not ins:
             continue
-        call = int(np.argmax(votes[i]))
-        if call != 4:
-            out.append(call)
-        # template vote: the template itself is one voice only when
-        # coverage is thin
-    ins = ins_votes[m]
-    if ins:
         key, cnt = max(ins.items(), key=lambda kv: kv[1])
-        if cnt >= need:
-            out.extend(key)
-    return np.array(out, np.uint8)
+        if cnt < need:
+            continue
+        b = int(cum_keep[i])
+        parts.append(emit[prev:b])
+        parts.append(np.frombuffer(key, np.uint8)
+                     if isinstance(key, bytes)
+                     else np.array(key, np.uint8))
+        prev = b
+    parts.append(emit[prev:])
+    return np.concatenate(parts) if len(parts) > 1 else emit.copy()
 
 
 def consensus_window(template: np.ndarray, covers: list[np.ndarray],
@@ -318,17 +339,31 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
     votes: list = [None] * nwin
     ivs: list = [None] * nwin
     ncov = np.zeros(nwin, np.int64)
+    # WINDOW-MAJOR walk (same chained-cursor semantics as the original
+    # read-major loop, same per-window cover order = layout order):
+    # all non-first covers of a window share one band, so they batch
+    # through ONE native aligner call instead of ~coverage calls — the
+    # per-call ctypes overhead dominated the whole polish phase.
+    enter: list[list] = [[] for _ in range(max(nwin, 1))]
     for read, d, start in layout:
         w_first = max(0, -(-start // window))
         if w_first >= nwin:      # placement past the contig (e.g. a
             continue             # +length wrap copy): no window, and
                                  # no seq_of() materialization either
-        s = seq_of(read, d)
-        cursor = w_first * window - start
-        first = True
-        for w in range(w_first, nwin):
-            w0 = w * window
-            w1 = min(w0 + window, n)
+        # state: [s(lazy), cursor, first]
+        enter[w_first].append([None, w_first * window - start,
+                               True, read, d])
+    active: list[list] = []
+    for w in range(nwin):
+        for st in enter[w]:
+            st[0] = seq_of(st[3], st[4])
+            active.append(st)
+        w0 = w * window
+        w1 = min(w0 + window, n)
+        tmpl = contig[w0:w1]
+        live: list[tuple] = []          # (state, lo, hi, mg)
+        for st in active:
+            s, cursor, first = st[0], st[1], st[2]
             # the first window of a read must absorb the FULL
             # placement error of its layout start — up to the read's
             # indel skew for wrapped/approximately-placed reads;
@@ -338,12 +373,28 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
             lo = max(0, cursor - mg)
             hi = min(len(s), cursor + (w1 - w0) + mg)
             if hi - lo < (w1 - w0):      # read ends inside the window
-                break
-            tmpl = contig[w0:w1]
+                continue                 # (drops from active below)
+            live.append((st, lo, hi, mg))
+        # align: non-first covers share band max(band, margin+16) ->
+        # one batched call; first covers have per-read margins
+        results: dict[int, tuple] = {}
+        steady = [(k, it) for k, it in enumerate(live) if not it[0][2]]
+        if steady:
+            aligned = _align_ops_batch(
+                tmpl, [it[0][0][it[1]:it[2]] for _, it in steady],
+                band=max(band, margin + 16))
+            for (k, _), r in zip(steady, aligned):
+                results[k] = r
+        for k, (st, lo, hi, mg) in enumerate(live):
+            if k not in results:
+                results[k] = _align_ops(tmpl, st[0][lo:hi],
+                                        band=max(band, mg + 16))
+        if live and votes[w] is None:
+            votes[w], ivs[w] = _new_votes(w1 - w0)
+        for k, (st, lo, hi, mg) in enumerate(live):
+            s, cursor = st[0], st[1]
             c = s[lo:hi]
-            ops, j0 = _align_ops(tmpl, c, band=max(band, mg + 16))
-            if votes[w] is None:
-                votes[w], ivs[w] = _new_votes(w1 - w0)
+            ops, j0 = results[k]
             _vote_ops(votes[w], ivs[w], ops, j0, c)
             ncov[w] += 1
             nb = int((ops != 1).sum())        # cover chars consumed
@@ -352,8 +403,9 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
             ref = cursor + (w1 - w0)
             if abs(nxt - ref) > mg:      # distrust a wild alignment
                 nxt = ref
-            cursor = nxt
-            first = False
+            st[1] = nxt
+            st[2] = False
+        active = [it[0] for it in live]
     parts: list[np.ndarray] = []
     for w in range(nwin):
         w0 = w * window
