@@ -147,6 +147,11 @@ def _lib():
                 u8p, ctypes.c_int64, i32p, u8p, ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_uint32)]
             lib.plain_kmers.restype = None
+            lib.dust_batch.argtypes = [
+                u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_double, i32p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64)]
+            lib.dust_batch.restype = ctypes.c_int64
             i64 = ctypes.c_int64
             lib.band_filter.argtypes = [
                 i32p, i32p, u8p, i32p, i32p, i64, i64,
@@ -372,6 +377,33 @@ def band_filter(apos, bpos, comp, ar, br, bcap: int, band_shift: int,
         return None
     k = int(ns.value)
     return tuple(o[:k] for o in outs) + (k, int(total))
+
+
+def dust_batch(seqs: list[np.ndarray], window: int, thresh: float):
+    """DUST intervals for a batch of reads — exact C replica of
+    utils.dust.dust_read.  Returns list of flat [b,e,...] int32
+    arrays, or None when native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    starts = np.zeros(len(seqs) + 1, np.int64)
+    for i, s in enumerate(seqs):
+        starts[i + 1] = starts[i] + len(s)
+    cat = (np.concatenate([np.ascontiguousarray(s, np.uint8)
+                           for s in seqs])
+           if len(seqs) and starts[-1] else np.zeros(1, np.uint8))
+    cap = int(starts[-1]) + 2 * len(seqs) + 2
+    out = np.zeros(cap, np.int32)
+    offs = np.zeros(len(seqs) + 1, np.int64)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    total = lib.dust_batch(
+        _u8p(cat), p64(starts), np.int32(len(seqs)), np.int32(window),
+        ctypes.c_double(thresh),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int64(cap), p64(offs))
+    if total < 0:
+        return None
+    return [out[offs[i]:offs[i + 1]].copy() for i in range(len(seqs))]
 
 
 def plain_kmers(bases: np.ndarray, read_id: np.ndarray, k: int,

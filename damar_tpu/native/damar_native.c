@@ -1507,3 +1507,70 @@ void plain_kmers(const uint8_t *bases, int64_t n, const int32_t *read_id,
     for (int64_t i = n - k + 1; i < n; i++)
         codes_out[i] = inval;
 }
+
+/* ---------------- DUST low-complexity scan ----------------
+ *
+ * Exact replica of utils/dust.py dust_read over a batch of reads:
+ * triplet-repetitiveness windows via an O(n) sliding histogram (the
+ * numpy form builds an [m,64] prefix matrix per read).  Interval
+ * emission and merging mirror the Python loop byte-for-byte.
+ */
+int64_t dust_batch(const uint8_t *bases, const int64_t *starts,
+                   int32_t nreads, int32_t window, double thresh,
+                   int32_t *out, int64_t out_cap,
+                   int64_t *out_offs /* nreads + 1 */) {
+    int64_t pos = 0;
+    out_offs[0] = 0;
+    const int32_t w = window - 2;          /* triplets per window */
+    const double denom = (double)(w - 1 > 1 ? w - 1 : 1);
+    for (int32_t r = 0; r < nreads; r++) {
+        const uint8_t *s = bases + starts[r];
+        const int64_t n = starts[r + 1] - starts[r];
+        const int64_t m = n - 2;
+        if (m < window) {
+            out_offs[r + 1] = pos;
+            continue;
+        }
+        int32_t cnt[64] = {0};
+        int64_t isum = 0;                  /* sum c*(c-1) */
+        int64_t lo = -1, hi = -1;
+        for (int64_t i = 0; i < m; i++) {
+            int t_in = ((s[i] & 3) << 4) | ((s[i + 1] & 3) << 2)
+                       | (s[i + 2] & 3);
+            isum += 2 * cnt[t_in];
+            cnt[t_in]++;
+            if (i >= w) {
+                int64_t j = i - w;
+                int t_out = ((s[j] & 3) << 4) | ((s[j + 1] & 3) << 2)
+                            | (s[j + 2] & 3);
+                cnt[t_out]--;
+                isum -= 2 * cnt[t_out];
+            }
+            if (i >= w - 1) {
+                int64_t st = i - (w - 1);   /* window start */
+                double score = ((double)isum) / 2.0 / denom;
+                if (score > thresh) {
+                    if (lo < 0) {
+                        lo = st;
+                        hi = st + window;
+                    } else if (st <= hi) {
+                        hi = st + window;
+                    } else {
+                        if (pos + 2 > out_cap) return -1;
+                        out[pos++] = (int32_t)lo;
+                        out[pos++] = (int32_t)hi;
+                        lo = st;
+                        hi = st + window;
+                    }
+                }
+            }
+        }
+        if (lo >= 0) {
+            if (pos + 2 > out_cap) return -1;
+            out[pos++] = (int32_t)lo;
+            out[pos++] = (int32_t)(hi < n ? hi : n);
+        }
+        out_offs[r + 1] = pos;
+    }
+    return pos;
+}

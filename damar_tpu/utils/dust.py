@@ -55,4 +55,8 @@ def dust_read(codes: np.ndarray, window: int = 64,
 
 def dust_block(seqs: list[np.ndarray], window: int = 64,
                thresh: float = 2.0) -> list[np.ndarray]:
+    from damar_tpu import native
+    res = native.dust_batch(seqs, window, thresh)
+    if res is not None:
+        return res
     return [dust_read(s, window, thresh) for s in seqs]

@@ -140,3 +140,26 @@ class TestRevcompReads:
         ref = blk.bases.copy()
         ref[:n] = 3 - blk.bases[rev_idx]
         np.testing.assert_array_equal(out, ref)
+
+
+class TestDustBatch:
+    def test_matches_python(self, rng):
+        """native.dust_batch vs utils.dust.dust_read (the numpy
+        fallback) on reads with planted low-complexity stretches."""
+        from damar_tpu.utils.dust import dust_read
+        seqs = []
+        for i in range(40):
+            s = rng.integers(0, 4, int(rng.integers(50, 3000))) \
+                .astype(np.uint8)
+            if i % 3 == 0 and len(s) > 500:
+                p = int(rng.integers(0, len(s) - 300))
+                unit = rng.integers(0, 4, int(rng.integers(1, 5))) \
+                    .astype(np.uint8)
+                s[p:p + 300] = np.tile(unit,
+                                       300 // len(unit) + 1)[:300]
+            seqs.append(s)
+        nat = native.dust_batch(seqs, 64, 2.0)
+        assert nat is not None
+        assert sum(len(x) for x in nat) > 0
+        for a, s in zip(nat, seqs):
+            np.testing.assert_array_equal(a, dust_read(s, 64, 2.0))
