@@ -446,7 +446,7 @@ def cmd_oglayout(args):
 def cmd_assemble(args):
     """ogbuild+ogtour+tour2fasta in one step (the common path);
     --polish runs pile consensus over each contig (L7)."""
-    from damar_tpu.formats.fasta import revcomp, write_fasta
+    from damar_tpu.formats.fasta import revcomp
     from damar_tpu.formats.las import read_las
     from damar_tpu.pipeline.touring import assemble, tour_layout
     db = _db(args.db)
@@ -467,14 +467,20 @@ def cmd_assemble(args):
             lay = full_layout(tour_layout(t, seq_of), las, rlen_of)
             polished.append(polish_contig(c, lay, seq_of))
         contigs = polished
-    write_fasta(args.out,
+    _emit_contigs(args.out, contigs, tours,
+                  note=" (polished)" if args.polish else "")
+
+
+def _emit_contigs(path, contigs, tours, note: str = ""):
+    """Shared contig FASTA emission (assemble / tour2fasta)."""
+    from damar_tpu.formats.fasta import write_fasta
+    write_fasta(path,
                 [f"contig_{k} len={len(c)} reads={t.nreads()} "
                  f"circular={t.circular}"
                  for k, (c, t) in enumerate(zip(contigs, tours))],
                 contigs)
-    print(f"{args.out}: {len(contigs)} contigs, "
-          f"lengths {[len(c) for c in contigs[:10]]}"
-          f"{' (polished)' if args.polish else ''}")
+    print(f"{path}: {len(contigs)} contigs, "
+          f"lengths {[len(c) for c in contigs[:10]]}{note}")
 
 
 def cmd_ogtour(args):
@@ -483,18 +489,13 @@ def cmd_ogtour(args):
     checkpoint (graph -> transitive reduction -> spur/bubble cleanup
     -> unbranched walks).  tour2fasta consumes the JSON."""
     from damar_tpu.formats.las import read_las
-    from damar_tpu.pipeline.graph import (build_graph,
-                                          transitive_reduction)
-    from damar_tpu.pipeline.touring import (clip_spurs, pop_bubbles,
-                                            tour_graph)
+    from damar_tpu.pipeline.touring import tour_las
     db = _db(args.db)
     las = read_las(args.las)
-    g = build_graph(las, _rlen_map(db), fuzz=args.fuzz,
-                    min_dovetail=args.min_dovetail)
-    transitive_reduction(g)
-    clip_spurs(g, args.spur_len)
-    pop_bubbles(g, args.bubble_max)
-    tours = tour_graph(g)
+    tours, _ = tour_las(las, _rlen_map(db), fuzz=args.fuzz,
+                        min_dovetail=args.min_dovetail,
+                        spur_len=args.spur_len,
+                        bubble_max=args.bubble_max)
     doc = {"tours": [{"circular": t.circular,
                       "steps": [[v.read, v.dir, cut]
                                 for v, cut in t.steps]}
@@ -508,7 +509,7 @@ def cmd_ogtour(args):
 def cmd_tour2fasta(args):
     """Standalone contig emission (tour2fasta equivalent): db + tours
     JSON -> contig FASTA via the junction-stitching layout."""
-    from damar_tpu.formats.fasta import revcomp, write_fasta
+    from damar_tpu.formats.fasta import revcomp
     from damar_tpu.pipeline.graph import Vertex
     from damar_tpu.pipeline.touring import Tour, tour_to_seq
     db = _db(args.db)
@@ -524,15 +525,8 @@ def cmd_tour2fasta(args):
              for t in doc["tours"]]
     contigs = [tour_to_seq(t, seq_of) for t in tours]
     order = np.argsort([-len(c) for c in contigs])
-    contigs = [contigs[i] for i in order]
-    tours = [tours[i] for i in order]
-    write_fasta(args.out,
-                [f"contig_{k} len={len(c)} reads={t.nreads()} "
-                 f"circular={t.circular}"
-                 for k, (c, t) in enumerate(zip(contigs, tours))],
-                contigs)
-    print(f"{args.out}: {len(contigs)} contigs, "
-          f"lengths {[len(c) for c in contigs[:10]]}")
+    _emit_contigs(args.out, [contigs[i] for i in order],
+                  [tours[i] for i in order])
 
 
 def cmd_ctanalyze(args):

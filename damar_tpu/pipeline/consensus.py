@@ -345,19 +345,26 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
     # through ONE native aligner call instead of ~coverage calls — the
     # per-call ctypes overhead dominated the whole polish phase.
     enter: list[list] = [[] for _ in range(max(nwin, 1))]
-    for read, d, start in layout:
+    for li, (read, d, start) in enumerate(layout):
         w_first = max(0, -(-start // window))
         if w_first >= nwin:      # placement past the contig (e.g. a
             continue             # +length wrap copy): no window, and
                                  # no seq_of() materialization either
-        # state: [s(lazy), cursor, first]
+        # state: [s(lazy), cursor, first, read, dir, layout idx]
         enter[w_first].append([None, w_first * window - start,
-                               True, read, d])
+                               True, read, d, li])
     active: list[list] = []
     for w in range(nwin):
         for st in enter[w]:
             st[0] = seq_of(st[3], st[4])
             active.append(st)
+        enter[w] = []            # release: a dropped read's sequence
+                                 # must not be pinned for the whole
+                                 # contig (50 Mbp x 30x would pin GBs)
+        # per-window cover order must stay LAYOUT order (the original
+        # read-major walk's order): insertion-vote ties break on dict
+        # insertion order, so processing order is output-visible
+        active.sort(key=lambda st: st[5])
         w0 = w * window
         w1 = min(w0 + window, n)
         tmpl = contig[w0:w1]

@@ -1066,6 +1066,12 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
                 emit(chunk, res, comp, mirrored, retry_sink=sink)
 
     if retries:
+        # NOTE: the retry ladder is PLATFORM-chosen, not governed by
+        # DAMAR_BP — the tiers have no JAX twin (on CPU even the
+        # DAMAR_BP=jax path's wide retry is the native C DP, with the
+        # pure-JAX kernel only as the no-toolchain fallback), so both
+        # DAMAR_BP settings take the same retry route and stay
+        # byte-identical.
         from damar_tpu import native
         if jax.default_backend() == "cpu" and native.available():
             still: dict = {}

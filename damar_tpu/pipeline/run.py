@@ -181,8 +181,9 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         lasmod.write_las(filt_path, filt)
     filt = lasmod.read_las(filt_path)
     from damar_tpu.formats.oflags import OVL_DISCARD
+    from damar_tpu.formats.las import H_FLAGS
     if filt.columns is not None:
-        kept = int(((filt.columns.headers[:, 6]
+        kept = int(((filt.columns.headers[:, H_FLAGS]
                      & OVL_DISCARD) == 0).sum())
     else:
         kept = sum(1 for o in filt.overlaps

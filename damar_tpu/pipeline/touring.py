@@ -244,18 +244,30 @@ def dedupe_contained_contigs(contigs: list[np.ndarray],
             [tours[i] for i in kept_idx])
 
 
+def tour_las(las, rlen_of: dict[int, int], fuzz: int = 25,
+             min_dovetail: int = 1000, spur_len: int = 3,
+             bubble_max: int = 8) -> tuple[list[Tour], StringGraph]:
+    """Graph stage (build -> transitive reduction -> spur/bubble
+    cleanup -> unbranched walks) shared by assemble() and the
+    standalone ogtour CLI — one definition so the staged and one-shot
+    paths cannot drift."""
+    from damar_tpu.pipeline.graph import build_graph, transitive_reduction
+    g = build_graph(las, rlen_of, fuzz=fuzz, min_dovetail=min_dovetail)
+    transitive_reduction(g)
+    clip_spurs(g, spur_len)
+    pop_bubbles(g, bubble_max)
+    return tour_graph(g), g
+
+
 def assemble(las, rlen_of: dict[int, int], seq_of, fuzz: int = 25,
              min_dovetail: int = 1000, spur_len: int = 3,
              bubble_max: int = 8) -> tuple[list[np.ndarray], list[Tour],
                                            StringGraph]:
     """Full L6: graph -> reduce -> clean -> tour -> contig sequences
     (duplicate repeat-branch walks dropped)."""
-    from damar_tpu.pipeline.graph import build_graph, transitive_reduction
-    g = build_graph(las, rlen_of, fuzz=fuzz, min_dovetail=min_dovetail)
-    transitive_reduction(g)
-    clip_spurs(g, spur_len)
-    pop_bubbles(g, bubble_max)
-    tours = tour_graph(g)
+    tours, g = tour_las(las, rlen_of, fuzz=fuzz,
+                        min_dovetail=min_dovetail, spur_len=spur_len,
+                        bubble_max=bubble_max)
     contigs = [tour_to_seq(t, seq_of) for t in tours]
     # order by length, longest first (containment dedupe happens after
     # polishing — raw drafts share no exact k-mers)

@@ -172,6 +172,58 @@ class TestTrace64Tier:
             or int(r32[2][0]) > int(r64[2][0])
         assert bad32, "32-band unexpectedly matched the 64-band tier"
 
+    def test_property_random_drift(self):
+        """Property fuzz for the 64-band kernel (it has no JAX twin):
+        on random pairs with insertions within its drift capacity,
+        every trace must satisfy the caller's structural invariants
+        AND cost no more than 1.3x the wide per-cell DP reference."""
+        rng = np.random.default_rng(17)
+        ok = 0
+        for _ in range(25):
+            la = int(rng.integers(400, 2500))
+            a = rng.integers(0, 4, la).astype(np.uint8)
+            b = mutate(a, float(rng.uniform(0.05, 0.2)), rng)
+            p = int(rng.integers(50, la - 50))
+            insert = rng.integers(0, 4,
+                                  int(rng.integers(0, 29))).astype(
+                np.uint8)
+            # splice an insertion into b near a-position p
+            cutb = min(p, len(b) - 1)
+            b = np.concatenate([b[:cutb], insert, b[cutb:]])
+            z = np.zeros(1, np.int32)
+            alim = np.array([la], np.int32)
+            blim = np.array([len(b)], np.int32)
+            tr, ns, ds = native.bp_trace_batch(
+                a, b, z, z, z, z, alim, blim, tspace=100,
+                max_segs=64, wide=True)
+            n = int(ns[0])
+            rows = tr[0, :n]
+            # a trace is allowed to FAIL (callers' consistency check
+            # drops it to the next retry tier) — but a trace that
+            # LOOKS consistent must be structurally sound and no more
+            # costly than the wide per-cell DP reference
+            consistent = (n == (la - 1) // 100 + 1
+                          and int(rows[:, 1].sum()) == len(b)
+                          and (rows[:, 1] >= 0).all())
+            if not consistent:
+                continue
+            ok += 1
+            assert int(ds[0]) == int(rows[:, 0].sum())
+            a0 = 0
+            for s_ in range(n):
+                a1 = min((a0 // 100 + 1) * 100, la)
+                assert rows[s_, 0] >= abs((a1 - a0) - rows[s_, 1])
+                a0 = a1
+            ref = native.trace_points_batch(
+                a, b, [0], [0], [0], [la], [0], [len(b)],
+                tspace=100, band=128, max_segs=64)
+            if int(ref[1][0]) > 0:
+                ref_d = int(ref[2][0])
+                assert int(ds[0]) <= ref_d * 1.3 + 12, \
+                    f"64-band cost {int(ds[0])} vs wide {ref_d}"
+        # the tier must actually force through most moderate cases
+        assert ok >= 15, f"only {ok}/25 consistent traces"
+
 
 class TestBandFilterDualPaths:
     """The banding stage has four implementations that must agree
