@@ -73,3 +73,30 @@ class TestHardAssembly:
         n_contigs = report["phases"]["assemble"]["contigs"]
         assert n_contigs <= max(4, n_chim // 2), \
             f"{n_contigs} contigs from {n_chim} chimeras"
+
+
+class TestMultiblockPipeline:
+    def test_two_block_assembly(self, tmp_path):
+        """run_pipeline across a SPLIT DB (multiple blocks -> block
+        pair matrix -> per-block rounds -> merge): the single-block
+        path cannot catch block-boundary bugs in the job matrix,
+        merge gating, or the FIX-round columnar merge."""
+        import os
+        from damar_tpu.core.config import PipelineConfig
+        from damar_tpu.formats.fasta import read_fasta
+        from damar_tpu.pipeline.run import run_pipeline
+        from damar_tpu.utils.sim import (make_genome, sample_reads,
+                                         write_sim_fasta)
+        w = str(tmp_path)
+        g = make_genome(120_000, seed=51)
+        sim = sample_reads(g, coverage=12, mean_len=4500, err=0.13,
+                           seed=52)
+        fa = os.path.join(w, "reads.fasta")
+        write_sim_fasta(fa, sim)
+        rep = run_pipeline(fa, w, cfg=PipelineConfig(block_mb=1),
+                           polish=False, verbose=False)
+        assert rep["phases"]["overlap1"]["pairs"] >= 3, \
+            "DB did not split into multiple blocks"
+        _, seqs = read_fasta(rep["contig_fasta"])
+        total = sum(len(s) for s in seqs)
+        assert total > 0.85 * len(g), f"{total} vs {len(g)}"
