@@ -676,9 +676,8 @@ void bp_trace_batch(const uint8_t *A, int64_t na, const uint8_t *B,
  * never varies (typical keys use <48 bits -> 3-5 passes).
  */
 typedef struct {
-    const uint64_t *keys;
     uint64_t *ks, *kd;
-    int64_t *is, *id;
+    uint32_t *is, *id;
     int64_t lo, hi;
     int shift;
     uint64_t dmask;
@@ -705,15 +704,18 @@ static void *rx_scatter(void *vp) {
 int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
                           int64_t *order /* caller buffer [n] */) {
     if (n <= 0) return 0;
-    /* sort (key, idx) pairs so every pass streams sequentially; 16-bit
-     * digits when n is large enough to amortize the 64k histogram.
-     * Parallel per pass: per-thread chunk histograms, a digit-major
-     * exclusive scan across (digit, thread), per-thread scatters —
-     * stable because chunk order is preserved within each digit. */
+    if (n >= ((int64_t)1 << 31)) return -2;  /* u32 index domain */
+    /* sort (key, idx) pairs so every pass streams sequentially;
+     * 16-bit digits when n amortizes the 64k histogram; u32 indices
+     * (the big banding sorts are memory-bound — 24B/element of pass
+     * traffic instead of 32B).  Parallel per pass: per-thread chunk
+     * histograms, a digit-major exclusive scan across
+     * (digit, thread), per-thread scatters — stable because chunk
+     * order is preserved within each digit. */
     uint64_t *k0 = (uint64_t *)malloc((size_t)n * 8);
     uint64_t *k1 = (uint64_t *)malloc((size_t)n * 8);
-    int64_t *i0 = (int64_t *)malloc((size_t)n * 8);
-    int64_t *i1 = (int64_t *)malloc((size_t)n * 8);
+    uint32_t *i0 = (uint32_t *)malloc((size_t)n * 4);
+    uint32_t *i1 = (uint32_t *)malloc((size_t)n * 4);
     if (!k0 || !k1 || !i0 || !i1) {
         free(k0); free(k1); free(i0); free(i1);
         return -1;
@@ -721,7 +723,7 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
     uint64_t all_or = 0, all_and = ~(uint64_t)0;
     for (int64_t i = 0; i < n; i++) {
         k0[i] = keys[i];
-        i0[i] = i;
+        i0[i] = (uint32_t)i;
         all_or |= keys[i];
         all_and &= keys[i];
     }
@@ -740,7 +742,7 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
         return -1;
     }
     uint64_t *ks = k0, *kd = k1;
-    int64_t *is = i0, *id = i1;
+    uint32_t *is = i0, *id = i1;
     pthread_t tid[8];
     RxJob jobs[8];
     int64_t per = (n + nt - 1) / nt;
@@ -748,7 +750,7 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
         if (!((diff >> shift) & dmask)) continue;
         memset(cnt, 0, (size_t)nd * nt * 8);
         for (int t = 0; t < nt; t++) {
-            jobs[t] = (RxJob){keys, ks, kd, is, id,
+            jobs[t] = (RxJob){ks, kd, is, id,
                               t * per, (t + 1) * per < n ? (t + 1) * per : n,
                               shift, dmask, cnt + (size_t)nd * t};
             if (jobs[t].lo > n) jobs[t].lo = n;
@@ -759,7 +761,6 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
                 pthread_create(&tid[t], NULL, rx_hist, &jobs[t]);
             for (int t = 0; t < nt; t++) pthread_join(tid[t], NULL);
         }
-        /* digit-major exclusive scan over (digit, thread) */
         int64_t acc = 0;
         for (int v = 0; v < nd; v++)
             for (int t = 0; t < nt; t++) {
@@ -774,9 +775,10 @@ int64_t radix_argsort_u64(const uint64_t *keys, int64_t n,
             for (int t = 0; t < nt; t++) pthread_join(tid[t], NULL);
         }
         uint64_t *kt = ks; ks = kd; kd = kt;
-        int64_t *it = is; is = id; id = it;
+        uint32_t *it = is; is = id; id = it;
     }
-    memcpy(order, is, (size_t)n * 8);
+    for (int64_t i = 0; i < n; i++)
+        order[i] = (int64_t)is[i];
     free(k0); free(k1); free(i0); free(i1); free(cnt);
     return 0;
 }
