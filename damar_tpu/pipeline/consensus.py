@@ -205,6 +205,50 @@ def _vote_ops(votes: np.ndarray, ins_votes: list[dict],
             iv[key] = iv.get(key, 0) + 1
 
 
+def _vote_ops_multi(votes: np.ndarray, ins_votes: list[dict],
+                    items: list[tuple[np.ndarray, int, np.ndarray]]
+                    ) -> None:
+    """Register many covers' votes in ONE vectorized pass (the
+    per-cover numpy calls were overhead-bound at ~600-element ops
+    arrays).  items: [(ops, jstart, c)] in cover order — identical
+    votes and identical ins-dict insertion order to calling _vote_ops
+    per cover (op value 3 separates covers: consumes nothing, is not
+    an insertion, so runs cannot cross covers)."""
+    if not items:
+        return
+    sep = np.array([3], np.uint8)
+    cat = np.concatenate(
+        [x for ops, _, _ in items for x in (ops, sep)])
+    lens = np.array([len(ops) + 1 for ops, _, _ in items])
+    starts = np.cumsum(lens) - lens
+    cov_id = np.repeat(np.arange(len(items)), lens)
+    consume_a = (cat == 0) | (cat == 1)
+    consume_b = (cat == 0) | (cat == 2)
+    cum_a = np.cumsum(consume_a) - consume_a
+    cum_b = np.cumsum(consume_b) - consume_b
+    c_lens = np.array([len(c) for _, _, c in items])
+    c_offs = np.cumsum(c_lens) - c_lens
+    j0s = np.array([j0 for _, j0, _ in items])
+    i_arr = cum_a - cum_a[starts][cov_id]
+    j_arr = cum_b - cum_b[starts][cov_id] + (j0s + c_offs)[cov_id]
+    c_cat = np.concatenate([c for _, _, c in items])
+    m0 = cat == 0
+    if m0.any():
+        np.add.at(votes, (i_arr[m0], c_cat[j_arr[m0]]), 1)
+    d1 = cat == 1
+    if d1.any():
+        np.add.at(votes[:, 4], i_arr[d1], 1)
+    ins = cat == 2
+    if ins.any():
+        prev = np.concatenate([[False], ins[:-1]])
+        nxt = np.concatenate([ins[1:], [False]])
+        for s_, e_ in zip(np.nonzero(ins & ~prev)[0],
+                          np.nonzero(ins & ~nxt)[0]):
+            key = c_cat[j_arr[s_]:j_arr[e_] + 1].tobytes()
+            iv = ins_votes[int(i_arr[s_])]
+            iv[key] = iv.get(key, 0) + 1
+
+
 def _consensus_calls(template: np.ndarray, votes: np.ndarray,
                      ins_votes: list[dict], n_cov: int, min_cov: int
                      ) -> np.ndarray:
@@ -398,11 +442,12 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                                         band=max(band, mg + 16))
         if live and votes[w] is None:
             votes[w], ivs[w] = _new_votes(w1 - w0)
+        items = []
         for k, (st, lo, hi, mg) in enumerate(live):
             s, cursor = st[0], st[1]
             c = s[lo:hi]
             ops, j0 = results[k]
-            _vote_ops(votes[w], ivs[w], ops, j0, c)
+            items.append((ops, j0, c))
             ncov[w] += 1
             nb = int((ops != 1).sum())        # cover chars consumed
             nxt = lo + (j0 + nb if len(ops)
@@ -412,6 +457,8 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                 nxt = ref
             st[1] = nxt
             st[2] = False
+        if items:
+            _vote_ops_multi(votes[w], ivs[w], items)
         active = [it[0] for it in live]
     parts: list[np.ndarray] = []
     for w in range(nwin):
