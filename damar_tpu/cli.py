@@ -30,7 +30,8 @@ def _rlen_map(db):
 def _ocfg(args):
     from damar_tpu.core.config import OverlapConfig
     kw = {}
-    for field in ("kmer", "band_shift", "hit_min", "min_len", "tspace"):
+    for field in ("kmer", "band_shift", "hit_min", "min_len", "tspace",
+                  "max_kmer_count", "err", "identity"):
         v = getattr(args, field, None)
         if v is not None:
             kw[field] = v
@@ -592,6 +593,11 @@ def build_parser():
         A("-h2", "--hit-min", type=int, default=None, dest="hit_min"),
         A("-l", "--min-len", type=int, default=None, dest="min_len"),
         A("-s", "--tspace", type=int, default=None),
+        A("-t", "--max-kmer-count", type=int, default=None,
+          dest="max_kmer_count"),
+        A("-e", "--err", type=float, default=None),
+        A("-I", "--identity", action="store_const", const=True,
+          default=None, help="report self-overlaps of a read"),
     ]
 
     tool("fasta2db", cmd_fasta2db, A("db"), A("fasta", nargs="+"))
