@@ -183,3 +183,66 @@ class TestDistributedLas:
             rb = np.full(per + 1, max(len(r) for r in reads))
             errs = check_las(las, rl, rb, sorted_order=True)
             assert not errs, errs[:3]
+
+
+class TestVirtualPodAssembly:
+    def test_ring_sweep_to_polished_contig(self, mesh8, tmp_path):
+        """Full multi-chip story on the virtual mesh: 8 sharded
+        blocks -> ring-sweep overlap -> per-chip .las shards ->
+        deterministic merge -> graph/tour -> polish -> contig
+        identity vs the truth genome."""
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.formats.las import merge_las, read_las, write_las
+        from damar_tpu.formats.fasta import revcomp
+        from damar_tpu.parallel.distributed import distributed_overlap_las
+        from damar_tpu.pipeline.consensus import full_layout, polish_rounds
+        from damar_tpu.pipeline.touring import assemble, tour_layout
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(40_000, seed=71)
+        sim = sample_reads(g, coverage=10, mean_len=3500, err=0.12,
+                           seed=72, min_len=1500)
+        reads = sim.reads
+        per = -(-len(reads) // 8)
+        blocks = []
+        for d in range(8):
+            ids = list(range(d * per, min((d + 1) * per, len(reads))))
+            ids = ids or [0]
+            blocks.append(block_from_reads(
+                [reads[i] for i in ids],
+                ids=np.array(ids, np.int64), cap=1 << 17))
+        cfg = OverlapConfig(min_len=900, max_read_len=16384,
+                            seed_batch=256)
+        las_list, counts, total = distributed_overlap_las(
+            blocks, cfg, mesh=mesh8, seed_cap=2048, hit_cap=1 << 17)
+        paths = []
+        for d, las in enumerate(las_list):
+            p = str(tmp_path / f"shard.{d}.las")
+            write_las(p, las)
+            paths.append(p)
+        merged = str(tmp_path / "merged.las")
+        merge_las(paths, merged)
+        full = read_las(merged)
+        assert full.novl == sum(l.novl for l in las_list)
+        rlen_of = {i: len(r) for i, r in enumerate(reads)}
+
+        def seq_of(i, d):
+            return revcomp(reads[i]) if d else reads[i]
+
+        contigs, tours, _ = assemble(full, rlen_of, seq_of,
+                                     min_dovetail=900)
+        assert contigs, "no contigs from the ring-sweep las"
+        best = int(np.argmax([len(c) for c in contigs]))
+        lay = full_layout(tour_layout(tours[best], seq_of), full,
+                          rlen_of)
+        polished = polish_rounds(contigs[best], lay, seq_of,
+                                 circular=tours[best].circular)
+        assert len(polished) > 0.8 * len(g)
+        k = 16
+        gb = bytes(g.astype(np.uint8))
+        rb = bytes((g[::-1] ^ 3).astype(np.uint8))
+        gset = {gb[i:i + k] for i in range(len(gb) - k)} \
+            | {rb[i:i + k] for i in range(len(rb) - k)}
+        cb = bytes(polished.astype(np.uint8))
+        hit = np.mean([cb[i:i + k] in gset
+                       for i in range(len(cb) - k)])
+        assert hit > 0.45, f"polished k-mer hit rate {hit:.3f}"
