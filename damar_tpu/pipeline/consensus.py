@@ -180,29 +180,8 @@ def _align_ops_batch(template: np.ndarray, covers: list[np.ndarray],
 
 def _vote_ops(votes: np.ndarray, ins_votes: list[dict],
               ops: np.ndarray, jstart: int, c: np.ndarray) -> None:
-    """Vectorized column-vote registration from an ops array (the
-    per-op Python loop would cost more than the native DP itself)."""
-    if not len(ops):
-        return
-    consume_a = ops != 2
-    consume_b = ops != 1
-    i_arr = np.cumsum(consume_a) - consume_a     # template i BEFORE op
-    j_arr = jstart + np.cumsum(consume_b) - consume_b
-    m0 = ops == 0
-    if m0.any():
-        np.add.at(votes, (i_arr[m0], c[j_arr[m0]]), 1)
-    d1 = ops == 1
-    if d1.any():
-        np.add.at(votes[:, 4], i_arr[d1], 1)
-    ins = ops == 2
-    if ins.any():
-        prev = np.concatenate([[False], ins[:-1]])
-        nxt = np.concatenate([ins[1:], [False]])
-        for s_, e_ in zip(np.nonzero(ins & ~prev)[0],
-                          np.nonzero(ins & ~nxt)[0]):
-            key = c[j_arr[s_]:j_arr[e_] + 1].tobytes()
-            iv = ins_votes[int(i_arr[s_])]
-            iv[key] = iv.get(key, 0) + 1
+    """Single-cover convenience wrapper over _vote_ops_multi."""
+    _vote_ops_multi(votes, ins_votes, [(ops, jstart, c)])
 
 
 def _vote_ops_multi(votes: np.ndarray, ins_votes: list[dict],
@@ -300,20 +279,13 @@ def consensus_window(template: np.ndarray, covers: list[np.ndarray],
                      band: int = 64, min_cov: int = 2) -> np.ndarray:
     """Majority-vote consensus of sequences aligned to one template
     window (covers batch through ONE native aligner call)."""
-    from damar_tpu import native
     votes, ins_votes = _new_votes(len(template))
     live = [c for c in covers if len(c)]
-    r = native.band_align_paths(template, live, band) if live else None
-    if r is not None:
-        ops_all, offs, jst = r
-        for i, c in enumerate(live):
-            _vote_ops(votes, ins_votes, ops_all[offs[i]:offs[i + 1]],
-                      int(jst[i]), c)
-    else:
-        for c in live:
-            ops, j0 = _path_to_ops(
-                _banded_align_path_np(template, c, band))
-            _vote_ops(votes, ins_votes, ops, j0, c)
+    if live:
+        aligned = _align_ops_batch(template, live, band)
+        _vote_ops_multi(votes, ins_votes,
+                        [(ops, j0, c) for (ops, j0), c
+                         in zip(aligned, live)])
     return _consensus_calls(template, votes, ins_votes, len(live),
                             min_cov)
 

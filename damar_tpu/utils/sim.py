@@ -146,3 +146,20 @@ def write_sim_fasta(path: str, sim: SimReads) -> None:
         f"strand={sim.strand[i]}"
         for i, r in enumerate(sim.reads)]
     write_fasta(path, headers, sim.reads)
+
+
+def kmer_hit_rate(genome: np.ndarray, contig: np.ndarray,
+                  k: int = 16) -> float:
+    """Identity oracle: fraction of the contig's exact k-mers present
+    in the truth genome (both strands); identity ~ hit ** (1/k).
+    Shared by the worked example and the end-to-end tests."""
+    g = np.asarray(genome, dtype=np.uint8)
+    gb = bytes(g)
+    rb = bytes((g[::-1] ^ 3).astype(np.uint8))
+    gset = {gb[i:i + k] for i in range(len(gb) - k)} \
+        | {rb[i:i + k] for i in range(len(rb) - k)}
+    cb = bytes(np.asarray(contig, dtype=np.uint8))
+    if len(cb) <= k:
+        return 0.0
+    return float(np.mean([cb[i:i + k] in gset
+                          for i in range(len(cb) - k)]))

@@ -64,15 +64,11 @@ def main() -> int:
 
     # identity oracle: exact k-mer hit rate of the longest contig
     # against the truth genome (both strands)
-    k = 16
-    gb = bytes(g.astype(np.uint8))
-    rb = bytes((g[::-1] ^ 3).astype(np.uint8))
-    gset = {gb[i:i + k] for i in range(len(gb) - k)} \
-        | {rb[i:i + k] for i in range(len(rb) - k)}
-    cb = bytes(max(seqs, key=len).astype(np.uint8))
-    hit = np.mean([cb[i:i + k] in gset for i in range(len(cb) - k)])
-    print(f"== longest contig {len(cb)} bp vs {len(g)} bp genome; "
-          f"k{k} hit-rate {hit:.3f} (~identity {hit ** (1 / k):.4f})")
+    from damar_tpu.utils.sim import kmer_hit_rate
+    best = max(seqs, key=len)
+    hit = kmer_hit_rate(g, best)
+    print(f"== longest contig {len(best)} bp vs {len(g)} bp genome; "
+          f"k16 hit-rate {hit:.3f} (~identity {hit ** (1 / 16):.4f})")
     ok = total > 0.85 * len(g) and hit > 0.6
     print("== PASS" if ok else "== FAIL")
     return 0 if ok else 1

@@ -50,16 +50,10 @@ class TestHardAssembly:
         """Exact k-mer hit rate of the longest contig vs the truth
         genome (both strands) — the do.py oracle."""
         from damar_tpu.formats.fasta import read_fasta
+        from damar_tpu.utils.sim import kmer_hit_rate
         g = report["_genome"]
         _, seqs = read_fasta(report["contig_fasta"])
-        k = 16
-        gb = bytes(g.astype(np.uint8))
-        rb = bytes((g[::-1] ^ 3).astype(np.uint8))
-        gset = {gb[i:i + k] for i in range(len(gb) - k)} \
-            | {rb[i:i + k] for i in range(len(rb) - k)}
-        cb = bytes(max(seqs, key=len).astype(np.uint8))
-        hit = np.mean([cb[i:i + k] in gset
-                       for i in range(len(cb) - k)])
+        hit = kmer_hit_rate(g, max(seqs, key=len))
         # ~identity = hit ** (1/k); 0.45 hit-rate ~ 95% identity
         assert hit > 0.45, f"k-mer hit rate {hit:.3f}"
 

@@ -237,12 +237,6 @@ class TestVirtualPodAssembly:
         polished = polish_rounds(contigs[best], lay, seq_of,
                                  circular=tours[best].circular)
         assert len(polished) > 0.8 * len(g)
-        k = 16
-        gb = bytes(g.astype(np.uint8))
-        rb = bytes((g[::-1] ^ 3).astype(np.uint8))
-        gset = {gb[i:i + k] for i in range(len(gb) - k)} \
-            | {rb[i:i + k] for i in range(len(rb) - k)}
-        cb = bytes(polished.astype(np.uint8))
-        hit = np.mean([cb[i:i + k] in gset
-                       for i in range(len(cb) - k)])
+        from damar_tpu.utils.sim import kmer_hit_rate
+        hit = kmer_hit_rate(g, polished)
         assert hit > 0.45, f"polished k-mer hit rate {hit:.3f}"
