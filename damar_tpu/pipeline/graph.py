@@ -98,6 +98,11 @@ def build_graph(las: LasFile, rlen_of: dict[int, int], fuzz: int = 25,
     (fully covered by another read) are dropped with all their edges.
     """
     g = StringGraph()
+    cols = getattr(las, "columns", None)
+    if cols is not None and cols.n:
+        return _build_graph_columnar(g, cols, rlen_of, fuzz,
+                                     min_dovetail)
+    # per-record fallback (object-backed las)
     # pass 1: find contained reads
     for o in las.overlaps:
         if o.flags & OVL_DISCARD:
@@ -155,6 +160,69 @@ def build_graph(las: LasFile, rlen_of: dict[int, int], fuzz: int = 25,
             old = best.get(key)
             if old is None or e.olen > old.olen:
                 best[key] = e
+    for e in best.values():
+        g.add(e)
+    return g
+
+
+def _build_graph_columnar(g: StringGraph, cols, rlen_of, fuzz: int,
+                          min_dovetail: int) -> StringGraph:
+    """Columnar twin of build_graph's two passes: vectorized
+    containment + dovetail classification over the headers, with
+    per-record Python objects only for the surviving dovetails (the
+    invariant: no object materialization at block scale)."""
+    from damar_tpu.formats.las import H_FLAGS
+    h = cols.headers
+    ar = h[:, 7].astype(np.int64)
+    br = h[:, 8].astype(np.int64)
+    rl = np.zeros(int(max(ar.max(), br.max())) + 1, np.int64)
+    for r, L in rlen_of.items():
+        if 0 <= r < len(rl):
+            rl[r] = L
+    alen, blen = rl[ar], rl[br]
+    abp, bbp = h[:, 2], h[:, 3]
+    aep, bep = h[:, 4], h[:, 5]
+    live = (h[:, H_FLAGS] & OVL_DISCARD) == 0
+    # containment: a first, ELSE b (a record satisfying both marks
+    # only aread — same as the per-record loop)
+    cont_a = live & (abp <= fuzz) & (aep >= alen - fuzz)
+    cont_b = live & ~cont_a & (bbp <= fuzz) & (bep >= blen - fuzz)
+    for r in np.unique(ar[cont_a]):
+        g.contained.add(int(r))
+    for r in np.unique(br[cont_b]):
+        g.contained.add(int(r))
+    cset = np.zeros(len(rl), bool)
+    cset[list(g.contained)] = True
+    olen = aep - abp
+    keep = live & ~cset[ar] & ~cset[br] & (olen >= min_dovetail)
+    right = keep & (aep >= alen - fuzz) & (bbp <= fuzz) \
+        & (abp > fuzz) & (bep < blen - fuzz)
+    left = keep & ~right & (abp <= fuzz) & (bep >= blen - fuzz) \
+        & (aep < alen - fuzz) & (bbp > fuzz)
+    best: dict[tuple, Edge] = {}
+
+    def offer(e: Edge):
+        key = (e.src, e.dst)
+        old = best.get(key)
+        if old is None or e.olen > old.olen:
+            best[key] = e
+
+    comp_all = (h[:, H_FLAGS] & OVL_COMP) != 0
+    for i in np.nonzero(right | left)[0]:
+        a, b = int(ar[i]), int(br[i])
+        al, bl = int(alen[i]), int(blen[i])
+        ol = int(olen[i])
+        comp = int(comp_all[i])
+        if right[i]:
+            offer(Edge(src=Vertex(a, 0), dst=Vertex(b, comp),
+                       cut=int(bep[i]), adv=bl - int(bep[i]), olen=ol))
+            offer(Edge(src=Vertex(b, 1 - comp), dst=Vertex(a, 1),
+                       cut=al - int(abp[i]), adv=int(abp[i]), olen=ol))
+        else:
+            offer(Edge(src=Vertex(b, comp), dst=Vertex(a, 0),
+                       cut=int(aep[i]), adv=al - int(aep[i]), olen=ol))
+            offer(Edge(src=Vertex(a, 1), dst=Vertex(b, 1 - comp),
+                       cut=bl - int(bbp[i]), adv=int(bbp[i]), olen=ol))
     for e in best.values():
         g.add(e)
     return g

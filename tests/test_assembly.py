@@ -125,3 +125,31 @@ class TestAssemblyE2E:
         assert 'attr.name="x"' in xml and '<data key="x">' in xml
         svg = layout_svg(g, coords)
         assert svg.count("<circle") == len(coords)
+
+
+class TestBuildGraphColumnar:
+    def test_columnar_matches_object_path(self, small_sim):
+        """build_graph's columnar fast path must produce the same
+        contained set and edge set as the per-record fallback."""
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.formats.las import LasFile
+        from damar_tpu.pipeline.graph import build_graph
+        from damar_tpu.pipeline.overlap import overlap_block_pair
+        sim = small_sim
+        blk = block_from_reads(sim.reads)
+        la, lb, _ = overlap_block_pair(
+            blk, blk, OverlapConfig(min_len=900), self_block=True,
+            hit_cap=1 << 20, seed_cap=1 << 15)
+        both = LasFile.concat([la, lb])
+        both.sort()
+        rlen = {i: len(r) for i, r in enumerate(sim.reads)}
+        g1 = build_graph(both, rlen, fuzz=40, min_dovetail=900)
+        obj = LasFile(both.tspace, overlaps=list(both.overlaps))
+        g2 = build_graph(obj, rlen, fuzz=40, min_dovetail=900)
+        assert g1.contained == g2.contained
+        e1 = {(e.src, e.dst): (e.cut, e.adv, e.olen)
+              for es in g1.edges.values() for e in es}
+        e2 = {(e.src, e.dst): (e.cut, e.adv, e.olen)
+              for es in g2.edges.values() for e in es}
+        assert e1 == e2 and e1
