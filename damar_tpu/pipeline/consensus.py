@@ -300,29 +300,46 @@ def full_layout(tour_lay: list[tuple[int, int, int]], las,
     from damar_tpu.formats.oflags import OVL_COMP
     pos = {(r, d): p for r, d, p in tour_lay}
     placed = {r for r, _, _ in tour_lay}
+    cols = getattr(las, "columns", None)
+    if cols is not None and cols.n:
+        # columnar pre-filter: only records pairing an unplaced bread
+        # with a placed aread survive to the Python placement loop
+        h = cols.headers
+        ar = h[:, 7]
+        br = h[:, 8]
+        hi = int(max(ar.max(), br.max(),
+                     max(placed) if placed else 0)) + 1
+        pm = np.zeros(hi, bool)
+        pm[list(placed)] = True
+        idx = np.flatnonzero(pm[ar] & ~pm[br])
+        rows = ((int(ar[i]), int(br[i]), int(h[i, 2]), int(h[i, 4]),
+                 int(h[i, 3]), int(h[i, 5]),
+                 1 if h[i, 6] & OVL_COMP else 0) for i in idx)
+    else:
+        rows = ((o.aread, o.bread, o.abpos, o.aepos, o.bbpos, o.bepos,
+                 1 if o.flags & OVL_COMP else 0)
+                for o in las.overlaps
+                if o.aread in placed and o.bread not in placed)
     best: dict[int, tuple[int, int, int]] = {}
-    for o in las.overlaps:
-        if o.bread in placed or o.aread not in placed:
-            continue
-        alen = rlen_of[o.aread]
-        blen = rlen_of[o.bread]
-        comp = 1 if (o.flags & OVL_COMP) else 0
+    for aread, bread, abpos, aepos, bbpos, bepos, comp in rows:
+        alen = rlen_of[aread]
+        blen = rlen_of[bread]
         for d_t in (0, 1):
-            p_t = pos.get((o.aread, d_t))
+            p_t = pos.get((aread, d_t))
             if p_t is None:
                 continue
             if d_t == 0:
-                start = p_t + o.abpos - o.bbpos
+                start = p_t + abpos - bbpos
                 d_b = comp
             else:
                 # A reversed in contig: A-coord x -> p_t + alen - x;
                 # B' runs antiparallel to its record orientation
-                start = p_t + (alen - o.aepos) - (blen - o.bepos)
+                start = p_t + (alen - aepos) - (blen - bepos)
                 d_b = 1 - comp
-            olen = o.aepos - o.abpos
-            cur = best.get(o.bread)
+            olen = aepos - abpos
+            cur = best.get(bread)
             if cur is None or olen > cur[2]:
-                best[o.bread] = (d_b, start, olen)
+                best[bread] = (d_b, start, olen)
     out = list(tour_lay)
     for r, (d_b, start, _) in best.items():
         out.append((r, d_b, start))
