@@ -377,6 +377,13 @@ def read_las_columns(path: str) -> tuple[int, LasColumns]:
         raise ValueError(f"{path}: truncated header")
     novl = int(head[:8].view("<i8")[0])
     tspace = int(head[8:12].view("<i4")[0])
+    # validate the record-count claim BEFORE any allocation sized by
+    # it: a corrupt header must raise, not trigger a petabyte alloc
+    size = os.path.getsize(path)
+    if novl < 0 or 12 + 40 * novl > size:
+        raise ValueError(
+            f"{path}: header claims {novl} records but the file holds "
+            f"{size} bytes (corrupt or truncated)")
     small = tspace <= TRACE_XOVR
     scan = native.las_scan(path) if native.available() else None
     if scan is not None:

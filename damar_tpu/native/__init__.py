@@ -224,6 +224,10 @@ def las_scan(path: str):
     size = os.path.getsize(path)
     novl = int(np.fromfile(path, dtype="<i8", count=1)[0]) \
         if size >= 12 else 0
+    if novl < 0 or 12 + 40 * novl > size:
+        # corrupt header: never size an allocation from it
+        raise IOError(f"las_scan({path}): header claims {novl} "
+                      f"records in a {size}-byte file")
     headers = np.zeros((max(novl, 1), 10), dtype=np.int32)
     trace = np.zeros(max(size, 1), dtype=np.uint8)
     offs = np.zeros(novl + 1, dtype=np.int64)

@@ -266,3 +266,34 @@ class TestBlocks:
         rc = blocks.revcomp_block(blk)
         np.testing.assert_array_equal(rc.bases[0:60], revcomp(reads[0]))
         np.testing.assert_array_equal(rc.bases[60:120], revcomp(reads[1]))
+
+
+class TestLasCorruptionRobustness:
+    def test_reader_rejects_corrupt_files_gracefully(self, tmp_path,
+                                                     rng):
+        """Every corruption mode must raise a clean error — never a
+        giant header-sized allocation, never a crash."""
+        from damar_tpu.formats.las import (LasFile, Overlap, read_las,
+                                           write_las)
+        tr = np.array([[15, 100], [15, 100], [10, 100], [5, 100],
+                       [5, 100]], np.int32)
+        ovls = [Overlap(aread=0, bread=1, abpos=0, aepos=500,
+                        bbpos=10, bepos=510, flags=0, diffs=50,
+                        trace=tr) for _ in range(5)]
+        p = str(tmp_path / "ok.las")
+        write_las(p, LasFile(100, ovls))
+        assert read_las(p).novl == 5
+        raw = open(p, "rb").read()
+        cases = {
+            "truncated_mid_record": raw[:len(raw) // 2],
+            "truncated_header": raw[:6],
+            "huge_novl": np.int64(10 ** 15).tobytes() + raw[8:],
+            "negative_novl": np.int64(-5).tobytes() + raw[8:],
+            "trailing_garbage": raw + b"\xff" * 33,
+            "empty": b"",
+        }
+        for name, data in cases.items():
+            q = str(tmp_path / f"{name}.las")
+            open(q, "wb").write(data)
+            with pytest.raises((ValueError, OSError)):
+                read_las(q)
