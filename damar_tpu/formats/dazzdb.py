@@ -206,7 +206,19 @@ class DazzDB:
 
     def _load_bps(self) -> np.ndarray:
         if self._bps is None:
-            self._bps = np.fromfile(bps_path(self.path), dtype=np.uint8)
+            bps = np.fromfile(bps_path(self.path), dtype=np.uint8)
+            # validate against the index BEFORE any read: a truncated
+            # .bps would otherwise feed an out-of-bounds slice to the
+            # native unpacker (silent garbage bases)
+            if len(self.reads):
+                need = int((self.reads["boff"].astype(np.int64)
+                            + (self.reads["rlen"].astype(np.int64)
+                               + 3) // 4).max())
+                if len(bps) < need:
+                    raise ValueError(
+                        f"{bps_path(self.path)}: {len(bps)} bytes but "
+                        f"the index addresses {need} (truncated .bps)")
+            self._bps = bps
         return self._bps
 
     def read_seq(self, i: int) -> np.ndarray:

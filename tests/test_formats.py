@@ -297,3 +297,26 @@ class TestLasCorruptionRobustness:
             open(q, "wb").write(data)
             with pytest.raises((ValueError, OSError)):
                 read_las(q)
+
+
+class TestDbCorruptionRobustness:
+    def test_truncated_bps_raises(self, tmp_path, rng):
+        """A truncated .bps must raise on first read — the native
+        2-bit unpacker must never see an index-addressed slice the
+        file cannot back (out-of-bounds read, silent garbage)."""
+        from damar_tpu.formats import dazzdb
+        from damar_tpu.utils.sim import (make_genome, sample_reads,
+                                         write_sim_fasta)
+        g = make_genome(8_000, seed=31)
+        sim = sample_reads(g, coverage=3, mean_len=2000, err=0.1,
+                           seed=32)
+        fa = str(tmp_path / "r.fasta")
+        write_sim_fasta(fa, sim)
+        dbp = str(tmp_path / "E.db")
+        dazzdb.create_db(dbp, [fa])
+        bps = dazzdb.bps_path(dbp)
+        data = open(bps, "rb").read()
+        open(bps, "wb").write(data[:4])
+        db = dazzdb.DazzDB.open(dbp)
+        with pytest.raises(ValueError):
+            db.read_seq(0)
