@@ -264,7 +264,8 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                        "bbpos": sel[:, 5], "bepos": sel[:, 6],
                        "diffs": np.zeros(len(sel), np.int32),
                        "n": len(sel)}
-                kept = dedupe_extents(ext, cfg.min_len)
+                kept = dedupe_extents(ext, cfg.min_len,
+                                      max_err=1.0 - cfg.err)
                 kept["comp"] = bool(comp)
                 if kept["n"]:
                     kept_parts.append(kept)

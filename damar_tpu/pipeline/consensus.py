@@ -178,10 +178,6 @@ def _align_ops_batch(template: np.ndarray, covers: list[np.ndarray],
             for c in covers]
 
 
-def _vote_ops(votes: np.ndarray, ins_votes: list[dict],
-              ops: np.ndarray, jstart: int, c: np.ndarray) -> None:
-    """Single-cover convenience wrapper over _vote_ops_multi."""
-    _vote_ops_multi(votes, ins_votes, [(ops, jstart, c)])
 
 
 def _vote_ops_multi(votes: np.ndarray, ins_votes: list[dict],
@@ -304,17 +300,21 @@ def full_layout(tour_lay: list[tuple[int, int, int]], las,
     if cols is not None and cols.n:
         # columnar pre-filter: only records pairing an unplaced bread
         # with a placed aread survive to the Python placement loop
+        from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD,
+                                           H_BBPOS, H_BEPOS, H_BREAD,
+                                           H_FLAGS)
         h = cols.headers
-        ar = h[:, 7]
-        br = h[:, 8]
+        ar = h[:, H_AREAD]
+        br = h[:, H_BREAD]
         hi = int(max(ar.max(), br.max(),
                      max(placed) if placed else 0)) + 1
         pm = np.zeros(hi, bool)
         pm[list(placed)] = True
         idx = np.flatnonzero(pm[ar] & ~pm[br])
-        rows = ((int(ar[i]), int(br[i]), int(h[i, 2]), int(h[i, 4]),
-                 int(h[i, 3]), int(h[i, 5]),
-                 1 if h[i, 6] & OVL_COMP else 0) for i in idx)
+        rows = ((int(ar[i]), int(br[i]),
+                 int(h[i, H_ABPOS]), int(h[i, H_AEPOS]),
+                 int(h[i, H_BBPOS]), int(h[i, H_BEPOS]),
+                 1 if h[i, H_FLAGS] & OVL_COMP else 0) for i in idx)
     else:
         rows = ((o.aread, o.bread, o.abpos, o.aepos, o.bbpos, o.bepos,
                  1 if o.flags & OVL_COMP else 0)

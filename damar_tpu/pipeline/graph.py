@@ -171,17 +171,26 @@ def _build_graph_columnar(g: StringGraph, cols, rlen_of, fuzz: int,
     containment + dovetail classification over the headers, with
     per-record Python objects only for the surviving dovetails (the
     invariant: no object materialization at block scale)."""
-    from damar_tpu.formats.las import H_FLAGS
+    from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD,
+                                       H_BBPOS, H_BEPOS, H_BREAD,
+                                       H_FLAGS)
     h = cols.headers
-    ar = h[:, 7].astype(np.int64)
-    br = h[:, 8].astype(np.int64)
-    rl = np.zeros(int(max(ar.max(), br.max())) + 1, np.int64)
+    ar = h[:, H_AREAD].astype(np.int64)
+    br = h[:, H_BREAD].astype(np.int64)
+    rl = np.full(int(max(ar.max(), br.max())) + 1, -1, np.int64)
     for r, L in rlen_of.items():
         if 0 <= r < len(rl):
             rl[r] = L
     alen, blen = rl[ar], rl[br]
-    abp, bbp = h[:, 2], h[:, 3]
-    aep, bep = h[:, 4], h[:, 5]
+    if (alen < 0).any() or (blen < 0).any():
+        # match the per-record fallback, which raises KeyError on a
+        # read missing from rlen_of (a length of 0 would silently
+        # mis-mark the read contained)
+        bad = int(ar[alen < 0][0]) if (alen < 0).any() \
+            else int(br[blen < 0][0])
+        raise KeyError(bad)
+    abp, bbp = h[:, H_ABPOS], h[:, H_BBPOS]
+    aep, bep = h[:, H_AEPOS], h[:, H_BEPOS]
     live = (h[:, H_FLAGS] & OVL_DISCARD) == 0
     # containment: a first, ELSE b (a record satisfying both marks
     # only aread — same as the per-record loop)

@@ -313,7 +313,8 @@ def extend_seeds_harvest(pend: dict | None) -> dict:
     return out
 
 
-def dedupe_extents(ext: dict, min_len: int) -> dict:
+def dedupe_extents(ext: dict, min_len: int,
+                   max_err: float | None = None) -> dict:
     """Drop short alignments, exact duplicates, and alignments whose A
     and B intervals are both contained in another alignment of the same
     (aread, bread, comp-partition) group (the reference's bridge/dedupe
@@ -329,6 +330,11 @@ def dedupe_extents(ext: dict, min_len: int) -> dict:
     """
     alen = ext["aepos"] - ext["abpos"]
     ok = alen >= min_len
+    if max_err is not None and ext["n"]:
+        # daligner -e: drop alignments whose pairwise error rate
+        # (diffs over the mean span) exceeds 1 - err
+        span = (alen + (ext["bepos"] - ext["bbpos"])) / 2.0
+        ok &= ext["diffs"] <= max_err * np.maximum(span, 1)
     if not ok.any():
         return empty_extents()
     e = _take_extents(ext, np.nonzero(ok)[0])
@@ -898,7 +904,9 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         exts["comp"] = comp
         ext_parts.append(exts)
     # dedupe within each orientation (comp partitions the groups)
-    kept_parts = [dedupe_extents(p, cfg.min_len) for p in ext_parts]
+    kept_parts = [dedupe_extents(p, cfg.min_len,
+                                 max_err=1.0 - cfg.err)
+                  for p in ext_parts]
     for kp, p in zip(kept_parts, ext_parts):
         kp["comp"] = p["comp"]
     stats["kept"] = sum(p["n"] for p in kept_parts)

@@ -153,13 +153,13 @@ def kmer_hit_rate(genome: np.ndarray, contig: np.ndarray,
     """Identity oracle: fraction of the contig's exact k-mers present
     in the truth genome (both strands); identity ~ hit ** (1/k).
     Shared by the worked example and the end-to-end tests."""
+    cb = bytes(np.asarray(contig, dtype=np.uint8))
+    if len(cb) < k + 1:
+        return 0.0
     g = np.asarray(genome, dtype=np.uint8)
     gb = bytes(g)
     rb = bytes((g[::-1] ^ 3).astype(np.uint8))
-    gset = {gb[i:i + k] for i in range(len(gb) - k)} \
-        | {rb[i:i + k] for i in range(len(rb) - k)}
-    cb = bytes(np.asarray(contig, dtype=np.uint8))
-    if len(cb) <= k:
-        return 0.0
+    gset = {gb[i:i + k] for i in range(len(gb) - k + 1)} \
+        | {rb[i:i + k] for i in range(len(rb) - k + 1)}
     return float(np.mean([cb[i:i + k] in gset
-                          for i in range(len(cb) - k)]))
+                          for i in range(len(cb) - k + 1)]))

@@ -167,3 +167,58 @@ class TestPolishRead:
         e_raw = lev(sim.reads[aread][:2000], truth[:2000])
         e_fix = lev(fixed[:2000], truth[:2000])
         assert e_fix < e_raw * 0.6, (e_raw, e_fix)
+
+
+class TestConsensusTwins:
+    def test_vote_ops_multi_matches_sequential(self, rng):
+        """_vote_ops_multi's batched pass must produce the same votes
+        AND the same ins-dict insertion order as registering each
+        cover separately (tie-breaking is order-visible)."""
+        from damar_tpu.pipeline.consensus import (_new_votes,
+                                                  _vote_ops_multi)
+        m = 260                  # >= any cover's template consumption
+        items = []
+        for _ in range(20):
+            nops = int(rng.integers(0, 200))
+            ops = rng.choice([0, 0, 0, 1, 2], nops).astype(np.uint8)
+            c = rng.integers(0, 4, 400).astype(np.uint8)
+            j0 = int(rng.integers(0, 50))
+            items.append((ops, j0, c))
+        v1, iv1 = _new_votes(m)
+        _vote_ops_multi(v1, iv1, items)
+        v2, iv2 = _new_votes(m)
+        for it in items:
+            _vote_ops_multi(v2, iv2, [it])
+        np.testing.assert_array_equal(v1, v2)
+        for d1, d2 in zip(iv1, iv2):
+            assert list(d1.items()) == list(d2.items())
+
+    def test_full_layout_columnar_matches_object(self, small_sim):
+        """full_layout's columnar pre-filter branch must place the
+        same reads at the same positions as the per-record walk."""
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.formats.fasta import revcomp
+        from damar_tpu.formats.las import LasFile
+        from damar_tpu.pipeline.consensus import full_layout
+        from damar_tpu.pipeline.overlap import overlap_block_pair
+        from damar_tpu.pipeline.touring import assemble, tour_layout
+        sim = small_sim
+        blk = block_from_reads(sim.reads)
+        la, lb, _ = overlap_block_pair(
+            blk, blk, OverlapConfig(min_len=900), self_block=True,
+            hit_cap=1 << 20, seed_cap=1 << 15)
+        both = LasFile.concat([la, lb])
+        both.sort()
+        rlen = {i: len(r) for i, r in enumerate(sim.reads)}
+
+        def seq_of(i, d):
+            return revcomp(sim.reads[i]) if d else sim.reads[i]
+
+        _, tours, _ = assemble(both, rlen, seq_of, min_dovetail=900)
+        assert tours
+        lay = tour_layout(tours[0], seq_of)
+        l1 = full_layout(lay, both, rlen)                  # columnar
+        obj = LasFile(both.tspace, overlaps=list(both.overlaps))
+        l2 = full_layout(lay, obj, rlen)
+        assert sorted(l1) == sorted(l2) and len(l1) > len(lay)
