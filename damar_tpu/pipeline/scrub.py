@@ -150,28 +150,40 @@ def q_and_trim(las: LasFile, rlen_of: dict[int, int], cfg: ScrubConfig
 
     cols = _cols_of(las)
     if cols.n and reads:
+        # int32 throughout: the expansion is 10^7-10^8 trace segments
+        # at block scale and the elementwise passes are memory-bound
         h = cols.headers
         rows = _decode_trace(cols.trace, las.small)
-        seg_off = cols.offsets // (2 if las.small else 4)
+        seg_off = (cols.offsets // (2 if las.small else 4)).astype(
+            np.int32)
         lens = np.diff(seg_off)
-        rid = np.repeat(np.arange(cols.n), lens)
-        k = np.arange(rows.shape[0]) - np.repeat(seg_off[:-1], lens)
-        abp = h[rid, H_ABPOS].astype(np.int64)
-        aep = h[rid, H_AEPOS].astype(np.int64)
+        rid = np.repeat(np.arange(cols.n, dtype=np.int32), lens)
+        k = np.arange(rows.shape[0], dtype=np.int32) \
+            - np.repeat(seg_off[:-1], lens)
+        # 1D gathers (contiguous column then take) — 2D fancy
+        # indexing on the [n, 10] header block is several-fold slower
+        abp = np.ascontiguousarray(h[:, H_ABPOS])[rid]
         seg = abp // ts + k
-        a_lo = np.maximum(abp, seg * ts)
-        a_hi = np.minimum(aep, (seg + 1) * ts)
-        lut = np.full(max(reads) + 2, -1, np.int64)
-        lut[np.array(reads)] = np.arange(len(reads))
+        # segment fully covered <=> [seg*ts, (seg+1)*ts) inside
+        # [abpos, aepos) — computed directly, no lo/hi temporaries
+        s0 = seg * ts
+        lut = np.full(max(reads) + 2, -1, np.int32)
+        lut[np.array(reads)] = np.arange(len(reads), dtype=np.int32)
         aidx = lut[np.clip(h[:, H_AREAD], 0, len(lut) - 1)][rid]
-        full = (a_hi - a_lo == ts) & (aidx >= 0)
-        key = off[np.maximum(aidx, 0)] + seg
-        dkey = key[full]
-        dval = rows[full, 0].astype(np.int64)
+        full = (s0 >= abp) \
+            & (s0 + ts <= np.ascontiguousarray(h[:, H_AEPOS])[rid]) \
+            & (aidx >= 0)
+        dkey = (off[np.maximum(aidx[full], 0)]
+                + seg[full]).astype(np.uint64)
+        dval = rows[full, 0]
         if dkey.size:
             # scatter-min via sort + reduceat (ufunc.at is slow)
-            order = np.argsort(dkey, kind="stable")
-            ks, vs = dkey[order], dval[order]
+            from damar_tpu import native
+            order = native.radix_argsort(dkey)
+            if order is None:
+                order = np.argsort(dkey, kind="stable")
+            ks = dkey[order].astype(np.int64)
+            vs = dval[order].astype(np.int64)
             starts = np.concatenate([[True], ks[1:] != ks[:-1]])
             sidx = np.nonzero(starts)[0]
             qflat[ks[sidx]] = np.minimum(
