@@ -141,7 +141,8 @@ class LasColumns:
     def sort_order(self) -> np.ndarray:
         """LAsort order: (aread, bread, comp, abpos, aepos, bbpos)."""
         h = self.headers
-        return np.lexsort((h[:, H_BBPOS], h[:, H_AEPOS], h[:, H_ABPOS],
+        from damar_tpu.ops.sort import host_lexsort
+        return host_lexsort((h[:, H_BBPOS], h[:, H_AEPOS], h[:, H_ABPOS],
                            h[:, H_FLAGS] & 1, h[:, H_BREAD],
                            h[:, H_AREAD]))
 

@@ -430,6 +430,44 @@ def plain_kmers(bases: np.ndarray, read_id: np.ndarray, k: int,
     return codes
 
 
+def lexsort(keys) -> np.ndarray | None:
+    """np.lexsort twin (LAST key is primary, stable) built on the
+    threaded radix argsort: keys are greedily bit-packed into as few
+    u64 words as possible, then LSD-sorted word by word.  Requires
+    nonnegative integer keys; returns None when native is unavailable
+    or a key is unpackable (caller falls back to np.lexsort)."""
+    if _lib() is None or not keys:
+        return None
+    words: list[np.ndarray] = []
+    cur = None
+    used = 0
+    for k in keys:                       # least-significant first
+        k = np.asarray(k)
+        if k.dtype.kind not in "iu" or (len(k) and int(k.min()) < 0):
+            return None
+        hi = int(k.max()) if len(k) else 0
+        bits = max(hi.bit_length(), 1)
+        if bits > 64:
+            return None
+        v = k.astype(np.uint64)
+        if cur is None or used + bits > 64:
+            if cur is not None:
+                words.append(cur)
+            cur, used = v, bits
+        else:
+            cur = cur | (v << np.uint64(used))
+            used += bits
+    words.append(cur)
+    order = None
+    for w in words:                      # LSD over packed words
+        key = w if order is None else w[order]
+        o = radix_argsort(key)
+        if o is None:
+            return None
+        order = o if order is None else order[o]
+    return order
+
+
 def radix_argsort(keys: np.ndarray):
     """Stable ascending argsort of u64 (or any nonneg integer) keys
     via the C LSD radix; returns int64 indices or None when native is

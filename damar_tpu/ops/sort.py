@@ -34,6 +34,16 @@ import jax
 import jax.numpy as jnp
 
 
+def host_lexsort(keys) -> "object":
+    """np.lexsort drop-in (LAST key primary, stable) that routes
+    through the native threaded radix when all keys are nonnegative
+    integers — ~9x np.lexsort at block-scale shapes."""
+    import numpy as np
+    from damar_tpu import native
+    order = native.lexsort(list(keys))
+    return np.lexsort(tuple(keys)) if order is None else order
+
+
 def _backend() -> str:
     """Sort backend: "xla" (default, fastest on TPU), "radix"
     (compile-cheap unrolled passes), or "host" (numpy stable sort via

@@ -165,7 +165,8 @@ def dedupe_anchor_seeds(seeds: dict) -> dict:
         key = (key << 1) | seeds["comp"].astype(np.int64)
     pos = ((seeds["apos"].astype(np.int64) << 32)
            | seeds["bpos"].astype(np.uint32).astype(np.int64))
-    order = np.lexsort((pos, key))
+    from damar_tpu.ops.sort import host_lexsort
+    order = host_lexsort((pos, key))
     ks, ps = key[order], pos[order]
     keep = np.concatenate([[True], (ks[1:] != ks[:-1])
                            | (ps[1:] != ps[:-1])])
@@ -341,7 +342,10 @@ def dedupe_extents(ext: dict, min_len: int,
     alen = e["aepos"] - e["abpos"]
     gkey = (e["aread"].astype(np.int64) << 32) | e["bread"].astype(
         np.uint32).astype(np.int64)
-    order = np.lexsort((e["bbpos"], e["abpos"], -alen, gkey))
+    from damar_tpu.ops.sort import host_lexsort
+    order = host_lexsort((e["bbpos"], e["abpos"],
+                          int(alen.max()) - alen if len(alen) else alen,
+                          gkey))
     e = _take_extents(e, order)
     gkey = gkey[order]
     n = e["n"]

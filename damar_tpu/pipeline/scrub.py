@@ -70,7 +70,8 @@ def stitch_las(las: LasFile, fuzz: int = 100
         return LasFile(tspace=las.tspace,
                        columns=LasColumns.empty()), np.zeros(0, np.int64)
     h0 = cols.headers
-    order = np.lexsort((h0[:, H_ABPOS], h0[:, H_FLAGS] & 1,
+    from damar_tpu.ops.sort import host_lexsort
+    order = host_lexsort((h0[:, H_ABPOS], h0[:, H_FLAGS] & 1,
                         h0[:, H_BREAD], h0[:, H_AREAD]))
     c = cols.permute(order)
     h = c.headers
@@ -273,7 +274,8 @@ def _best_covers(las: LasFile, ts: int):
     key_r = aread[sel]
     key_s = seg[sel]
     d = rows[sel, 0].astype(np.int64)
-    order = np.lexsort((d, key_s, key_r))
+    from damar_tpu.ops.sort import host_lexsort
+    order = host_lexsort((d, key_s, key_r))
     sr, ss = key_r[order], key_s[order]
     head = np.concatenate([[True], (sr[1:] != sr[:-1])
                            | (ss[1:] != ss[:-1])])
