@@ -71,10 +71,15 @@ typedef struct {
 static int stream_advance(Stream *s, int small) {
     if (s->remaining <= 0) { s->live = 0; return 0; }
     if (fread(s->rec, 4, 10, s->f) != 10) { s->live = 0; return -1; }
-    int32_t tlen = s->rec[0];
-    s->tbytes = small ? tlen : tlen * 2;
-    if (s->tbytes < 0) { s->live = 0; return -1; }
-    s->trace = (uint8_t *)realloc(s->trace, (size_t)(s->tbytes ? s->tbytes : 1));
+    int64_t tlen = s->rec[0];
+    int64_t tb = small ? tlen : tlen * 2;
+    /* reject corrupt record sizes before sizing an allocation */
+    if (tb < 0 || tb > ((int64_t)1 << 31)) { s->live = 0; return -1; }
+    s->tbytes = (int32_t)tb;
+    uint8_t *nt_ = (uint8_t *)realloc(
+        s->trace, (size_t)(s->tbytes ? s->tbytes : 1));
+    if (!nt_) { s->live = 0; return -1; }
+    s->trace = nt_;
     if (s->tbytes && fread(s->trace, 1, (size_t)s->tbytes, s->f)
             != (size_t)s->tbytes) { s->live = 0; return -1; }
     s->remaining--;
@@ -101,6 +106,7 @@ static int stream_less(const Stream *a, const Stream *b) {
 int las_merge(const char **inputs, int n_in, const char *output) {
     if (n_in <= 0) return -1;
     Stream *ss = (Stream *)calloc((size_t)n_in, sizeof(Stream));
+    if (!ss) return -1;
     int32_t tspace = -1;
     int err = 0;
     int64_t total = 0;
