@@ -694,6 +694,13 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # DAMAR_PLATFORM=cpu|tpu|... : explicit backend selection that
+    # survives site customizations which override JAX_PLATFORMS (the
+    # config update wins over any sitecustomize default)
+    plat = os.environ.get("DAMAR_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     try:
         args.fn(args)
     except (FileNotFoundError, ValueError) as e:

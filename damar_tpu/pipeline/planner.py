@@ -102,6 +102,14 @@ def render_script(jobs: list[Job], db_root: str | None = None,
     tandem detection, then repeat masking fed back into the job
     matrix)."""
     lines = ["# damar_tpu job plan"]
+    # generated job scripts run from arbitrary workdirs (the shared-FS
+    # rendezvous contract): make the package importable even from a
+    # non-installed checkout.  HPC planner output is machine-local by
+    # nature, exactly like the reference's generated scripts.
+    import damar_tpu
+    pkg_parent = os.path.dirname(os.path.dirname(
+        os.path.abspath(damar_tpu.__file__)))
+    lines.append(f'export PYTHONPATH="{pkg_parent}:$PYTHONPATH"')
     if with_masking and db_root:
         nb = nblocks or max(
             (j.args.get("a_block", 1) for j in jobs

@@ -128,3 +128,29 @@ class TestOverlapTools:
         _, s2 = read_fasta(ctg2)
         assert sorted(len(s) for s in s1) == sorted(len(s) for s in s2)
         capsys.readouterr()
+
+
+class TestPlanExecution:
+    def test_rendered_plan_lines_execute(self, work, capsys):
+        """hpc-plan's rendered shell lines must run as-is from an
+        arbitrary workdir (the shared-filesystem job contract): the
+        PYTHONPATH prologue makes the checkout importable and
+        DAMAR_PLATFORM pins the backend in fresh processes."""
+        import io
+        import contextlib
+        import subprocess
+        db, w = work["db"], work["w"]
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            run(["hpc-plan", db])
+        script = buf.getvalue()
+        lines = script.splitlines()
+        head = [l for l in lines if l.startswith("export")]
+        jobs = [l for l in lines if l.startswith("python")][:1]
+        assert head and jobs, script[:200]
+        env = dict(os.environ, DAMAR_PLATFORM="cpu")
+        r = subprocess.run("\n".join(head + jobs), shell=True, cwd=w,
+                           env=env, capture_output=True, text=True,
+                           timeout=240)
+        assert r.returncode == 0, r.stderr[-400:]
+        capsys.readouterr()
