@@ -25,7 +25,11 @@ class OverlapConfig:
     # --- TPU kernel shape parameters (not in the reference) ---
     band_width: int = 128       # DP band lanes (multiple of 128)
     xdrop: int = 60             # X-drop termination threshold (diff units)
-    seed_batch: int = 2048      # seeds extended per kernel launch
+    seed_batch: int = 1024      # seeds extended per kernel launch
+                                # (1024 measured best on the native
+                                # CPU path; length-sorted batches stay
+                                # homogeneous enough for the lockstep
+                                # groups at this size)
     max_read_len: int = 65536   # static bound on read length in kernels
     diff_cost: int = 5          # score = antidiag - diff_cost * diffs
     use_pallas: bool | None = None  # None = auto (Pallas on TPU,
