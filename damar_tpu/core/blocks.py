@@ -17,7 +17,7 @@ reference's ~200MB block invariant.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import numpy as np
@@ -34,6 +34,11 @@ class ReadBlock:
     rlen: np.ndarray      # int32[nr]
     ids: np.ndarray       # int32[nr] absolute read ids
     nbases: int           # real base count (before padding)
+    # single-entry memo used by the overlap driver to reuse the
+    # A-side canonical index across the block's whole B row (the
+    # lineage `daligner A B1 B2 ...` A-index reuse); sweep drivers
+    # clear it when the A row advances to bound live index memory
+    cache: dict = field(default_factory=dict, repr=False, compare=False)
 
     @property
     def nreads(self) -> int:

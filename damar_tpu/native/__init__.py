@@ -160,6 +160,15 @@ def _lib():
                 i32p, i32p, i32p, i32p, i32p, i32p,
                 ctypes.POINTER(i64)]
             lib.band_filter.restype = i64
+            i64p = ctypes.POINTER(i64)
+            lib.run_firsts.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), i64, i64p, i64p]
+            lib.run_firsts.restype = None
+            lib.fill_hits_strand.argtypes = [
+                i32p, i32p, i64p, i64p, i64, i64, i32p, i64p,
+                ctypes.c_int32, ctypes.c_int32,
+                i32p, i32p, u8p, i64p]
+            lib.fill_hits_strand.restype = i64
             _LIB = lib
     return _LIB
 
@@ -485,6 +494,61 @@ def radix_argsort(keys: np.ndarray):
     if rc != 0:
         return None
     return order
+
+
+def run_firsts(codes: np.ndarray):
+    """Segment starts/lengths of a sorted code stream — exact C
+    replica of ops.seeding_host._run_firsts's (starts, cnt) outputs.
+    Returns (starts int64[n], cnt int64[n]) or None when native is
+    unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(codes, dtype=np.uint32)
+    n = len(c)
+    starts = np.empty(max(n, 1), np.int64)
+    cnt = np.empty(max(n, 1), np.int64)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.run_firsts(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.int64(n), p64(starts), p64(cnt))
+    return starts[:n], cnt[:n]
+
+
+def fill_hits_strand(a_pos2, b_pos2, lo, c, cap: int, b_rid, b_starts,
+                     k: int):
+    """Fused hit materialization + strand split + rc bpos mapping —
+    exact C replica of seeding_host._fill_hits followed by the
+    strand-split block of find_seeds_canonical_host.  Returns
+    (apos int32, bpos int32, comp bool, nhits, total) with arrays
+    sized nhits, or None when native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    i32 = lambda x: np.ascontiguousarray(x, dtype=np.int32)
+    i64 = lambda x: np.ascontiguousarray(x, dtype=np.int64)
+    ap2, bp2 = i32(a_pos2), i32(b_pos2)
+    lo_, c_ = i64(lo), i64(c)
+    rid = i32(b_rid)
+    bst = i64(b_starts)
+    nt = len(c_)
+    cap = int(cap)
+    apos = np.empty(max(cap, 1), np.int32)
+    bpos = np.empty(max(cap, 1), np.int32)
+    comp = np.empty(max(cap, 1), np.uint8)
+    total = ctypes.c_int64(0)
+    p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    nhits = lib.fill_hits_strand(
+        p32(ap2), p32(bp2), p64(lo_), p64(c_), np.int64(nt),
+        np.int64(cap), p32(rid), p64(bst), np.int32(k),
+        np.int32(_nthreads()), p32(apos), p32(bpos), _u8p(comp),
+        ctypes.byref(total))
+    if nhits < 0:
+        return None
+    n = int(nhits)
+    return (apos[:n], bpos[:n], comp[:n].view(bool), n,
+            int(total.value))
 
 
 def bp_extend_batch(a_bases, b_bases, aorigin, borigin, alim, blim,

@@ -1582,3 +1582,115 @@ int64_t dust_batch(const uint8_t *bases, const int64_t *starts,
     }
     return pos;
 }
+
+/* ---------------- seeding host helpers ----------------
+ *
+ * run_firsts: segment structure of a sorted code stream — starts[i] =
+ * index of the first element of i's equal-code run, cnt[i] = run
+ * length.  Exact replica of ops/seeding_host.py _run_firsts (one pass
+ * instead of accumulate + flatnonzero + double repeat).
+ */
+void run_firsts(const uint32_t *codes, int64_t n, int64_t *starts,
+                int64_t *cnt) {
+    int64_t s = 0;
+    for (int64_t i = 1; i <= n; i++) {
+        if (i == n || codes[i] != codes[s]) {
+            int64_t len = i - s;
+            for (int64_t j = s; j < i; j++) {
+                starts[j] = s;
+                cnt[j] = len;
+            }
+            s = i;
+        }
+    }
+}
+
+/* fill_hits_strand: fused hit materialization + strand split + rc
+ * mapping for the canonical seeding path — exact replica of
+ * ops/seeding_host.py _fill_hits followed by the strand-split block
+ * in find_seeds_canonical_host (B-tuple-major enumeration truncated
+ * at cap, comp = strand_a ^ strand_b, comp bpos mapped to the
+ * per-read rc frame).  Threads split the OUTPUT range so order is
+ * byte-identical to the numpy twin. */
+typedef struct {
+    const int32_t *a_pos2, *b_pos2;
+    const int64_t *lo, *cum;
+    const int32_t *b_rid;
+    const int64_t *b_starts;
+    int32_t k;
+    int64_t ntuples;
+    int64_t o0, o1;
+    int32_t *apos, *bpos;
+    uint8_t *comp;
+} FhJob;
+
+static void *fh_worker(void *vp) {
+    FhJob *j = (FhJob *)vp;
+    int64_t lo_t = 0, hi_t = j->ntuples;
+    while (lo_t < hi_t) {          /* first t with cum[t+1] > o0 */
+        int64_t mid = lo_t + (hi_t - lo_t) / 2;
+        if (j->cum[mid + 1] > j->o0) hi_t = mid;
+        else lo_t = mid + 1;
+    }
+    int64_t out = j->o0;
+    for (int64_t t = lo_t; t < j->ntuples && out < j->o1; t++) {
+        int64_t base = j->cum[t];
+        int64_t end = j->cum[t + 1];
+        if (end == base) continue;
+        const int32_t bp2 = j->b_pos2[t];
+        const int64_t bposf = (int64_t)(bp2 >> 1);
+        const int32_t r = j->b_rid[bposf];
+        const int64_t rc_base = j->b_starts[r] + j->b_starts[r + 1]
+            - bposf - j->k;
+        const int64_t a0 = j->lo[t];
+        int64_t stop = end < j->o1 ? end : j->o1;
+        for (; out < stop; out++) {
+            int32_t ap2 = j->a_pos2[a0 + (out - base)];
+            uint8_t cm = (uint8_t)((ap2 ^ bp2) & 1);
+            j->apos[out] = ap2 >> 1;
+            j->comp[out] = cm;
+            j->bpos[out] = cm ? (int32_t)rc_base : (int32_t)bposf;
+        }
+    }
+    return NULL;
+}
+
+int64_t fill_hits_strand(const int32_t *a_pos2, const int32_t *b_pos2,
+                         const int64_t *lo, const int64_t *c,
+                         int64_t ntuples, int64_t cap,
+                         const int32_t *b_rid, const int64_t *b_starts,
+                         int32_t k, int32_t nthreads,
+                         int32_t *apos, int32_t *bpos, uint8_t *comp,
+                         int64_t *total_out) {
+    int64_t *cum = (int64_t *)malloc(((size_t)ntuples + 1) * 8);
+    if (!cum) return -1;
+    cum[0] = 0;
+    for (int64_t i = 0; i < ntuples; i++) cum[i + 1] = cum[i] + c[i];
+    int64_t total = cum[ntuples];
+    *total_out = total;
+    int64_t nhits = total < cap ? total : cap;
+    if (nhits <= 0) {
+        free(cum);
+        return nhits < 0 ? -1 : 0;
+    }
+    int nt = nthreads < 1 ? 1 : (nthreads > 8 ? 8 : nthreads);
+    if (nhits < 262144) nt = 1;
+    pthread_t tid[8];
+    FhJob jobs[8];
+    int64_t per = (nhits + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+        int64_t o0 = t * per, o1 = o0 + per;
+        if (o0 > nhits) o0 = nhits;
+        if (o1 > nhits) o1 = nhits;
+        jobs[t] = (FhJob){a_pos2, b_pos2, lo, cum, b_rid, b_starts, k,
+                          ntuples, o0, o1, apos, bpos, comp};
+    }
+    if (nt == 1) fh_worker(&jobs[0]);
+    else {
+        for (int t = 0; t < nt; t++)
+            pthread_create(&tid[t], NULL, fh_worker, &jobs[t]);
+        for (int t = 0; t < nt; t++) pthread_join(tid[t], NULL);
+    }
+    free(cum);
+    return nhits;
+}

@@ -50,12 +50,16 @@ def _canon_index(bases, read_id, k: int, mask):
 
 
 def _run_firsts(codes: np.ndarray):
-    """(first flags, per-element segment start index, per-element
-    segment length) of a sorted stream."""
+    """(per-element segment start index, per-element segment length)
+    of a sorted stream (native C single pass; numpy fallback)."""
     n = len(codes)
     if n == 0:
         z = np.zeros(0, np.int64)
-        return np.zeros(0, bool), z, z
+        return z, z
+    from damar_tpu import native
+    res = native.run_firsts(codes)
+    if res is not None:
+        return res
     first = np.empty(n, bool)
     first[0] = True
     np.not_equal(codes[1:], codes[:-1], out=first[1:])
@@ -64,7 +68,7 @@ def _run_firsts(codes: np.ndarray):
     seg_start_idx = np.flatnonzero(first)
     seg_len = np.diff(np.append(seg_start_idx, n))
     cnt = np.repeat(seg_len, seg_len)
-    return first, starts, cnt
+    return starts, cnt
 
 
 def _fill_hits(a_pos2, b_pos2, lo, c, cap: int):
@@ -112,7 +116,7 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
     nb = blk_b.bases.shape[0]
     if self_pair:
         bc, bp2 = ac, ap2
-        first, starts, cnt = _run_firsts(ac)
+        starts, cnt = _run_firsts(ac)
         lo = starts
         rank = np.arange(len(ac), dtype=np.int64) - starts
         ok = (ac != np.uint32(inval)) & (cnt <= t)
@@ -123,24 +127,30 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
         lo = np.searchsorted(ac, bc, "left").astype(np.int64)
         hi = np.searchsorted(ac, bc, "right")
         count_a = (hi - lo).astype(np.int64)
-        _, _, count_b = _run_firsts(bc)
+        _, count_b = _run_firsts(bc)
         ok = (bc != np.uint32(inval)) & (count_a <= t) & (count_b <= t)
         c = np.where(ok, count_a, 0)
         want_raw = min(raw_hint or 2 * nb, hit_cap)
     cap = _pow2_cap(want_raw, hit_cap)
-    ap2v, bp2v, nhits, total_hits = _fill_hits(ap2, bp2, lo, c, cap)
-
-    # split strand (comp = strand_a XOR strand_b; comp bpos mapped to
-    # the per-read rc frame)
     b_rid = np.asarray(blk_b.read_id)
     b_starts = np.asarray(blk_b.starts, np.int64)
-    apos = (ap2v >> 1).astype(np.int32)
-    bposf = (bp2v >> 1).astype(np.int64)
-    comp = ((ap2v ^ bp2v) & 1) == 1
-    r = b_rid[bposf].astype(np.int64)
-    blo = b_starts[r]
-    bhi = b_starts[r + 1]
-    bpos = np.where(comp, blo + bhi - bposf - k, bposf).astype(np.int32)
+    from damar_tpu import native
+    fused = native.fill_hits_strand(ap2, bp2, lo, c, cap, b_rid,
+                                    b_starts, k)
+    if fused is not None:
+        apos, bpos, comp, nhits, total_hits = fused
+    else:
+        ap2v, bp2v, nhits, total_hits = _fill_hits(ap2, bp2, lo, c, cap)
+        # split strand (comp = strand_a XOR strand_b; comp bpos mapped
+        # to the per-read rc frame)
+        apos = (ap2v >> 1).astype(np.int32)
+        bposf = (bp2v >> 1).astype(np.int64)
+        comp = ((ap2v ^ bp2v) & 1) == 1
+        r = b_rid[bposf].astype(np.int64)
+        blo = b_starts[r]
+        bhi = b_starts[r + 1]
+        bpos = np.where(comp, blo + bhi - bposf - k,
+                        bposf).astype(np.int32)
 
     seeds = _band_filter(
         apos, bpos, comp, np.asarray(blk_a.read_id),
@@ -289,7 +299,7 @@ def find_tandem_seeds_host(blk, cfg, min_period: int = 8,
     order = _argsort(codes.astype(np.uint64))
     c_s = codes[order]
     p_s = order.astype(np.int32)           # pos payload == stable order
-    first, starts, cnt = _run_firsts(c_s)
+    starts, cnt = _run_firsts(c_s)
     # generic self-merge: every tuple matches its whole code segment
     ok = (c_s != np.uint32(inval)) & (cnt <= t)
     c = np.where(ok, cnt, 0)

@@ -82,6 +82,31 @@ def _kernels(cfg: "OverlapConfig"):
     return extend_wave, trace_wave
 
 
+def _mask_fp(mask) -> bytes | None:
+    """Cheap fingerprint of a soft-mask vector (cache key part)."""
+    if mask is None:
+        return None
+    import hashlib
+    return hashlib.blake2b(np.ascontiguousarray(mask).tobytes(),
+                           digest_size=8).digest()
+
+
+def _cached_a_index(blk: ReadBlock, kind: str, k: int, mask, builder):
+    """A-side canonical index, memoized on the block (one entry,
+    replaced when k/mask/backend changes).  Reference parity: daligner
+    builds the A-block index once and sweeps it over every B block on
+    the command line (upstream dalign/daligner.c ⟨VERIFY⟩); sweep
+    drivers iterate the pair matrix A-row-major, so one cached entry
+    captures the same reuse."""
+    key = (kind, k, _mask_fp(mask))
+    ent = blk.cache.get("a_index")
+    if ent is not None and ent[0] == key:
+        return ent[1]
+    idx = builder()
+    blk.cache["a_index"] = (key, idx)
+    return idx
+
+
 def empty_extents() -> dict:
     out = {k: np.zeros(0, np.int32) for k in EXT_KEYS}
     out["n"] = 0
@@ -843,8 +868,10 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         # path, so results (and the emitted .las) are byte-identical
         from damar_tpu.ops import seeding_host as sh
         am_np = np.asarray(mask_a) if mask_a is not None else None
-        a_index = sh._canon_index(blk_a.bases, blk_a.read_id,
-                                  cfg.kmer, am_np)
+        a_index = _cached_a_index(
+            blk_a, "host", cfg.kmer, am_np,
+            lambda: sh._canon_index(blk_a.bases, blk_a.read_id,
+                                    cfg.kmer, am_np))
         a_bases_d = blk_a.bases
 
         def run_seeding(kw):
@@ -854,10 +881,16 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         from damar_tpu.ops.seeding import (build_index_canonical,
                                            find_seeds_canonical_dev)
         am = jnp.asarray(mask_a) if mask_a is not None else None
-        a_bases_d = jnp.asarray(blk_a.bases)
-        a_rid_d = jnp.asarray(blk_a.read_id)
-        a_index = build_index_canonical(a_bases_d, a_rid_d, cfg.kmer,
-                                        am)
+
+        def _build_dev():
+            # the A block's bases + index stay HBM-resident for the
+            # whole A row (cached together so they expire together)
+            ab = jnp.asarray(blk_a.bases)
+            rid = jnp.asarray(blk_a.read_id)
+            return ab, rid, build_index_canonical(ab, rid, cfg.kmer, am)
+
+        a_bases_d, a_rid_d, a_index = _cached_a_index(
+            blk_a, "dev", cfg.kmer, mask_a, _build_dev)
 
         def run_seeding(kw):
             kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d,

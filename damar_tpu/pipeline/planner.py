@@ -277,7 +277,14 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
     from damar_tpu.parallel.distributed import host_pair_slice
     pairs = host_pair_slice(n, nhosts, host_id)
     size_hints: dict = {}
+    prev_a = None
     for i, j in pairs:
+            # the A-side index memo (overlap._cached_a_index) lives for
+            # the block's whole B row; drop it when the row advances so
+            # at most one block's index stays resident
+            if prev_a is not None and prev_a != i and prev_a in blocks:
+                blocks[prev_a].cache.clear()
+            prev_a = i
             name = f"overlap.{i}.{j}"
             out_a = os.path.join(las_dir, f"{root}.{i}.{root}.{j}.las")
             out_b = os.path.join(las_dir, f"{root}.{j}.{root}.{i}.las")
