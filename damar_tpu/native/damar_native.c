@@ -846,6 +846,60 @@ void canon_kmers(const uint8_t *bases, int64_t n, const int32_t *read_id,
  */
 #define VBL 16
 
+/* Chunk-local char prefill: each lane's rows consume CONTIGUOUS A and
+ * B byte ranges (the band frame advances one diagonal per row), so the
+ * per-row scalar gathers (int64 mul + clamp + load per lane — the row
+ * loop's main cost next to the vectorized bit ops) become one bounded
+ * copy per lane per BP_FILL-row sub-chunk, and the row loop reads the
+ * lane-contiguous buffers with plain vector loads.  Out-of-range
+ * indices reproduce bp_char's clamping exactly (the clamped bytes are
+ * mask-neutralized garbage, but bit-identity is kept byte-for-byte). */
+#define BP_FILL 256
+
+static inline void bp_fill_a(const uint8_t *A, int64_t na, int64_t base,
+                             int64_t sgn, int64_t v0, int n,
+                             uint8_t *dst, int l) {
+    /* dst[k*VBL + l] = A[clamp(base + sgn*(v0 + k))] & 3,  k < n */
+    int64_t s0 = base + sgn * v0;
+    int64_t lo, hi;                       /* in-range k interval */
+    if (sgn > 0) {
+        lo = s0 < 0 ? -s0 : 0;
+        hi = na - s0;
+    } else {
+        lo = s0 - (na - 1) > 0 ? s0 - (na - 1) : 0;
+        hi = s0 + 1;
+    }
+    if (lo > n) lo = n;
+    if (hi > n) hi = n;
+    if (hi < lo) hi = lo;
+    uint8_t head = (uint8_t)(A[sgn > 0 ? 0 : na - 1] & 3);
+    uint8_t tail = (uint8_t)(A[sgn > 0 ? na - 1 : 0] & 3);
+    for (int64_t k = 0; k < lo; k++) dst[k * VBL + l] = head;
+    if (sgn > 0) {
+        const uint8_t *src = A + s0;
+        for (int64_t k = lo; k < hi; k++)
+            dst[k * VBL + l] = src[k] & 3;
+    } else {
+        for (int64_t k = lo; k < hi; k++)
+            dst[k * VBL + l] = A[s0 - k] & 3;
+    }
+    for (int64_t k = hi; k < n; k++) dst[k * VBL + l] = tail;
+}
+
+static inline void bp_fill_b(const uint8_t *B, int64_t nb, int64_t base,
+                             int64_t sgn, int64_t p0, int32_t bl, int n,
+                             uint8_t *dst, int l) {
+    /* dst[k*VBL + l] = (B[clamp(base + sgn*(p0+k))] & 3) << 1
+     *                  | (0 <= p0+k < bl),  k < n */
+    for (int64_t k = 0; k < n; k++) {
+        int64_t p = p0 + k;
+        int64_t bi = base + sgn * p;
+        bi = bi < 0 ? 0 : (bi >= nb ? nb - 1 : bi);
+        dst[k * VBL + l] = (uint8_t)(((B[bi] & 3) << 1)
+                                     | (p >= 0 && p < bl));
+    }
+}
+
 static void bp_extend_group(const uint8_t *A, int64_t na,
                             const uint8_t *B, int64_t nb,
                             const int32_t *ao, const int32_t *bo,
@@ -881,34 +935,38 @@ static void bp_extend_group(const uint8_t *A, int64_t na,
     }
     int32_t rtot = 0;
     int any = 0;
+    uint8_t abuf[BP_FILL * VBL];
+    uint8_t bbuf[(BP_FILL + BP_BW) * VBL];
     for (int l = 0; l < VBL; l++) any |= act[l];
     while (any && rtot < max_rows) {
-        for (int l = 0; l < VBL; l++) {
-            PH[l] = PL[l] = PV[l] = 0;
-            for (int j = 0; j < BP_BW; j++) {
-                int32_t p = vbb[l] - 1 + j;
-                int64_t bi = rv[l] ? (int64_t)boo[l] - 1 - p
-                                   : (int64_t)boo[l] + p;
-                uint32_t c = (uint32_t)bp_char(B, nb, bi);
-                PH[l] |= ((c >> 1) & 1u) << j;
-                PL[l] |= (c & 1u) << j;
-                PV[l] |= (uint32_t)(p >= 0 && p < bl[l]) << j;
-            }
-            died[l] = 0;
-        }
-        for (int r = 0; r < R; r++) {
-            int64_t av = (int64_t)rtot + r;
+        for (int r0 = 0; r0 < R; r0 += BP_FILL) {
+          int fl = R - r0 < BP_FILL ? R - r0 : BP_FILL;
+          for (int l = 0; l < VBL; l++) {
+              bp_fill_a(A, na, abase[l], sgn[l], (int64_t)rtot + r0,
+                        fl, abuf, l);
+              bp_fill_b(B, nb, bbase[l], sgn[l],
+                        (int64_t)vbb[l] - 1 + r0, bl[l], fl + BP_BW,
+                        bbuf, l);
+          }
+          if (r0 == 0) {
             for (int l = 0; l < VBL; l++) {
-                int64_t ai = abase[l] + sgn[l] * av;
-                ai = ai < 0 ? 0 : (ai >= na ? na - 1 : ai);
-                ach[l] = (uint32_t)(A[ai] & 3);
+                PH[l] = PL[l] = PV[l] = 0;
+                for (int j = 0; j < BP_BW; j++) {
+                    uint32_t w = bbuf[j * VBL + l];
+                    PH[l] |= ((w >> 2) & 1u) << j;
+                    PL[l] |= ((w >> 1) & 1u) << j;
+                    PV[l] |= (w & 1u) << j;
+                }
+                died[l] = 0;
             }
+          }
+          for (int rr = 0; rr < fl; rr++) {
+            int r = r0 + rr;
+            const uint8_t *arow = abuf + (size_t)rr * VBL;
+            const uint8_t *brow = bbuf + ((size_t)rr + BP_BW) * VBL;
             for (int l = 0; l < VBL; l++) {
-                int32_t nbp = vbb[l] + r + BP_BW - 1;
-                int64_t bi = bbase[l] + sgn[l] * nbp;
-                bi = bi < 0 ? 0 : (bi >= nb ? nb - 1 : bi);
-                bch[l] = ((uint32_t)(B[bi] & 3) << 1)
-                         | (uint32_t)(nbp >= 0 && nbp < bl[l]);
+                ach[l] = arow[l];
+                bch[l] = brow[l];
             }
             for (int l = 0; l < VBL; l++)
                 Eq[l] = bp_eq(PH[l], PL[l], PV[l], ach[l]);
@@ -945,6 +1003,7 @@ static void bp_extend_group(const uint8_t *A, int64_t na,
                 PL[l] = (PL[l] >> 1) | ((c & 1u) << (BP_BW - 1));
                 PV[l] = (PV[l] >> 1) | (v << (BP_BW - 1));
             }
+          }
         }
         int32_t t = rtot + R;
         for (int l = 0; l < VBL; l++) {
@@ -1033,6 +1092,8 @@ static void bp_trace_group(const uint8_t *A, int64_t na,
         done[l] = prev_vb[l] = ns[l] = ds[l] = 0;
     }
     int any = 0;
+    uint8_t abuf[BP_FILL * VBL];
+    uint8_t bbuf[(BP_FILL + BP_BW) * VBL];
     for (int l = 0; l < VBL; l++) any |= done[l] < al[l];
     while (any) {
         int32_t max_rows_g = 0;
@@ -1047,23 +1108,35 @@ static void bp_trace_group(const uint8_t *A, int64_t na,
                 segr[l] = 0;
             }
             if (segr[l] > max_rows_g) max_rows_g = segr[l];
-            PH[l] = PL[l] = PV[l] = 0;
-            for (int j = 0; j < BP_BW; j++) {
-                int32_t p = vbb[l] - 1 + j;
-                uint32_t c = (uint32_t)bp_char(B, nb, bor[l] + p);
-                PH[l] |= ((c >> 1) & 1u) << j;
-                PL[l] |= (c & 1u) << j;
-                PV[l] |= (uint32_t)(p >= 0 && p < bl[l]) << j;
-            }
         }
-        for (int r = 0; r < max_rows_g; r++) {
+        for (int r0 = 0; r0 < max_rows_g; r0 += BP_FILL) {
+          int fl = max_rows_g - r0 < BP_FILL ? max_rows_g - r0
+                                             : BP_FILL;
+          for (int l = 0; l < VBL; l++) {
+              bp_fill_a(A, na, aor[l], 1, (int64_t)done[l] + r0, fl,
+                        abuf, l);
+              bp_fill_b(B, nb, bor[l], 1, (int64_t)vbb[l] - 1 + r0,
+                        bl[l], fl + BP_BW, bbuf, l);
+          }
+          if (r0 == 0) {
+            for (int l = 0; l < VBL; l++) {
+                PH[l] = PL[l] = PV[l] = 0;
+                for (int j = 0; j < BP_BW; j++) {
+                    uint32_t w = bbuf[j * VBL + l];
+                    PH[l] |= ((w >> 2) & 1u) << j;
+                    PL[l] |= ((w >> 1) & 1u) << j;
+                    PV[l] |= (w & 1u) << j;
+                }
+            }
+          }
+          for (int rr = 0; rr < fl; rr++) {
+            int r = r0 + rr;
+            const uint8_t *arow = abuf + (size_t)rr * VBL;
+            const uint8_t *brow = bbuf + ((size_t)rr + BP_BW) * VBL;
             for (int l = 0; l < VBL; l++) {
                 go[l] = r < segr[l];
-                ach[l] = (uint32_t)bp_char(A, na,
-                                           aor[l] + done[l] + r);
-                int32_t nbp = vbb[l] + r + BP_BW - 1;
-                bch[l] = ((uint32_t)bp_char(B, nb, bor[l] + nbp) << 1)
-                         | (uint32_t)(nbp >= 0 && nbp < bl[l]);
+                ach[l] = arow[l];
+                bch[l] = brow[l];
             }
             for (int l = 0; l < VBL; l++)
                 Eq[l] = bp_eq(PH[l], PL[l], PV[l], ach[l]);
@@ -1095,6 +1168,7 @@ static void bp_trace_group(const uint8_t *A, int64_t na,
                 PL[l] = (PLn & gm) | (PL[l] & ~gm);
                 PV[l] = (PVn & gm) | (PV[l] & ~gm);
             }
+          }
         }
         for (int l = 0; l < VBL; l++) {
             if (done[l] >= al[l]) continue;       /* frozen lane */
