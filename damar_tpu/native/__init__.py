@@ -169,6 +169,10 @@ def _lib():
                 ctypes.c_int32, ctypes.c_int32,
                 i32p, i32p, u8p, i64p]
             lib.fill_hits_strand.restype = i64
+            lib.self_hit_counts.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), i64,
+                ctypes.c_uint32, i64, i64p, i64p]
+            lib.self_hit_counts.restype = None
             _LIB = lib
     return _LIB
 
@@ -513,6 +517,26 @@ def run_firsts(codes: np.ndarray):
         c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         np.int64(n), p64(starts), p64(cnt))
     return starts[:n], cnt[:n]
+
+
+def self_hit_counts(codes: np.ndarray, inval: int, tmax: int):
+    """Fused self-pair tuple counts — one C pass producing the
+    (lo, c) arrays seeding_host's self_pair branch derives from
+    run_firsts + rank/ok/where.  Returns (lo int64[n], c int64[n]) or
+    None when native is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    cc = np.ascontiguousarray(codes, dtype=np.uint32)
+    n = len(cc)
+    lo = np.empty(max(n, 1), np.int64)
+    c = np.empty(max(n, 1), np.int64)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.self_hit_counts(
+        cc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.int64(n), ctypes.c_uint32(inval), np.int64(tmax),
+        p64(lo), p64(c))
+    return lo[:n], c[:n]
 
 
 def fill_hits_strand(a_pos2, b_pos2, lo, c, cap: int, b_rid, b_starts,

@@ -1768,3 +1768,32 @@ int64_t fill_hits_strand(const int32_t *a_pos2, const int32_t *b_pos2,
     free(cum);
     return nhits;
 }
+
+/* self_hit_counts: fused self-pair tuple counts for the canonical
+ * seeding path — one pass producing what seeding_host's self_pair
+ * branch derives from run_firsts in five array passes:
+ *   lo[i] = segment start index of i's equal-code run
+ *   c[i]  = i's rank within its run when the code is live
+ *           (code != inval and run length <= tmax), else 0
+ */
+void self_hit_counts(const uint32_t *codes, int64_t n, uint32_t inval,
+                     int64_t tmax, int64_t *lo, int64_t *c) {
+    int64_t s = 0;
+    for (int64_t i = 1; i <= n; i++) {
+        if (i == n || codes[i] != codes[s]) {
+            int64_t len = i - s;
+            if (codes[s] != inval && len <= tmax) {
+                for (int64_t j = s; j < i; j++) {
+                    lo[j] = s;
+                    c[j] = j - s;
+                }
+            } else {
+                for (int64_t j = s; j < i; j++) {
+                    lo[j] = s;
+                    c[j] = 0;
+                }
+            }
+            s = i;
+        }
+    }
+}

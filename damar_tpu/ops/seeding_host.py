@@ -116,11 +116,16 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
     nb = blk_b.bases.shape[0]
     if self_pair:
         bc, bp2 = ac, ap2
-        starts, cnt = _run_firsts(ac)
-        lo = starts
-        rank = np.arange(len(ac), dtype=np.int64) - starts
-        ok = (ac != np.uint32(inval)) & (cnt <= t)
-        c = np.where(ok, rank, 0)
+        from damar_tpu import native
+        res = native.self_hit_counts(ac, inval, t)
+        if res is not None:
+            lo, c = res
+        else:
+            starts, cnt = _run_firsts(ac)
+            lo = starts
+            rank = np.arange(len(ac), dtype=np.int64) - starts
+            ok = (ac != np.uint32(inval)) & (cnt <= t)
+            c = np.where(ok, rank, 0)
         want_raw = min(raw_hint or nb // 2, hit_cap)
     else:
         bc, bp2 = _canon_index(blk_b.bases, blk_b.read_id, k, mb)

@@ -59,12 +59,15 @@ def test_fused_fill_matches_numpy_path(self_pair, cap):
             hit_cap=cap, seed_cap=1 << 15, self_pair=self_pair)
 
     a = run()
-    real = native.fill_hits_strand
+    real_fill = native.fill_hits_strand
+    real_shc = native.self_hit_counts
     native.fill_hits_strand = lambda *args, **kw: None
+    native.self_hit_counts = lambda *args, **kw: None
     try:
         b = run()
     finally:
-        native.fill_hits_strand = real
+        native.fill_hits_strand = real_fill
+        native.self_hit_counts = real_shc
     assert a.keys() == b.keys()
     for k in a:
         va, vb = a[k], b[k]
