@@ -34,7 +34,7 @@ blim = jnp.full(S, L, jnp.int32)
 print(f"# backend={jax.default_backend()}", file=sys.stderr)
 
 def timeit(label, fn, n=3):
-    fn()  # compile
+    jax.block_until_ready(fn())  # compile + drain (async backend)
     t0 = time.time()
     for _ in range(n):
         r = fn()
@@ -47,6 +47,8 @@ for R in (64, 128, 256, 1024):
     dt = timeit(f"extend S={S} rows={L} R={R}", lambda R=R: extend_wave_bp(
         a_bases, a_bases, aorigin, borigin, alim, blim, R=R,
         max_rows=L))
+    # ns/row assumes full-length extension (near-identical pair: no
+    # early X-drop termination on this workload)
     print(f"  -> {dt/L*1e9:.0f} ns/batch-row", file=sys.stderr)
 
 dt = timeit("trace S=1024 rows=8192", lambda: trace_wave_bp(

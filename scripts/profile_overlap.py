@@ -19,7 +19,7 @@ jax.config.update("jax_compilation_cache_dir",
                   "/root/.cache/damar_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-from damar_tpu.core.blocks import block_from_reads
+from damar_tpu.core.blocks import block_from_reads, revcomp_block
 from damar_tpu.core.config import OverlapConfig
 from damar_tpu.pipeline import overlap as ov
 from damar_tpu.utils.sim import make_genome, sample_reads
@@ -31,6 +31,7 @@ g = make_genome(GENOME, seed=2024)
 sim = sample_reads(g, coverage=20.0, mean_len=6_000, err=0.14,
                    seed=2025)
 blk = block_from_reads(sim.reads)
+blk_rc = revcomp_block(blk)
 
 
 def _arg(name, default, cast=int):
@@ -48,7 +49,7 @@ hints: dict = {}
 
 def run_once(label):
     t_all = time.time()
-    blk_b_rc = __import__("damar_tpu.core.blocks", fromlist=["revcomp_block"]).revcomp_block(blk)
+    blk_b_rc = blk_rc
     host = ov._host_compute_enabled()
     t0 = time.time()
     if host:
@@ -82,6 +83,11 @@ def run_once(label):
     seeds = run_seeding(kw)
     t_seed = time.time() - t0
     hints["raw"] = seeds["total_hits"]
+    if seeds.get("overflow"):
+        print(f"# WARNING: seeding buffers saturated "
+              f"(hits {seeds['total_hits']}, seeds {seeds['nseeds']}) — "
+              "phase times understate real work; raise hit_cap/seed_cap",
+              file=sys.stderr)
 
     t0 = time.time()
     seeds = ov.dedupe_anchor_seeds(seeds)
