@@ -146,10 +146,6 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
     d = phase("scrub")
     frlen = {i: int(fdb.reads["rlen"][i]) for i in range(fdb.ureads)}
 
-    def seqs_of_fix(i, comp):
-        s = fdb.read_seq(i)
-        return revcomp(s) if comp else s
-
     filt_path = os.path.join(workdir, "FIX.filtered.las")
     if not os.path.exists(filt_path):
         # columnar merge of the per-block rounds (no per-record
@@ -172,14 +168,46 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
                 _reads_subset_block(fdb, stitched, needs, side="b"),
                 cfg.overlap)
         idx = {i: i for i in range(fdb.ureads)}
+        # LAq + LAgap on the fixed DB: trim to the good interval, cut
+        # chimeric junctions, persist q/trim tracks, then clip every
+        # record into trimmed coordinates (OGbuild -t parity) so the
+        # graph stage works on the trimmed read universe
+        qual, trim = scrub.q_and_trim(stitched, frlen, cfg.scrub)
+        breaks = scrub.gap_breaks(stitched, frlen, cfg.scrub)
+        trim = scrub.gap_trim(trim, breaks, ts=cfg.overlap.tspace)
+        tracks.write_track(fix_db, scrub.q_track(qual, fdb.ureads, idx))
+        tracks.write_track(fix_db,
+                           scrub.trim_track(trim, fdb.ureads, idx))
+        stitched = scrub.clip_las_to_trim(stitched, frlen, trim)
+        trlen_arr = np.array([max(trim.get(i, (0, frlen[i]))[1]
+                                  - trim.get(i, (0, frlen[i]))[0], 0)
+                              for i in range(fdb.ureads)], np.int64)
         rep = masking.repeat_track_relative(
-            stitched, fdb.reads["rlen"], idx, fdb.ureads,
+            stitched, trlen_arr, idx, fdb.ureads,
             cfg.mask.rep_low, cfg.mask.rep_high)
         filt = scrub.filter_las(
-            stitched, frlen, cfg.scrub,
+            stitched, {i: int(trlen_arr[i]) for i in range(fdb.ureads)},
+            cfg.scrub,
             {i: rep.data[i] for i in range(fdb.ureads)})
         lasmod.write_las(filt_path, filt)
     filt = lasmod.read_las(filt_path)
+    # trimmed read universe for the graph stage (resume-safe: the trim
+    # track is on disk before the filtered .las exists)
+    trim_tr = tracks.read_track(fix_db, "trim") \
+        if tracks.track_exists(fix_db, "trim") else None
+
+    def trim_of_read(i):
+        if trim_tr is not None and len(trim_tr.data[i]) == 2:
+            return int(trim_tr.data[i][0]), int(trim_tr.data[i][1])
+        return 0, frlen[i]
+
+    trim_bounds = {i: trim_of_read(i) for i in range(fdb.ureads)}
+    trlen = {i: max(te - tb, 0) for i, (tb, te) in trim_bounds.items()}
+
+    def seqs_of_trimmed(i, comp):
+        tb, te = trim_bounds[i]
+        s = fdb.read_seq(i)[tb:te]
+        return revcomp(s) if comp else s
     from damar_tpu.formats.oflags import OVL_DISCARD
     from damar_tpu.formats.las import H_FLAGS
     if filt.columns is not None:
@@ -193,7 +221,7 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
     # ---- 7. assemble ------------------------------------------------------
     d = phase("assemble")
     contigs, tours, graph = assemble(
-        filt, frlen, seqs_of_fix, fuzz=cfg.scrub.filter_fuzz,
+        filt, trlen, seqs_of_trimmed, fuzz=cfg.scrub.filter_fuzz,
         min_dovetail=cfg.tour.min_dovetail,
         spur_len=cfg.tour.spur_len, bubble_max=cfg.tour.bubble_max)
     if polish:
@@ -201,8 +229,9 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         from damar_tpu.pipeline.touring import dedupe_contained_contigs
         out = []
         for c, t in zip(contigs, tours):
-            lay = full_layout(tour_layout(t, seqs_of_fix), filt, frlen)
-            out.append(polish_rounds(c, lay, seqs_of_fix,
+            lay = full_layout(tour_layout(t, seqs_of_trimmed), filt,
+                              trlen)
+            out.append(polish_rounds(c, lay, seqs_of_trimmed,
                                      circular=t.circular))
         # polished contigs expose duplicate repeat-branch walks
         contigs, tours = dedupe_contained_contigs(out, tours)

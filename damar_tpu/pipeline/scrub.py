@@ -25,7 +25,7 @@ from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD, H_BBPOS,
                                    H_BEPOS, H_BREAD, H_DIFFS, H_FLAGS,
                                    H_TLEN, LasColumns, LasFile, Overlap,
                                    _decode_trace, _overlaps_to_columns,
-                                   n_segments)
+                                   encode_trace_columns, n_segments)
 from damar_tpu.formats.oflags import (
     OVL_COMP, OVL_CONT, OVL_DISCARD, OVL_GAP, OVL_LOCAL, OVL_REPEAT,
     OVL_STITCH)
@@ -395,6 +395,144 @@ def gap_breaks(las: LasFile, rlen_of: dict[int, int], cfg: ScrubConfig
     return breaks
 
 
+def gap_trim(trim: dict[int, tuple[int, int]],
+             breaks: dict[int, list[int]], ts: int | None = None
+             ) -> dict[int, tuple[int, int]]:
+    """LAgap's trim update: a read with consistent pile breaks keeps
+    only its LONGEST good sub-interval between breaks (the reference
+    trims/splits chimeric reads; downstream consumers see the trim
+    track, so keeping one side is equivalent to a split whose shorter
+    parts are dropped — upstream MARVEL/scrub/LAgap.c, mount empty).
+
+    ts: snap interior cut positions to tspace boundaries so trimmed
+    coordinates keep trace segments phase-aligned (clip_las_to_trim
+    requires ts-aligned trim starts)."""
+    out = dict(trim)
+    for a, bs in breaks.items():
+        tb, te = out.get(a, (0, 0))
+        if te <= tb:
+            continue
+        cuts = [tb] + sorted(p for p in bs if tb < p < te) + [te]
+        k = int(np.argmax(np.diff(cuts)))
+        lo, hi = cuts[k], cuts[k + 1]
+        if ts:
+            if lo != tb:
+                lo = -(-lo // ts) * ts          # ceil to boundary
+            if hi != te:
+                hi = (hi // ts) * ts            # floor to boundary
+        out[a] = (lo, hi) if hi > lo else (0, 0)
+    return out
+
+
+def clip_las_to_trim(las: LasFile, rlen_of: dict[int, int],
+                     trim_of: dict[int, tuple[int, int]]) -> LasFile:
+    """Rewrite every record into TRIMMED coordinates (OGbuild -t
+    parity; upstream MARVEL/touring/OGbuild.c trim handling, mount
+    empty): alignments are clipped to the trim windows of both reads
+    at trace-segment granularity, coordinates shift so that position 0
+    is the trim start, and records with no surviving segment (or on an
+    empty-trim read) are dropped.  Downstream stages (filter, graph,
+    touring, polish) then operate on the trimmed read universe
+    unchanged — read r's sequence is seq[tb:te] and its length te-tb.
+
+    Requires trim starts at tspace boundaries (q_and_trim emits them
+    that way; gap_trim snaps its cuts with ts=) so the absolute-
+    boundary trace invariant survives the shift.  Fully columnar: one
+    pass over the trace tensor, no per-record objects."""
+    cols = _cols_of(las)
+    ts = las.tspace
+    small = las.small
+    n = cols.n
+    if n == 0:
+        return LasFile(tspace=ts, columns=LasColumns.empty())
+    h = cols.headers
+    rows = _decode_trace(cols.trace, small)
+    seg_off = (cols.offsets // (2 if small else 4)).astype(np.int64)
+    lens = np.diff(seg_off)
+    m = rows.shape[0]
+    rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    k = np.arange(m, dtype=np.int64) - np.repeat(seg_off[:-1], lens)
+    abp = h[:, H_ABPOS].astype(np.int64)
+    aep = h[:, H_AEPOS].astype(np.int64)
+    bbp = h[:, H_BBPOS].astype(np.int64)
+    ar = h[:, H_AREAD].astype(np.int64)
+    br = h[:, H_BREAD].astype(np.int64)
+    comp = (h[:, H_FLAGS] & OVL_COMP) != 0
+    size = int(max(ar.max(), br.max())) + 1
+    lo_t, hi_t = trim_luts(rlen_of, trim_of, size)
+    rl = np.zeros(size, np.int64)
+    for r, L in rlen_of.items():
+        if 0 <= r < size:
+            rl[r] = L
+    wa0, wa1 = lo_t[ar], hi_t[ar]
+    wb0 = np.where(comp, rl[br] - hi_t[br], lo_t[br])
+    wb1 = np.where(comp, rl[br] - lo_t[br], hi_t[br])
+    # per-segment a/b intervals (absolute-boundary trace convention)
+    a0 = np.maximum(abp[rid], (abp[rid] // ts + k) * ts)
+    a1 = np.minimum(aep[rid], (abp[rid] // ts + k + 1) * ts)
+    bspan = rows[:, 1].astype(np.int64)
+    cum = np.cumsum(bspan)
+    s0 = np.minimum(seg_off[:-1], max(m - 1, 0))
+    base = np.repeat(cum[s0] - bspan[s0], lens)
+    b0 = bbp[rid] + (cum - bspan - base)
+    b1 = b0 + bspan
+    keep = ((a0 >= wa0[rid]) & (a1 <= wa1[rid])
+            & (b0 >= wb0[rid]) & (b1 <= wb1[rid]))
+    kidx = np.nonzero(keep)[0]
+    krid = rid[kidx]
+    first = np.searchsorted(krid, np.arange(n), "left")
+    last = np.searchsorted(krid, np.arange(n), "right")
+    has = last > first
+    hidx = np.nonzero(has)[0]
+    if not len(hidx):
+        return LasFile(tspace=ts, columns=LasColumns.empty())
+    fk = kidx[first[hidx]]                 # first kept segment row
+    lk = kidx[last[hidx] - 1]              # last kept segment row
+    # keep the contiguous [fk, lk] run (b intervals are monotonic, so
+    # interior segments of the run always satisfy the window tests)
+    dec = np.zeros(m + 1, np.int64)
+    np.add.at(dec, lk + 1, 1)
+    inc = np.zeros(m + 1, np.int64)
+    np.add.at(inc, fk, 1)
+    cover = np.cumsum(inc[:-1] - dec[:-1]) > 0
+    new_rows = rows[cover]
+    new_lens = lk - fk + 1
+    cumd = np.cumsum(rows[:, 0].astype(np.int64))
+    diffs = cumd[lk] - cumd[fk] + rows[fk, 0]
+    hdr = h[hidx].copy()
+    hdr[:, H_ABPOS] = (a0[fk] - wa0[hidx]).astype(np.int32)
+    hdr[:, H_AEPOS] = (a1[lk] - wa0[hidx]).astype(np.int32)
+    hdr[:, H_BBPOS] = (b0[fk] - wb0[hidx]).astype(np.int32)
+    hdr[:, H_BEPOS] = (b1[lk] - wb0[hidx]).astype(np.int32)
+    hdr[:, H_DIFFS] = diffs.astype(np.int32)
+    hdr[:, H_TLEN] = (2 * new_lens).astype(np.int32)
+    new_off = np.zeros(len(hidx) + 1, np.int64)
+    np.cumsum(new_lens, out=new_off[1:])
+    payload, boffs = encode_trace_columns(new_rows, new_off, small)
+    res = LasFile(tspace=ts, columns=LasColumns(hdr, payload, boffs))
+    res.sort()
+    return res
+
+
+def trim_luts(rlen_of: dict[int, int],
+              trim_of: dict[int, tuple[int, int]] | None,
+              size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-read-id effective (lo, hi) coordinate bound LUTs: the trim
+    interval when present, else the full read (OGbuild -t semantics).
+    Built once per call over reads (not records) and gathered by the
+    columnar consumers."""
+    lo = np.zeros(size, np.int64)
+    hi = np.zeros(size, np.int64)
+    for r, rl in rlen_of.items():
+        if 0 <= r < size:
+            hi[r] = rl
+    if trim_of:
+        for r, (tb, te) in trim_of.items():
+            if 0 <= r < size:
+                lo[r], hi[r] = tb, te
+    return lo, hi
+
+
 # --- LAfilter ---------------------------------------------------------------
 
 def classify(o: Overlap, alen: int, blen: int, fuzz: int = 25) -> str:
@@ -416,11 +554,19 @@ def classify(o: Overlap, alen: int, blen: int, fuzz: int = 25) -> str:
 
 def filter_las(las: LasFile, rlen_of: dict[int, int],
                cfg: ScrubConfig, repeat_iv: dict[int, np.ndarray] | None
-               = None) -> LasFile:
+               = None, trim_of: dict[int, tuple[int, int]] | None = None
+               ) -> LasFile:
     """LAfilter equivalent: flag discard on local, short, high-error,
     and repeat-only alignments; keep dovetails + containments.
     Columnar: every rule is an elementwise predicate on the record
-    headers."""
+    headers.
+
+    trim_of: per-read usable interval (LAq/LAgap trim track).  When
+    given, dovetail/containment classification runs against the trim
+    boundaries instead of the raw read ends, alignments entirely
+    outside a trim interval are discarded, and reads with an empty
+    trim lose all their records (the reference's LAfilter -t /
+    OGbuild -t contract — upstream-path citation, mount empty)."""
     cols = _cols_of(las)
     n = cols.n
     if n == 0:
@@ -432,17 +578,30 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
     for a, rl in rlen_of.items():
         if 0 <= a < len(lut):
             lut[a] = rl
-    alen = lut[np.clip(h[:, H_AREAD], 0, len(lut) - 1)]
-    blen = lut[np.clip(h[:, H_BREAD], 0, len(lut) - 1)]
+    ai = np.clip(h[:, H_AREAD], 0, len(lut) - 1)
+    bi = np.clip(h[:, H_BREAD], 0, len(lut) - 1)
+    alen = lut[ai]
+    blen = lut[bi]
     keep = (alen >= 0) & (blen >= 0)
 
     abp, aep = h[:, H_ABPOS], h[:, H_AEPOS]
     bbp, bep = h[:, H_BBPOS], h[:, H_BEPOS]
     fuzz = cfg.filter_fuzz
-    a_l = abp <= fuzz
-    a_r = aep >= alen - fuzz
-    b_l = bbp <= fuzz
-    b_r = bep >= blen - fuzz
+    comp = (h[:, H_FLAGS] & OVL_COMP) != 0
+    lo_t, hi_t = trim_luts(rlen_of, trim_of, len(lut))
+    a_lo, a_hi = lo_t[ai], hi_t[ai]
+    # COMP records carry b coordinates in the flipped frame: the trim
+    # interval [lo, hi) maps to [blen - hi, blen - lo)
+    b_lo = np.where(comp, blen - hi_t[bi], lo_t[bi])
+    b_hi = np.where(comp, blen - lo_t[bi], hi_t[bi])
+    if trim_of is not None:
+        # record must overlap both trim windows; empty-trim reads die
+        keep &= (np.minimum(aep, a_hi) - np.maximum(abp, a_lo) > 0) \
+            & (np.minimum(bep, b_hi) - np.maximum(bbp, b_lo) > 0)
+    a_l = abp <= a_lo + fuzz
+    a_r = aep >= a_hi - fuzz
+    b_l = bbp <= b_lo + fuzz
+    b_r = bep >= b_hi - fuzz
     a_cont = a_l & a_r
     b_cont = ~a_cont & b_l & b_r
     dove = ~a_cont & ~b_cont & ((a_r & b_l) | (a_l & b_r))

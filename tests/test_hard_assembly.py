@@ -94,3 +94,63 @@ class TestMultiblockPipeline:
         _, seqs = read_fasta(rep["contig_fasta"])
         total = sum(len(s) for s in seqs)
         assert total > 0.85 * len(g), f"{total} vs {len(g)}"
+
+
+class TestSharedJunctionChimeras:
+    """LAgap's raison d'etre: chimeras sharing one junction cover each
+    other's junction segment, so LAfix's uncovered-gap split keeps
+    them intact — only pile-break detection (gap_breaks -> gap_trim ->
+    clip) can stop them fusing unrelated sequence."""
+
+    def test_chimeras_do_not_fuse_genomes(self, tmp_path):
+        from damar_tpu.formats.fasta import read_fasta, write_fasta
+        from damar_tpu.pipeline.run import run_pipeline
+        from damar_tpu.utils.sim import make_genome, mutate, sample_reads
+
+        g1 = make_genome(40_000, seed=51)
+        g2 = make_genome(40_000, seed=52)
+        s1 = sample_reads(g1, coverage=12, mean_len=4000, err=0.12,
+                          seed=53, circular=False)
+        s2 = sample_reads(g2, coverage=12, mean_len=4000, err=0.12,
+                          seed=54, circular=False)
+        rng = np.random.default_rng(55)
+        reads = list(s1.reads) + list(s2.reads)
+        # two BRIDGE chimeras with the SAME junction (g1 end -> g2
+        # start, the missed-adapter artifact): they dovetail cleanly
+        # into both genomes' end piles, so without a pile-break the
+        # tour walks straight through and fuses the genomes
+        for off_l, off_r in ((4000, 4000), (5000, 3000)):
+            left = mutate(g1[40_000 - off_l:], 0.12, rng)
+            right = mutate(g2[:off_r], 0.12, rng)
+            reads.append(np.concatenate([left, right]))
+        fa = os.path.join(str(tmp_path), "reads.fasta")
+        write_fasta(fa, [f"read/{i}/0_{len(r)}"
+                         for i, r in enumerate(reads)], reads)
+        rep = run_pipeline(fa, str(tmp_path), polish=True, verbose=False)
+        _, contigs = read_fasta(rep["contig_fasta"])
+        assert len(contigs) >= 2, "genomes fused into one contig"
+
+        def kmer_set(g):
+            s = set()
+            b = bytes(g.astype(np.uint8))
+            rb = bytes((g[::-1] ^ 3).astype(np.uint8))
+            for src in (b, rb):
+                for p in range(0, len(src) - 16):
+                    s.add(src[p:p + 16])
+            return s
+
+        k1, k2 = kmer_set(g1), kmer_set(g2)
+        saw = {1: False, 2: False}
+        for c in contigs:
+            cb = bytes(c.astype(np.uint8))
+            kms = [cb[p:p + 16] for p in range(0, len(cb) - 16, 7)]
+            h1 = sum(1 for x in kms if x in k1)
+            h2 = sum(1 for x in kms if x in k2)
+            tot = max(h1 + h2, 1)
+            assert min(h1, h2) / tot < 0.05, \
+                f"mixed contig: {h1} g1-kmers vs {h2} g2-kmers"
+            if h1 > h2:
+                saw[1] = True
+            else:
+                saw[2] = True
+        assert saw[1] and saw[2], "one genome missing from contigs"

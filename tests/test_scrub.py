@@ -178,3 +178,57 @@ class TestGapFilter:
         kinds = {(o.aread, o.bread): o.flags for o in f.overlaps}
         assert not (kinds[(0, 1)] & OVL_DISCARD)
         assert kinds[(0, 2)] & OVL_DISCARD
+
+
+class TestGapTrimClip:
+    def test_gap_trim_keeps_longest_side_snapped(self):
+        out = scrub.gap_trim({0: (0, 2200)}, {0: [950]}, ts=100)
+        assert out[0] == (1000, 2200)   # ceil-snapped interior cut
+        out = scrub.gap_trim({0: (0, 2200)}, {0: [1450]}, ts=100)
+        assert out[0] == (0, 1400)      # floor-snapped interior cut
+        # no breaks inside trim: unchanged
+        out = scrub.gap_trim({0: (300, 2200)}, {0: [100]}, ts=100)
+        assert out[0] == (300, 2200)
+
+    def test_clip_to_trim_segments(self):
+        t = np.array([[5, 100]] * 10, np.int32)
+        o = Overlap(0, 1, 0, 0, 1000, 0, 1000, 50, t)
+        las = LasFile(100, [o])
+        rlen = {0: 2200, 1: 1000}
+        clipped = scrub.clip_las_to_trim(las, rlen,
+                                         {0: (300, 2200), 1: (0, 1000)})
+        [c] = clipped.overlaps
+        assert (c.abpos, c.aepos) == (0, 700)    # 300..1000 shifted
+        assert (c.bbpos, c.bepos) == (300, 1000)
+        assert c.diffs == 35 and len(c.trace) == 7
+        # check_las invariants hold in the trimmed universe
+        from damar_tpu.formats.las import check_las
+        trlen = np.array([1900, 1000], np.int64)
+        errs = check_las(clipped, trlen, trlen)
+        assert not errs, errs
+
+    def test_clip_comp_record_uses_flipped_window(self):
+        t = np.array([[5, 100]] * 10, np.int32)
+        o = Overlap(0, 1, OVL_COMP, 0, 1000, 0, 1000, 50, t)
+        las = LasFile(100, [o])
+        rlen = {0: 1000, 1: 1200}
+        # b trim (0, 1100): in the comp record's flipped frame the
+        # window is [1200-1100, 1200) = [100, 1200) -> first segment
+        # (b in [0,100)) is clipped
+        clipped = scrub.clip_las_to_trim(las, rlen,
+                                         {0: (0, 1000), 1: (0, 1100)})
+        [c] = clipped.overlaps
+        assert (c.abpos, c.aepos) == (100, 1000)
+        assert (c.bbpos, c.bepos) == (0, 900)    # shifted by wb0=100
+        assert len(c.trace) == 9
+
+    def test_clip_drops_outside_and_empty_trim(self):
+        t = np.array([[5, 100]] * 5, np.int32)
+        o1 = Overlap(0, 1, 0, 0, 500, 0, 500, 25, t)
+        o2 = Overlap(2, 1, 0, 0, 500, 0, 500, 25, t)
+        las = LasFile(100, [o1, o2])
+        rlen = {0: 500, 1: 500, 2: 500}
+        clipped = scrub.clip_las_to_trim(
+            las, rlen, {0: (0, 0), 1: (0, 500), 2: (0, 500)})
+        assert clipped.novl == 1
+        assert clipped.overlaps[0].aread == 2
