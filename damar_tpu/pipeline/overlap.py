@@ -70,6 +70,15 @@ def _kernels(cfg: "OverlapConfig"):
         if _host_compute_enabled():
             return (_p(_native_bp_extend, R=cfg.bp_chunk),
                     _native_bp_trace)
+        import os
+        mode = os.environ.get("DAMAR_BP")
+        if mode != "jax" and (mode == "pallas"
+                              or jax.default_backend() != "cpu"):
+            # TPU production path: the fused Pallas bp kernels
+            # (bit-identical to the JAX twins and the C replicas)
+            from damar_tpu.ops.wave_bp_pallas import (extend_wave_bp_pl,
+                                                      trace_wave_bp_pl)
+            return _p(extend_wave_bp_pl, R=cfg.bp_chunk), trace_wave_bp_pl
         from damar_tpu.ops.wave_bp import extend_wave_bp, trace_wave_bp
         return _p(extend_wave_bp, R=cfg.bp_chunk), trace_wave_bp
     use = cfg.use_pallas

@@ -6,8 +6,12 @@ Safe on the tunneled TPU: pure in-process timing, no process kills.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
