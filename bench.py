@@ -25,8 +25,12 @@ import numpy as np
 
 REF_CPU_GBP_S = 0.050  # provisional: daligner-class socket, aligned Gbp/s
 
-# deterministic workload: ~2 Mbp of reads over a 100 kb genome
+# deterministic workloads over a simulated genome at 20x coverage:
+# small (~2 Mbp of reads, round-1 continuity) and large (~50 Mbp of
+# reads — a real chip cannot be filled by the small config; VERDICT r1
+# item 2).  The large config is the primary metric on the device path.
 GENOME = 100_000
+GENOME_LARGE = 2_500_000
 COVERAGE = 20.0
 MEAN_LEN = 6_000
 ERR = 0.14
@@ -50,7 +54,7 @@ def _device_responsive(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def _try_tpu_subprocess(budget_s: float = 1500.0) -> bool:
+def _try_tpu_subprocess(budget_s: float = 2400.0) -> bool:
     """Run the TPU bench in a subprocess with a hard wall budget.
 
     The tunneled chip has wedged MID-RUN in past sessions (probe passes,
@@ -123,56 +127,69 @@ def main() -> None:
     from damar_tpu.pipeline.overlap import overlap_block_pair
     from damar_tpu.utils.sim import make_genome, sample_reads
 
-    g = make_genome(GENOME, seed=SEED)
-    sim = sample_reads(g, coverage=COVERAGE, mean_len=MEAN_LEN,
-                       err=ERR, seed=SEED + 1)
-    blk = block_from_reads(sim.reads)
-    cfg = OverlapConfig()
-    total_bp = sum(len(r) for r in sim.reads)
-    print(f"# bench: {len(sim.reads)} reads, {total_bp} bp, "
-          f"block cap {blk.cap}, setup {time.time()-t_setup:.1f}s",
-          file=sys.stderr)
-
-    # warmup: compile everything on a same-shaped tiny pass; it also
-    # populates the size-hint state that right-sizes device buffers.
-    # A second warmup pass then compiles the right-sized shapes the
-    # measured pass will use (hints shrink the hit buffers).
-    hints: dict = {}
-    t0 = time.time()
-    overlap_block_pair(blk, blk, cfg, self_block=True,
-                       hit_cap=1 << 22, seed_cap=1 << 17,
-                       emit_mirrors=False, size_hints=hints)
-    overlap_block_pair(blk, blk, cfg, self_block=True,
-                       hit_cap=1 << 22, seed_cap=1 << 17,
-                       emit_mirrors=False, size_hints=hints)
-    print(f"# warmup(+compile): {time.time()-t0:.1f}s", file=sys.stderr)
+    def run_config(genome_bp: int, hit_cap: int, seed_cap: int,
+                   warmups: int, rounds: int, label: str):
+        t0 = time.time()
+        g = make_genome(genome_bp, seed=SEED)
+        sim = sample_reads(g, coverage=COVERAGE, mean_len=MEAN_LEN,
+                           err=ERR, seed=SEED + 1)
+        blk = block_from_reads(sim.reads)
+        cfg = OverlapConfig()
+        total_bp = sum(len(r) for r in sim.reads)
+        print(f"# bench[{label}]: {len(sim.reads)} reads, {total_bp} "
+              f"bp, block cap {blk.cap}, setup {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        # warmup compiles everything on identical shapes and populates
+        # the size-hint state that right-sizes device buffers
+        hints: dict = {}
+        t0 = time.time()
+        for _ in range(warmups):
+            overlap_block_pair(blk, blk, cfg, self_block=True,
+                               hit_cap=hit_cap, seed_cap=seed_cap,
+                               emit_mirrors=False, size_hints=hints)
+        print(f"# warmup(+compile): {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        # best of N: the shared VM's noisy neighbors add up to 2x wall
+        # variance; min wall is the machine's actual capability
+        wall = float("inf")
+        for _ in range(rounds):
+            t0 = time.time()
+            las_a, _, stats = overlap_block_pair(
+                blk, blk, cfg, self_block=True,
+                hit_cap=hit_cap, seed_cap=seed_cap, emit_mirrors=False,
+                size_hints=hints)
+            wall = min(wall, time.time() - t0)
+        aligned_bp = int(las_a.a_spans().sum())
+        gbp_s = aligned_bp / wall / 1e9
+        print(f"# [{label}] overlaps {las_a.novl}, aligned bp "
+              f"{aligned_bp}, wall {wall:.2f}s, "
+              f"{gbp_s:.4f} Gbp/s, stats {stats}", file=sys.stderr)
+        return gbp_s
 
     if profile_dir:
         import jax
-        jax.profiler.start_trace(profile_dir)
-    # best of 3: the shared VM's noisy neighbors add up to 2x wall
-    # variance; min wall is the machine's actual capability
-    wall = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        las_a, las_b, stats = overlap_block_pair(
-            blk, blk, cfg, self_block=True,
-            hit_cap=1 << 22, seed_cap=1 << 17, emit_mirrors=False,
-            size_hints=hints)
-        wall = min(wall, time.time() - t0)
-    if profile_dir:
-        jax.profiler.stop_trace()
-        print(f"# profile trace: {profile_dir}", file=sys.stderr)
-
-    aligned_bp = int(las_a.a_spans().sum())
-    gbp_s = aligned_bp / wall / 1e9
-    print(f"# overlaps {las_a.novl}, aligned bp {aligned_bp}, "
-          f"wall {wall:.2f}s, stats {stats}", file=sys.stderr)
+    small = run_config(GENOME, 1 << 22, 1 << 17, warmups=2, rounds=3,
+                       label="small-2Mbp")
+    if on_cpu:
+        gbp_s, config = small, "small-2Mbp"
+    else:
+        # the primary metric: a ~50 Mbp block self-overlap (the small
+        # config cannot fill a chip; per-launch latency dominates it)
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        gbp_s = run_config(GENOME_LARGE, 1 << 26, 1 << 21, warmups=1,
+                           rounds=2, label="large-50Mbp")
+        config = "large-50Mbp"
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"# profile trace: {profile_dir}", file=sys.stderr)
     print(json.dumps({
         "metric": "overlap_aligned_throughput",
         "value": round(gbp_s, 6),
         "unit": "Gbp-aligned/s/chip",
         "vs_baseline": round(gbp_s / REF_CPU_GBP_S, 3),
+        "config": config,
+        "small_gbp_s": round(small, 6),
     }))
 
 

@@ -30,6 +30,12 @@ class OverlapConfig:
                                 # CPU path; length-sorted batches stay
                                 # homogeneous enough for the lockstep
                                 # groups at this size)
+    seed_batch_dev: int = 8192  # device-kernel launch width: the
+                                # Pallas bp kernels gain ~6x lane
+                                # efficiency from 1024 -> 8192 (chip
+                                # microbench 15 -> 2.6 ps/seed-row)
+                                # and every launch pays the remote
+                                # dispatch latency of the tunnel
     max_read_len: int = 65536   # static bound on read length in kernels
     diff_cost: int = 5          # score = antidiag - diff_cost * diffs
     use_pallas: bool | None = None  # None = auto (Pallas on TPU,

@@ -256,9 +256,9 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
     n = seeds["nseeds"]
     if n == 0:
         return None
-    S = cfg.seed_batch
     ext_fn, _ = _kernels(cfg)
     host = getattr(ext_fn, "host_kernel", False)
+    S = cfg.seed_batch if host else cfg.seed_batch_dev
     if host:
         a_bases, b_bases = blk_a.bases, blk_b.bases
     elif dev_bases is not None:
@@ -587,6 +587,12 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
     ar, br = coords["ar"], coords["br"]
     abp, aep = coords["abp"], coords["aep"]
     bbp, bep = coords["bbp"], coords["bep"]
+    if "ast" in coords:
+        # pre-resolved absolute starts (merged launch stream over a
+        # concatenated oriented base pool)
+        astart, bstart = coords["ast"], coords["bst"]
+    else:
+        astart, bstart = a_starts[ar], b_starts[br]
     # bucket the trace buffer to the batch's real segment need (batches
     # are length-sorted, so the bucket is tight); power-of-two buckets
     # keep the compile cache small
@@ -600,8 +606,8 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
     trace_fn = kernel if kernel is not None else _kernels(cfg)[1]
     tr, nseg, dsum = trace_fn(
         a_bases, b_bases,
-        jnp.asarray(a_starts[ar].astype(np.int32)),
-        jnp.asarray(b_starts[br].astype(np.int32)),
+        jnp.asarray(astart.astype(np.int32)),
+        jnp.asarray(bstart.astype(np.int32)),
         jnp.asarray(abp), jnp.asarray(bbp),
         jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
         tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
@@ -983,141 +989,176 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
     if blk_b_rc is None:
         blk_b_rc = revcomp_block(blk_b)
     if emit_mirrors and blk_a_rc is None:
-        blk_a_rc = revcomp_block(blk_a)
-    a_bases = a_bases_d if a_bases_d is not None \
-        else jnp.asarray(blk_a.bases)
-    b_bases_f = jnp.asarray(blk_b.bases)
-    b_bases_c = jnp.asarray(blk_b_rc.bases)
+        blk_a_rc = blk_b_rc if blk_a is blk_b else revcomp_block(blk_a)
+    host = getattr(_kernels(cfg)[1], "host_kernel", False)
     sa = blk_a.starts.astype(np.int64)
     sb = blk_b.starts.astype(np.int64)
     alen = blk_a.rlen.astype(np.int32)
     blen = blk_b.rlen.astype(np.int32)
-    S = cfg.seed_batch
+    S = cfg.seed_batch if host else cfg.seed_batch_dev
 
-    def launch(kept: dict, mirrored: bool):
-        """Queue trace launches for primary or mirrored roles; returns
-        pending (handle, coords, comp, mirrored) tuples."""
+    # one oriented base pool [A fwd | B fwd | B rc | A rc] (identity-
+    # deduped for self pairs): EVERY role/orientation combination
+    # traces through a single launch stream against this pool, so a
+    # block pair costs ~2 trace launches instead of 4 groups x many
+    # batches — each launch pays the remote dispatch latency of the
+    # tunneled chip, and each jitted call is one device program.
+    srcs = [blk_a.bases, blk_b.bases, blk_b_rc.bases]
+    if emit_mirrors:
+        srcs.append(blk_a_rc.bases)
+    uniq: list = []
+    uniq_off: dict[int, int] = {}
+    offs: list[int] = []
+    for arr in srcs:
+        o = uniq_off.get(id(arr))
+        if o is None:
+            o = sum(len(u) for u in uniq)
+            uniq_off[id(arr)] = o
+            uniq.append(arr)
+        offs.append(o)
+    OA, OBF, OBC = offs[0], offs[1], offs[2]
+    OAR = offs[3] if emit_mirrors else 0
+    if host:
+        cat = np.concatenate(uniq) if len(uniq) > 1 else uniq[0]
+    else:
+        dev = {id(blk_a.bases): a_bases_d}
+        parts_d = [dev.get(id(u)) if dev.get(id(u)) is not None
+                   else jnp.asarray(u) for u in uniq]
+        cat = jnp.concatenate(parts_d) if len(parts_d) > 1 \
+            else parts_d[0]
+
+    def units_of(kept: dict, mirrored: bool) -> dict:
+        """Per-record trace-unit arrays for one (part, role) group:
+        role coordinates, absolute starts into the pool, and the
+        output header fields."""
         comp = kept["comp"]
-        out = []
+        n = kept["n"]
         if not mirrored:
-            cols = dict(ar=kept["aread"], br=kept["bread"],
-                        abp=kept["abpos"], aep=kept["aepos"],
-                        bbp=kept["bbpos"], bep=kept["bepos"])
-            ab, bbas, s0, s1 = a_bases, (b_bases_c if comp
-                                         else b_bases_f), sa, sb
+            u = dict(ar=kept["aread"], br=kept["bread"],
+                     abp=kept["abpos"], aep=kept["aepos"],
+                     bbp=kept["bbpos"], bep=kept["bepos"])
+            u["ast"] = (OA + sa[kept["aread"]]).astype(np.int64)
+            u["bst"] = ((OBC if comp else OBF)
+                        + sb[kept["bread"]]).astype(np.int64)
+            u["hdr_ar"] = blk_a.ids[kept["aread"]].astype(np.int32)
+            u["hdr_br"] = blk_b.ids[kept["bread"]].astype(np.int32)
         else:
-            # mirror: A-side = B fwd; B-side = A fwd (non-comp) or
-            # rc(A) (comp); reflected coordinates
             if not comp:
-                cols = dict(ar=kept["bread"], br=kept["aread"],
-                            abp=kept["bbpos"], aep=kept["bepos"],
-                            bbp=kept["abpos"], bep=kept["aepos"])
+                u = dict(ar=kept["bread"], br=kept["aread"],
+                         abp=kept["bbpos"], aep=kept["bepos"],
+                         bbp=kept["abpos"], bep=kept["aepos"])
             else:
                 bl = blen[kept["bread"]]
                 al = alen[kept["aread"]]
-                cols = dict(ar=kept["bread"], br=kept["aread"],
-                            abp=bl - kept["bepos"],
-                            aep=bl - kept["bbpos"],
-                            bbp=al - kept["aepos"],
-                            bep=al - kept["abpos"])
-            ab = b_bases_f
-            bbas = jnp.asarray(blk_a_rc.bases) if comp else a_bases
-            s0, s1 = sb, sa
-        order = np.argsort(cols["aep"] - cols["abp"],
-                           kind="stable")
-        for lo in range(0, len(order), S):
-            sel = order[lo:lo + S]
-            chunk = {k: v[sel] for k, v in cols.items()}
-            pend = _trace_launch(ab, bbas, s0, s1, chunk, cfg)
-            out.append((pend, chunk, comp, mirrored))
-        return out
+                u = dict(ar=kept["bread"], br=kept["aread"],
+                         abp=bl - kept["bepos"],
+                         aep=bl - kept["bbpos"],
+                         bbp=al - kept["aepos"],
+                         bep=al - kept["abpos"])
+            u["ast"] = (OBF + sb[kept["bread"]]).astype(np.int64)
+            u["bst"] = ((OAR if comp else OA)
+                        + sa[kept["aread"]]).astype(np.int64)
+            u["hdr_ar"] = blk_b.ids[kept["bread"]].astype(np.int32)
+            u["hdr_br"] = blk_a.ids[kept["aread"]].astype(np.int32)
+        u["comp"] = np.full(n, comp, np.int32)
+        u["mir"] = np.full(n, int(mirrored), np.int32)
+        return u
 
-    pending = []
-    for kp in kept_parts:
-        pending += launch(kp, mirrored=False)
+    groups = [units_of(kp, False) for kp in kept_parts if kp["n"]]
     if emit_mirrors:
-        for kp in kept_parts:
-            pending += launch(kp, mirrored=True)
-    all_res = _trace_harvest_all([p[0] for p in pending], cfg)
+        groups += [units_of(kp, True) for kp in kept_parts if kp["n"]]
     cols_a: list[LasColumns] = []
     cols_b: list[LasColumns] = []
     small = cfg.tspace <= TRACE_XOVR
+    UKEYS = ("ar", "br", "abp", "aep", "bbp", "bep", "ast", "bst",
+             "hdr_ar", "hdr_br", "comp", "mir")
 
-    def emit(chunk, res, comp, mirrored, retry_sink=None):
-        """Append one trace batch's surviving records as a columnar
-        .las shard (no per-record objects: block pairs emit 10^5-10^6
-        records)."""
-        offs, okv, packed, dsum = res
-        flags = OVL_COMP if comp else 0
-        aid = (blk_a.ids if not mirrored else blk_b.ids)
-        bid = (blk_b.ids if not mirrored else blk_a.ids)
-        sink = cols_a if not mirrored else cols_b
-        bad = np.nonzero(~okv)[0]
+    def emit(chunk, res, retry_sink=None):
+        """Append one trace batch's surviving records as columnar
+        .las shards (no per-record objects: block pairs emit 10^5-10^6
+        records).  chunk rows carry per-record comp/mir tags; mir < 0
+        marks shape-bucket padding rows, dropped here."""
+        offs_t, okv, packed, dsum = res
+        okv = okv & (chunk["mir"] >= 0)
+        bad = np.nonzero(~okv & (chunk["mir"] >= 0))[0]
         if len(bad):
             if retry_sink is not None:
-                retry_sink.setdefault((comp, mirrored), []).append(
-                    {k: v[bad] for k, v in chunk.items()})
+                retry_sink.append({k: v[bad] for k, v in chunk.items()})
             else:
                 stats["dropped_trace"] += len(bad)
-        ok_idx = np.nonzero(okv)[0]
-        if not len(ok_idx):
-            return
-        seg_lens = (offs[1:] - offs[:-1])[ok_idx]
-        n = len(ok_idx)
-        h = np.zeros((n, 10), np.int32)
-        h[:, 0] = 2 * seg_lens
-        h[:, 1] = dsum[ok_idx]
-        h[:, 2] = chunk["abp"][ok_idx]
-        h[:, 3] = chunk["bbp"][ok_idx]
-        h[:, 4] = chunk["aep"][ok_idx]
-        h[:, 5] = chunk["bep"][ok_idx]
-        h[:, 6] = flags
-        h[:, 7] = aid[chunk["ar"][ok_idx]]
-        h[:, 8] = bid[chunk["br"][ok_idx]]
-        starts = offs[:-1][ok_idx].astype(np.int64)
-        new_off = np.zeros(n + 1, np.int64)
-        np.cumsum(seg_lens, out=new_off[1:])
-        total = int(new_off[-1])
-        rowpos = (np.arange(total, dtype=np.int64)
-                  - np.repeat(new_off[:-1], seg_lens)
-                  + np.repeat(starts, seg_lens))
-        payload, boffs = encode_trace_columns(packed[rowpos], new_off,
-                                              small)
-        sink.append(LasColumns(h, payload, boffs))
+        seg_lens_all = offs_t[1:] - offs_t[:-1]
+        for mir, sink in ((0, cols_a), (1, cols_b)):
+            ok_idx = np.nonzero(okv & (chunk["mir"] == mir))[0]
+            if not len(ok_idx):
+                continue
+            seg_lens = seg_lens_all[ok_idx]
+            n = len(ok_idx)
+            h = np.zeros((n, 10), np.int32)
+            h[:, 0] = 2 * seg_lens
+            h[:, 1] = dsum[ok_idx]
+            h[:, 2] = chunk["abp"][ok_idx]
+            h[:, 3] = chunk["bbp"][ok_idx]
+            h[:, 4] = chunk["aep"][ok_idx]
+            h[:, 5] = chunk["bep"][ok_idx]
+            h[:, 6] = np.where(chunk["comp"][ok_idx] != 0, OVL_COMP, 0)
+            h[:, 7] = chunk["hdr_ar"][ok_idx]
+            h[:, 8] = chunk["hdr_br"][ok_idx]
+            starts = offs_t[:-1][ok_idx].astype(np.int64)
+            new_off = np.zeros(n + 1, np.int64)
+            np.cumsum(seg_lens, out=new_off[1:])
+            total = int(new_off[-1])
+            rowpos = (np.arange(total, dtype=np.int64)
+                      - np.repeat(new_off[:-1], seg_lens)
+                      + np.repeat(starts, seg_lens))
+            payload, boffs = encode_trace_columns(packed[rowpos],
+                                                  new_off, small)
+            sink.append(LasColumns(h, payload, boffs))
 
-    retries: dict = {}
-    for (pend, chunk, comp, mirrored), res in zip(pending, all_res):
-        if res is None:
-            continue
-        emit(chunk, res, comp, mirrored, retry_sink=retries)
+    def launch_stream(units: dict, kernel=None):
+        """Sort all units by span, pad each batch to a 1024 bucket
+        (bounded jit-shape count), launch all batches async."""
+        nu = len(units["ar"])
+        order = np.argsort(units["aep"] - units["abp"], kind="stable")
+        out = []
+        for lo in range(0, nu, S):
+            sel = order[lo:lo + S]
+            m = _round_slice(len(sel), 1024)
+            chunk = {}
+            for k in UKEYS:
+                fill = -1 if k == "mir" else 0
+                buf = np.full(m, fill, units[k].dtype)
+                buf[:len(sel)] = units[k][sel]
+                chunk[k] = buf
+            pend = _trace_launch(cat, cat, None, None, chunk, cfg,
+                                 kernel=kernel)
+            out.append((pend, chunk))
+        return out
+
+    if groups:
+        units = {k: np.concatenate([g[k] for g in groups])
+                 for k in UKEYS}
+        pending = launch_stream(units)
+    else:
+        pending = []
+    all_res = _trace_harvest_all([p[0] for p in pending], cfg)
+    retries: list = []
+    for (pend, chunk), res in zip(pending, all_res):
+        if res is not None:
+            emit(chunk, res, retry_sink=retries)
+
     # extents the default trace band could not force through get
     # retried with progressively wider kernels: first the 64-diagonal
     # bit-parallel tier (native, CPU; ~2x the default band's cost),
     # then the wide (128-lane) kernel — stitchable low-identity
-    # stretches exceed the bit-parallel bands' reach.  All retry
-    # groups launch before any harvest (async dispatch), then one
-    # stacked readback serves them all.
-    def retry_round(groups: dict, kernel, sink):
-        retry_pend = []
-        for (comp, mirrored), parts in groups.items():
-            chunk = {k: np.concatenate([p[k] for p in parts])
-                     for k in parts[0]}
-            if not mirrored:
-                ab = a_bases
-                bbas = b_bases_c if comp else b_bases_f
-                s0, s1 = sa, sb
-            else:
-                ab = b_bases_f
-                bbas = jnp.asarray(blk_a_rc.bases) if comp else a_bases
-                s0, s1 = sb, sa
-            pend = _trace_launch(ab, bbas, s0, s1, chunk, cfg,
-                                 kernel=kernel)
-            retry_pend.append((pend, chunk, comp, mirrored))
+    # stretches exceed the bit-parallel bands' reach.
+    def retry_round(rows: list, kernel, sink):
+        chunk = {k: np.concatenate([p[k] for p in rows])
+                 for k in rows[0]}
+        retry_pend = launch_stream(chunk, kernel=kernel)
         retry_res = _trace_harvest_all([p[0] for p in retry_pend], cfg)
-        for (pend, chunk, comp, mirrored), res in zip(retry_pend,
-                                                      retry_res):
+        for (pend, ch), res in zip(retry_pend, retry_res):
             if res is not None:
-                emit(chunk, res, comp, mirrored, retry_sink=sink)
+                emit(ch, res, retry_sink=sink)
 
     if retries:
         # NOTE: the retry ladder is PLATFORM-chosen, not governed by
@@ -1128,7 +1169,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
         # byte-identical.
         from damar_tpu import native
         if jax.default_backend() == "cpu" and native.available():
-            still: dict = {}
+            still: list = []
             retry_round(retries, _native_bp64_trace, still)
             retries = still
     if retries:

@@ -58,11 +58,20 @@ def stitch_las(las: LasFile, fuzz: int = 100
 
     Columnar: records sort by (aread, bread, comp, abpos); a chain is
     a maximal run of consecutive rows where each extends the previous
-    within fuzz.  Merged records carry an EMPTY trace placeholder.
+    within fuzz.
 
-    Returns (stitched las, row indices of merged records — callers
-    rebuild their traces with pipeline.overlap.retrace_rows before
-    writing to disk).
+    Merged traces are BRIDGED from the fragments' exact traces
+    (upstream MARVEL/scrub/LAstitch.c behavior — mount empty): member
+    segments land on the merged record's absolute segment grid
+    unchanged, and each junction's unaligned gap is charged into the
+    segments it spans (diffs = its a-span + proportional b-share —
+    the worst-case edit cost of the gap).  Bridging needs no DP and
+    cannot fail the way a re-trace through the noisy junction can
+    (the band loses the path and the record is dropped).  Chains with
+    NEGATIVE junction gaps (overlapping fragments) or a bridged
+    segment overflowing the trace encoding still need a real retrace:
+    their rows are returned in `needs` for
+    pipeline.overlap.retrace_rows.
     """
     cols = _cols_of(las)
     n = cols.n
@@ -109,17 +118,128 @@ def stitch_las(las: LasFile, fuzz: int = 100
         (h[first, H_FLAGS].view(np.uint32) | OVL_STITCH)
         .view(np.int32),
         h[first, H_FLAGS])
-    out_h[:, H_TLEN] = np.where(merged, 0, h[first, H_TLEN])
-    # payload: singles keep their trace bytes, merged rows are empty
+
+    # ---- bridge merged traces ----
+    small = las.small
+    enc_max = 255 if small else 32767
+    width = 2 if small else 4
+    ts = las.tspace
+    jidx = np.nonzero(chain)[0]          # junction joins rows j, j+1
+    jcid = cid[jidx]
+    jag = agap[jidx].astype(np.int64)
+    jbg = bgap[jidx].astype(np.int64)
+    ja_end = h[jidx, H_AEPOS].astype(np.int64)
+    ja_sta = h[jidx + 1, H_ABPOS].astype(np.int64)
+    neg = np.zeros(nch, bool)
+    np.logical_or.at(neg, jcid, (jag < 0) | (jbg < 0))
+    k0 = out_h[:, H_ABPOS].astype(np.int64) // ts
+    k1 = (out_h[:, H_AEPOS].astype(np.int64) - 1) // ts
+    nseg_ch = np.where(out_h[:, H_AEPOS] > out_h[:, H_ABPOS],
+                       k1 - k0 + 1, 0)
+    bridge = merged & ~neg
+    bsel = np.nonzero(bridge)[0]
+    bmap = np.full(nch, -1, np.int64)
+    bmap[bsel] = np.arange(len(bsel))
+    blens = nseg_ch[bsel]
+    boff = np.zeros(len(bsel) + 1, np.int64)
+    np.cumsum(blens, out=boff[1:])
+    Bn = int(boff[-1])
+    dif_f = np.zeros(Bn, np.int64)
+    bsp_f = np.zeros(Bn, np.int64)
+    bad_ch = np.zeros(len(bsel), bool)
+    if Bn:
+        # (a) member segments land 1:1 on the merged absolute grid
+        rows_dec = _decode_trace(c.trace, small)
+        seg_off = c.offsets // width
+        lens_r = np.diff(seg_off)
+        rid = np.repeat(np.arange(n), lens_r)
+        kk = (np.arange(rows_dec.shape[0], dtype=np.int64)
+              - np.repeat(seg_off[:-1], lens_r))
+        bc = bmap[cid[rid]]
+        selm = np.nonzero(bc >= 0)[0]
+        seg_abs = (h[rid[selm], H_ABPOS].astype(np.int64) // ts
+                   + kk[selm])
+        tgt = boff[bc[selm]] + (seg_abs - k0[cid[rid[selm]]])
+        np.add.at(dif_f, tgt, rows_dec[selm, 0])
+        np.add.at(bsp_f, tgt, rows_dec[selm, 1])
+        # (b) junction gaps: worst-case edit (a-span + b-share) charged
+        # to the segments the gap spans; b-share proportional with the
+        # remainder on the last gap segment so totals stay exact
+        sel_j = np.nonzero(bmap[jcid] >= 0)[0]
+        if len(sel_j):
+            g_lo = ja_end[sel_j]
+            g_hi = ja_sta[sel_j]
+            ag = jag[sel_j]
+            bg = jbg[sel_j]
+            ks = g_lo // ts
+            ke = np.where(ag > 0, (g_hi - 1) // ts, ks)
+            cnt = (ke - ks + 1).astype(np.int64)
+            coff = np.cumsum(cnt) - cnt
+            rep = np.repeat(np.arange(len(sel_j)), cnt)
+            kk2 = np.arange(int(cnt.sum()), dtype=np.int64) \
+                - np.repeat(coff, cnt)
+            kabs = ks[rep] + kk2
+            s0 = np.maximum(g_lo[rep], kabs * ts)
+            s1 = np.minimum(g_hi[rep], (kabs + 1) * ts)
+            olap = np.where(ag[rep] > 0, s1 - s0, 0)
+            share = np.where(ag[rep] > 0,
+                             (bg[rep] * olap) // np.maximum(ag[rep], 1),
+                             0)
+            tot_sh = np.bincount(rep, share,
+                                 minlength=len(sel_j)).astype(np.int64)
+            is_last = kk2 == (cnt[rep] - 1)
+            share = share + np.where(is_last, (bg - tot_sh)[rep], 0)
+            cidj = jcid[sel_j][rep]
+            tgt2 = boff[bmap[cidj]] + (kabs - k0[cidj])
+            np.add.at(dif_f, tgt2, olap + share)
+            np.add.at(bsp_f, tgt2, share)
+        overf = (dif_f > enc_max) | (bsp_f > enc_max) | (bsp_f < 0)
+        if overf.any():
+            np.logical_or.at(
+                bad_ch, np.repeat(np.arange(len(bsel)), blens), overf)
+    brid_ok = np.zeros(nch, bool)
+    brid_ok[bsel] = ~bad_ch
+
+    out_h[:, H_TLEN] = np.where(
+        merged, np.where(brid_ok, 2 * nseg_ch, 0), h[first, H_TLEN])
+    # payload: singles keep their raw bytes, bridged rows encode the
+    # accumulated segment grid, failed/negative chains stay empty
     lens = np.diff(c.offsets)
-    keep_lens = np.where(merged, 0, lens[first])
+    byte_lens = np.where(
+        merged, np.where(brid_ok, nseg_ch * width, 0), lens[first])
     offs = np.zeros(nch + 1, np.int64)
-    np.cumsum(keep_lens, out=offs[1:])
+    np.cumsum(byte_lens, out=offs[1:])
     total = int(offs[-1])
-    pos = (np.arange(total, dtype=np.int64)
-           - np.repeat(offs[:-1], keep_lens)
-           + np.repeat(c.offsets[:-1][first], keep_lens))
-    out = LasColumns(out_h, c.trace[pos], offs)
+    buf = np.zeros(total, np.uint8)
+    # scatter singles
+    sing_rows = np.nonzero(~merged)[0]
+    sl = byte_lens[sing_rows]
+    so = np.cumsum(sl) - sl
+    within = np.arange(int(sl.sum()), dtype=np.int64) \
+        - np.repeat(so, sl)
+    buf[np.repeat(offs[:-1][sing_rows], sl) + within] = \
+        c.trace[np.repeat(c.offsets[:-1][first[sing_rows]], sl)
+                + within]
+    # scatter bridged
+    ok_rows = np.nonzero(merged & brid_ok)[0]
+    if len(ok_rows):
+        okb = bmap[ok_rows]
+        nsego = blens[okb]
+        cum = np.cumsum(nsego) - nsego
+        rows_sel = (np.repeat(boff[okb], nsego)
+                    + np.arange(int(nsego.sum()), dtype=np.int64)
+                    - np.repeat(cum, nsego))
+        rows_ok = np.stack([dif_f[rows_sel], bsp_f[rows_sel]],
+                           axis=1).astype(np.int32)
+        noff = np.zeros(len(ok_rows) + 1, np.int64)
+        np.cumsum(blens[okb], out=noff[1:])
+        payload_b, _ = encode_trace_columns(rows_ok, noff, small)
+        bl = byte_lens[ok_rows]
+        bo = np.cumsum(bl) - bl
+        w2 = np.arange(int(bl.sum()), dtype=np.int64) \
+            - np.repeat(bo, bl)
+        buf[np.repeat(offs[:-1][ok_rows], bl) + w2] = payload_b
+    out = LasColumns(out_h, buf, offs)
     res = LasFile(tspace=las.tspace, columns=out)
     res.sort()
     # sorting permutes rows: recover merged-row indices from flags+tlen

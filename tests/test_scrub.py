@@ -76,23 +76,49 @@ class TestStitch:
         las = LasFile(100, [o1, o2, far])
         stitched, needs = scrub.stitch_las(las, fuzz=100)
         assert stitched.novl == 2
-        assert len(needs) == 1
+        # positive-gap junctions are BRIDGED from the fragment traces
+        # (no DP retrace needed)
+        assert len(needs) == 0
         merged = [o for o in stitched.overlaps if o.flags & OVL_STITCH]
         assert len(merged) == 1
         m = merged[0]
         assert (m.abpos, m.aepos, m.bbpos, m.bepos) == (0, 1020, 0, 1015)
         assert m.diffs == 25 + 25 + 20 + 15   # chain diffs + gap penalty
+        # bridged trace is structurally consistent: full segment grid,
+        # b-spans summing to the merged b-extent, diffs to the header
+        from damar_tpu.formats.las import n_segments
+        assert len(m.trace) == n_segments(0, 1020, 100)
+        assert int(m.trace[:, 1].sum()) == 1015
+        assert int(m.trace[:, 0].sum()) == m.diffs
+        assert (m.trace >= 0).all()
+
+    def test_stitch_negative_gap_needs_retrace(self):
+        t = np.array([[5, 100]] * 5, np.int32)
+        o1 = Overlap(0, 1, 0, 0, 500, 0, 500, 25, t.copy())
+        o2 = Overlap(0, 1, 0, 480, 980, 515, 1015, 25, t.copy())
+        las = LasFile(100, [o1, o2])
+        stitched, needs = scrub.stitch_las(las, fuzz=100)
+        assert stitched.novl == 1
+        assert len(needs) == 1           # overlapping fragments: DP
 
 
 class TestFix:
-    def test_patching_restores_corrupted_segments(self, small_sim):
+    def test_patching_restores_corrupted_segments(self):
         """Plant severe local corruption (quality dropouts) in a few
         reads; the stitch -> retrace -> q -> fix pipeline must restore
         those regions to near-normal identity, the lineage's core
-        'patch' capability (SURVEY.md §2.6 LAfix)."""
+        'patch' capability (SURVEY.md §2.6 LAfix).
+
+        Own dataset at 14x: patchability of a specific window depends
+        on its pile depth, so the shared 12x fixture leaves the planted
+        windows of some rng streams too thin to both survive splitting
+        and win the vote."""
         from damar_tpu.pipeline.overlap import retrace_rows
+        from damar_tpu.utils.sim import make_genome, sample_reads
         import damar_tpu.formats.fasta as F
-        sim = small_sim
+        g = make_genome(50_000, seed=7)
+        sim = sample_reads(g, coverage=14.0, mean_len=4000, err=0.13,
+                           seed=8)
         rng = np.random.default_rng(77)
         reads = [r.copy() for r in sim.reads]
         corrupted = {}
@@ -110,10 +136,15 @@ class TestFix:
         las = LasFile(CFG.tspace, las_a.overlaps + las_b.overlaps)
         las.sort()
         rlen_of = {i: len(r) for i, r in enumerate(reads)}
-        # stitch across the corruption, recompute merged traces
+        # stitch across the corruption (bridged traces; only
+        # negative-gap chains need the DP retrace)
         stitched, needs = scrub.stitch_las(las, fuzz=300)
-        assert len(needs), "no stitched records (corruption did not split?)"
-        retrace_rows(stitched, needs, blk, blk, CFG)
+        h = stitched.columns.headers
+        n_merged = int(((h[:, 6].view(np.uint32) & OVL_STITCH) != 0)
+                       .sum())
+        assert n_merged, "no stitched records (corruption did not split?)"
+        if len(needs):
+            retrace_rows(stitched, needs, blk, blk, CFG)
         qual, trim = scrub.q_and_trim(stitched, rlen_of, SCFG)
 
         def seqs_of(j, comp):
