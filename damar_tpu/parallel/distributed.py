@@ -10,9 +10,24 @@ ICI.  The rotated payload includes the B-shard's CANONICAL k-mer index
 and then travels the ring instead of being re-sorted at every
 rotation.  Seeding is the canonical single-pass design of
 ops.seeding.find_seeds_canonical_dev (both orientations from one
-merge, comp bit in the band key); extension is the bit-parallel band
-kernel (ops.wave_bp).  Per-rotation outputs are fixed-capacity extent
-tensors plus psum'd counters.
+merge, comp bit in the band key); extension and trace are the
+bit-parallel band kernels (ops.wave_bp / ops.wave_bp_pallas on real
+TPU).
+
+Two mesh programs cover the full overlap story (SURVEY.md §7.9):
+  1. the SEED+EXTEND ring sweep (ring_overlap_step) emitting
+     fixed-capacity extent tensors with REAL per-extent diffs;
+  2. the TRACE ring sweep (ring_trace_step) re-rotating B-shards past
+     the host-deduped extents and emitting fixed-capacity trace-point
+     tensors per record.
+Host work between and after them is numpy glue: dedupe, validation,
+the wide-kernel retry ladder, and .las encoding — the same helpers the
+single-chip pair driver uses, so shard bytes match the pair driver's.
+
+When nblocks > ndevices the block matrix is covered by (k x k) ring
+sweeps of one super-row of A-shards against one super-row of B-shards
+(k = nblocks / ndevices, padded with empty blocks) — the mesh analogue
+of HPC.daligner's job-matrix tiling.
 
 This module is exercised on virtual CPU meshes in tests and by the
 driver's dryrun; on a real pod slice the same code runs unchanged over
@@ -27,12 +42,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from damar_tpu.core.config import OverlapConfig
 
+EXT_COLS = 8  # aread, bread, comp, abpos, aepos, bbpos, bepos, diffs
+
 
 def make_mesh(n_devices: int | None = None, axis: str = "block") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def _mesh_kernels():
+    """DP kernels usable INSIDE shard_map: pure-JAX bp on CPU meshes,
+    Pallas bp on real chips (the native C host kernels cannot run in a
+    mesh program)."""
+    if jax.default_backend() == "cpu":
+        from damar_tpu.ops.wave_bp import extend_wave_bp, trace_wave_bp
+        return extend_wave_bp, trace_wave_bp
+    from damar_tpu.ops.wave_bp_pallas import (extend_wave_bp_pl,
+                                              trace_wave_bp_pl)
+    return extend_wave_bp_pl, trace_wave_bp_pl
 
 
 def shard_blocks(blocks: list, mesh: Mesh, axis: str = "block"):
@@ -42,7 +71,7 @@ def shard_blocks(blocks: list, mesh: Mesh, axis: str = "block"):
     n = len(blocks)
     cap = blocks[0].cap
     assert all(b.cap == cap for b in blocks), "blocks must share capacity"
-    nr = max(b.nreads for b in blocks)
+    nr = max(max(b.nreads for b in blocks), 1)
     bases = np.stack([b.bases for b in blocks])
     rid = np.stack([b.read_id for b in blocks])
     starts = np.full((n, nr + 1), 0, np.int32)
@@ -73,13 +102,15 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
                       seed_cap: int, hit_cap: int):
     """Build the per-device function for one full ring sweep.
 
-    Returns fn(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts) ->
-    (extents [n_shards, seed_cap, 7], counts [n_shards, 2]) where
-    extents rows are (aread, bread_local, comp, abpos, aepos, bbpos,
-    bepos); comp rows carry b coordinates in the B read's
-    reverse-complement frame (the .las COMP convention).  bread is
-    local to the B shard resident at that rotation (callers map via
-    rotation index).
+    Returns fn(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts,
+    self_diag) -> (extents [n_shards, seed_cap, 8], counts
+    [n_shards, 2]) where extent rows are (aread, bread_local, comp,
+    abpos, aepos, bbpos, bepos, diffs); comp rows carry b coordinates
+    in the B read's reverse-complement frame (the .las COMP
+    convention).  bread is local to the B shard resident at that
+    rotation (callers map via rotation index).  self_diag (traced
+    bool): rotation 0 pairs each shard with itself (same super-row) —
+    suppress read-vs-itself seeds there.
 
     Designed for use under shard_map: every device runs this on its
     resident A-shard while B (bases + canonical index) rotates.
@@ -88,16 +119,14 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
                                        diagonal_filter_comp,
                                        match_count, match_fill,
                                        quantize_bits, _split_strand_hits)
-    from damar_tpu.ops.wave_bp import extend_wave_bp
+    extend_fn, _ = _mesh_kernels()
 
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     def local_pair(a_bases, a_rid, a_starts, a_index,
                    b_bases, b_rid, b_starts, b_index, is_self):
         """Canonical both-orientation seeding + bp extension for the
-        resident (A, B) pair.  is_self (traced bool): this rotation
-        pairs the shard with its own block — suppress read-vs-itself
-        seeds."""
+        resident (A, B) pair."""
         ac, ap2 = a_index
         bc, bp2 = b_index
         t = cfg.max_kmer_count or 128
@@ -131,28 +160,31 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
         exts = []
         for cflag, bb in ((False, b_bases), (True, b_rc)):
             sel = live & (isc == cflag)
-            fva, fvb, fd, _ = extend_wave_bp(
+            fva, fvb, fd, _ = extend_fn(
                 a_bases, bb, sap_c, sbp_c,
                 jnp.where(sel, aend - sap_c, 0),
                 jnp.where(sel, bend - sbp_c, 0), reverse=False, **kw)
-            rva, rvb, rd, _ = extend_wave_bp(
+            rva, rvb, rd, _ = extend_fn(
                 a_bases, bb, sap_c, sbp_c,
                 jnp.where(sel, sap_c - astart, 0),
                 jnp.where(sel, sbp_c - bstart, 0), reverse=True, **kw)
             ext = jnp.stack([
                 ar, br, scomp,
                 sap_c - astart - rva, sap_c - astart + fva,
-                sbp_c - bstart - rvb, sbp_c - bstart + fvb], axis=1)
+                sbp_c - bstart - rvb, sbp_c - bstart + fvb,
+                fd + rd], axis=1)
             ok = sel & ((fva + rva) >= cfg.min_len)
             exts.append(jnp.where(ok[:, None], ext, -1))
         ext = jnp.where(exts[0][:, :1] >= 0, exts[0], exts[1])
         ok_n = (ext[:, 0] >= 0).sum().astype(jnp.int32)
         return ext, jnp.stack([nseeds, ok_n])
 
-    def sweep(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts):
+    def sweep(a_bases, a_rid, a_starts, b_bases, b_rid, b_starts,
+              self_diag):
         # squeeze the sharded leading axis (shard_map gives [1, ...])
         a_bases, a_rid, a_starts = (a_bases[0], a_rid[0], a_starts[0])
         b_bases, b_rid, b_starts = (b_bases[0], b_rid[0], b_starts[0])
+        self_diag = self_diag[0]
 
         a_index = build_index_canonical(a_bases, a_rid, cfg.kmer)
         # the B index is computed ONCE per shard and rotated with the
@@ -163,9 +195,10 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
             bb, br_, bs, bc, bp2, exts, counts = carry
             # ppermute sends right / receives left: at rotation i the
             # device holds B-shard (my - i) % n; i == 0 pairs a block
-            # with itself
+            # with its same-index partner
             ext, cnt = local_pair(a_bases, a_rid, a_starts, a_index,
-                                  bb, br_, bs, (bc, bp2), i == 0)
+                                  bb, br_, bs, (bc, bp2),
+                                  self_diag & (i == 0))
             exts = jax.lax.dynamic_update_index_in_dim(exts, ext, i, 0)
             counts = jax.lax.dynamic_update_index_in_dim(counts, cnt, i, 0)
             bb = jax.lax.ppermute(bb, axis, perm)
@@ -175,7 +208,7 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
             bp2 = jax.lax.ppermute(bp2, axis, perm)
             return bb, br_, bs, bc, bp2, exts, counts
 
-        exts0 = jnp.full((n_shards, seed_cap, 7), -1, jnp.int32)
+        exts0 = jnp.full((n_shards, seed_cap, EXT_COLS), -1, jnp.int32)
         counts0 = jnp.zeros((n_shards, 2), jnp.int32)
         _, _, _, _, _, exts, counts = jax.lax.fori_loop(
             0, n_shards, rot_body,
@@ -187,74 +220,195 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
     return sweep
 
 
+def ring_trace_step(cfg: OverlapConfig, axis: str, n_shards: int,
+                    cap: int, max_segs: int):
+    """Per-device TRACE ring sweep: B-shards rotate exactly like the
+    overlap sweep while each device runs the trace-point kernel over
+    its (host-deduped) extent rows for that rotation.
+
+    fn(a_bases, a_starts, b_bases, b_rid, b_starts, ext) with
+    ext [1, n_shards, cap, 8] -> (trace [n_shards, cap, max_segs, 2],
+    nseg [n_shards, cap], dsum [n_shards, cap]).
+    """
+    _, trace_fn = _mesh_kernels()
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def local_trace(a_bases, a_starts, b_bases, b_rid, b_starts, rows):
+        live = rows[:, 0] >= 0
+        ar = jnp.maximum(rows[:, 0], 0)
+        br = jnp.maximum(rows[:, 1], 0)
+        isc = rows[:, 2] == 1
+        abp = jnp.maximum(rows[:, 3], 0)
+        aep = jnp.maximum(rows[:, 4], 0)
+        bbp = jnp.maximum(rows[:, 5], 0)
+        bep = jnp.maximum(rows[:, 6], 0)
+        b_rc = _revcomp_device(b_bases, b_rid, b_starts)
+        tr = jnp.zeros((cap, max_segs, 2), jnp.int32)
+        ns = jnp.zeros(cap, jnp.int32)
+        ds = jnp.zeros(cap, jnp.int32)
+        for cflag, bb in ((False, b_bases), (True, b_rc)):
+            sel = live & (isc == cflag)
+            t, n_, d_ = trace_fn(
+                a_bases, bb,
+                a_starts[ar], b_starts[br], abp, bbp,
+                jnp.where(sel, aep - abp, 0),
+                jnp.where(sel, bep - bbp, 0),
+                tspace=cfg.tspace, max_segs=max_segs)
+            tr = jnp.where(sel[:, None, None], t, tr)
+            ns = jnp.where(sel, n_, ns)
+            ds = jnp.where(sel, d_, ds)
+        return tr, ns, ds
+
+    def sweep(a_bases, a_starts, b_bases, b_rid, b_starts, ext):
+        a_bases, a_starts = a_bases[0], a_starts[0]
+        b_bases, b_rid, b_starts = (b_bases[0], b_rid[0], b_starts[0])
+        ext = ext[0]
+
+        def rot_body(i, carry):
+            bb, br_, bs, tr, ns, ds = carry
+            t, n_, d_ = local_trace(a_bases, a_starts, bb, br_, bs,
+                                    ext[i])
+            tr = jax.lax.dynamic_update_index_in_dim(tr, t, i, 0)
+            ns = jax.lax.dynamic_update_index_in_dim(ns, n_, i, 0)
+            ds = jax.lax.dynamic_update_index_in_dim(ds, d_, i, 0)
+            bb = jax.lax.ppermute(bb, axis, perm)
+            br_ = jax.lax.ppermute(br_, axis, perm)
+            bs = jax.lax.ppermute(bs, axis, perm)
+            return bb, br_, bs, tr, ns, ds
+
+        tr0 = jnp.zeros((n_shards, cap, max_segs, 2), jnp.int32)
+        ns0 = jnp.zeros((n_shards, cap), jnp.int32)
+        ds0 = jnp.zeros((n_shards, cap), jnp.int32)
+        _, _, _, tr, ns, ds = jax.lax.fori_loop(
+            0, n_shards, rot_body,
+            (b_bases, b_rid, b_starts, tr0, ns0, ds0))
+        return tr[None], ns[None], ds[None]
+
+    return sweep
+
+
+def _empty_like_block(blocks: list):
+    from damar_tpu.core.blocks import block_from_reads
+    return block_from_reads([], ids=np.zeros(0, np.int64),
+                            cap=blocks[0].cap)
+
+
+def _pad_blocks(blocks: list, D: int) -> list:
+    n = len(blocks)
+    k = -(-n // D)
+    out = list(blocks)
+    while len(out) < k * D:
+        out.append(_empty_like_block(blocks))
+    return out
+
+
 def distributed_overlap(blocks: list, cfg: OverlapConfig,
                         mesh: Mesh | None = None, seed_cap: int = 4096,
                         hit_cap: int = 1 << 18):
-    """All-vs-all overlap of n blocks over an n-device mesh: one ring
-    sweep; returns per-device per-rotation extents + global counters.
-
-    The j-th rotation on device d processed B-shard (d - j) % n, so
-    extents[d, j] pairs A-block d with B-block (d - j) % n.  Extent
-    rows are (aread, bread, comp, abpos, aepos, bbpos, bepos) with -1
-    marking empty slots.
+    """All-vs-all overlap of any number of blocks over a D-device
+    mesh: ceil(n/D)^2 ring sweeps (multi-round block scheduling when
+    nblocks > ndevices).  Returns (exts, counts, total) in PAIR-MATRIX
+    layout: exts[i][j] is the [seed_cap, 8] extent tensor of A-block i
+    vs B-block j (rows: aread, bread, comp, abpos, aepos, bbpos,
+    bepos, diffs; -1 marks empty slots); counts[i, j] = (seeds,
+    extents) of that pair.
     """
     if mesh is None:
-        mesh = make_mesh(len(blocks))
+        mesh = make_mesh(min(len(blocks), len(jax.devices())))
     axis = mesh.axis_names[0]
+    D = mesh.devices.size
     n = len(blocks)
-    a_bases, a_rid, a_starts = shard_blocks(blocks, mesh, axis)
-    fn = ring_overlap_step(cfg, axis, n, seed_cap, hit_cap)
+    padded = _pad_blocks(blocks, D)
+    k = len(padded) // D
+    fn = ring_overlap_step(cfg, axis, D, seed_cap, hit_cap)
     mapped = jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis),) * 7,
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False))
-    exts, counts, total = mapped(a_bases, a_rid, a_starts,
-                                 a_bases, a_rid, a_starts)
-    return np.asarray(exts), np.asarray(counts), np.asarray(total)[0]
+    sharded = [shard_blocks(padded[r * D:(r + 1) * D], mesh, axis)
+               for r in range(k)]
+    sh = NamedSharding(mesh, P(axis))
+    exts = np.full((n, n, seed_cap, EXT_COLS), -1, np.int32)
+    counts = np.zeros((n, n, 2), np.int32)
+    total = np.zeros(2, np.int64)
+    for ra in range(k):
+        a_sh = sharded[ra]
+        for rb in range(k):
+            b_sh = sharded[rb]
+            self_diag = jax.device_put(
+                np.full(D, ra == rb, bool), sh)
+            e, c, t = mapped(*a_sh, *b_sh, self_diag)
+            e = np.asarray(e)
+            c = np.asarray(c)
+            total += np.asarray(t)[0].astype(np.int64)
+            for d in range(D):
+                i = ra * D + d
+                if i >= n:
+                    continue
+                for j in range(D):
+                    bblk = rb * D + ((d - j) % D)
+                    if bblk >= n:
+                        continue
+                    exts[i, bblk] = e[d, j]
+                    counts[i, bblk] = c[d, j]
+    return exts, counts, total
 
 
 def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                             mesh: Mesh | None = None,
                             seed_cap: int = 4096,
-                            hit_cap: int = 1 << 18):
-    """Full distributed overlap to .las: ring-sweep extent discovery
-    on the mesh, then per-pair dedupe + trace emission through the
-    same path as the block-pair driver (overlap.las_from_extents).
+                            hit_cap: int = 1 << 18,
+                            max_segs: int | None = None):
+    """Full distributed overlap to .las: extent discovery AND the
+    trace pass run on the mesh; the host only dedupes extents between
+    the two mesh programs and encodes/validates the shard bytes after
+    (with the same wide-kernel retry ladder as the pair driver).
 
-    Returns (las_list, counts, total): las_list[d] is the sorted
-    LasFile of A-block d against every block — the per-chip ".las
+    Saturated seed buffers GROW-RETRY (sweep re-run with doubled
+    seed_cap, up to 16x) instead of failing — a pod-scale run must
+    resize, not die.
+
+    Returns (las_list, counts, total): las_list[i] is the sorted
+    LasFile of A-block i against every block — the per-chip ".las
     shard" of SURVEY.md §7.9; callers write the shards and merge them
     deterministically on the host (formats.las.merge_las).
     """
-    from damar_tpu.core.blocks import revcomp_block
-    from damar_tpu.pipeline.overlap import (dedupe_extents,
-                                            las_from_extents)
-    from damar_tpu.formats.las import LasFile
-    exts, counts, total = distributed_overlap(
-        blocks, cfg, mesh=mesh, seed_cap=seed_cap, hit_cap=hit_cap)
+    from damar_tpu.formats.las import (LasColumns, LasFile,
+                                       encode_trace_columns)
+    from damar_tpu.pipeline.overlap import (_n_segments_vec,
+                                            _wide_trace_kernel,
+                                            _trace_batch, TRACE_XOVR,
+                                            dedupe_extents)
+    from damar_tpu.formats.oflags import OVL_COMP
+    if mesh is None:
+        mesh = make_mesh(min(len(blocks), len(jax.devices())))
+    axis = mesh.axis_names[0]
+    D = mesh.devices.size
     n = len(blocks)
-    if (counts[:, :, 0] >= seed_cap).any():
+
+    cap = seed_cap
+    for _ in range(5):
+        exts, counts, total = distributed_overlap(
+            blocks, cfg, mesh=mesh, seed_cap=cap, hit_cap=hit_cap)
+        if not (counts[:, :, 0] >= cap).any():
+            break
+        cap *= 2  # grow-retry: truncated extents lose overlaps
+    else:
         raise ValueError(
-            f"ring sweep hit seed_cap={seed_cap} on "
-            f"{int((counts[:, :, 0] >= seed_cap).sum())} rotations — "
-            "truncated extents would silently lose overlaps; rerun "
-            "with a larger seed_cap")
-    # per-block host-side state computed ONCE (rc is a per-read Python
-    # loop and uploads are real transfers; a per-pair recompute would
-    # be O(n^2) in both)
-    rc_blocks = [revcomp_block(b) for b in blocks]
-    dev_bases = [jnp.asarray(b.bases) for b in blocks]
-    out = []
-    for d in range(n):
-        parts = []
+            f"ring sweep still saturates seed_cap={cap}; raise "
+            "seed_cap/hit_cap or shrink blocks")
+
+    # ---- host: dedupe per (A-block, B-block, comp) ----
+    kept_rows: dict[tuple[int, int], np.ndarray] = {}
+    max_kept = 1
+    for i in range(n):
         for j in range(n):
-            b = (d - j) % n
-            rows = exts[d, j]
+            rows = exts[i, j]
             rows = rows[rows[:, 0] >= 0].astype(np.int32)
             if not len(rows):
                 continue
-            kept_parts = []
+            parts = []
             for comp in (0, 1):
                 sel = rows[rows[:, 2] == comp]
                 if not len(sel):
@@ -262,22 +416,164 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                 ext = {"aread": sel[:, 0], "bread": sel[:, 1],
                        "abpos": sel[:, 3], "aepos": sel[:, 4],
                        "bbpos": sel[:, 5], "bepos": sel[:, 6],
-                       "diffs": np.zeros(len(sel), np.int32),
-                       "n": len(sel)}
+                       "diffs": sel[:, 7], "n": len(sel)}
                 kept = dedupe_extents(ext, cfg.min_len,
                                       max_err=1.0 - cfg.err)
-                kept["comp"] = bool(comp)
                 if kept["n"]:
-                    kept_parts.append(kept)
-            if kept_parts:
-                la, _ = las_from_extents(blocks[d], blocks[b],
-                                         kept_parts, cfg,
-                                         emit_mirrors=False,
-                                         a_bases_d=dev_bases[d],
-                                         blk_b_rc=rc_blocks[b])
-                parts.append(la)
-        las = LasFile.concat(parts) if parts \
-            else LasFile(cfg.tspace, [])
+                    parts.append(np.stack(
+                        [kept["aread"], kept["bread"],
+                         np.full(kept["n"], comp, np.int32),
+                         kept["abpos"], kept["aepos"],
+                         kept["bbpos"], kept["bepos"],
+                         kept["diffs"]], axis=1))
+            if parts:
+                kr = np.concatenate(parts)
+                kept_rows[(i, j)] = kr
+                max_kept = max(max_kept, len(kr))
+
+    # ---- mesh trace sweep over the deduped extents ----
+    if max_segs is None:
+        longest = max(int(b.rlen.max()) if b.nreads else 0
+                      for b in blocks)
+        max_segs = max(8, longest // cfg.tspace + 2)
+    cap2 = 1
+    while cap2 < max_kept:
+        cap2 *= 2
+    padded = _pad_blocks(blocks, D)
+    k = len(padded) // D
+    sharded = [shard_blocks(padded[r * D:(r + 1) * D], mesh, axis)
+               for r in range(k)]
+    sh = NamedSharding(mesh, P(axis))
+    tfn = ring_trace_step(cfg, axis, D, cap2, max_segs)
+    tmapped = jax.jit(jax.shard_map(
+        tfn, mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False))
+    traces: dict[tuple[int, int], tuple] = {}
+    for ra in range(k):
+        a_sh = sharded[ra]
+        for rb in range(k):
+            b_sh = sharded[rb]
+            ext_in = np.full((D, D, cap2, EXT_COLS), -1, np.int32)
+            any_rows = False
+            for d in range(D):
+                i = ra * D + d
+                if i >= n:
+                    continue
+                for j in range(D):
+                    bblk = rb * D + ((d - j) % D)
+                    if bblk >= n:
+                        continue
+                    kr = kept_rows.get((i, bblk))
+                    if kr is not None:
+                        ext_in[d, j, :len(kr)] = kr
+                        any_rows = True
+            if not any_rows:
+                continue
+            tr, ns, ds = tmapped(
+                a_sh[0], a_sh[2], b_sh[0], b_sh[1], b_sh[2],
+                jax.device_put(ext_in, sh))
+            tr = np.asarray(tr)
+            ns = np.asarray(ns)
+            ds = np.asarray(ds)
+            for d in range(D):
+                i = ra * D + d
+                if i >= n:
+                    continue
+                for j in range(D):
+                    bblk = rb * D + ((d - j) % D)
+                    if bblk >= n or (i, bblk) not in kept_rows:
+                        continue
+                    m = len(kept_rows[(i, bblk)])
+                    traces[(i, bblk)] = (tr[d, j, :m], ns[d, j, :m],
+                                         ds[d, j, :m])
+
+    # ---- host: validate, retry failures with the wide kernel, emit ----
+    small = cfg.tspace <= TRACE_XOVR
+    enc_max = 255 if small else 32767
+    out = []
+    for i in range(n):
+        hdr_parts, row_parts, len_parts = [], [], []
+        for j in range(n):
+            kr = kept_rows.get((i, j))
+            if kr is None:
+                continue
+            tr, ns, ds = traces[(i, j)]
+            m = len(kr)
+            expect = _n_segments_vec(kr[:, 3], kr[:, 4], cfg.tspace)
+            seg_lim = np.minimum(expect, tr.shape[1])
+            # per-record b-span / range validation on the padded tensor
+            kidx = np.arange(tr.shape[1])[None, :] < seg_lim[:, None]
+            bsum = (tr[:, :, 1] * kidx).sum(axis=1)
+            tmax = np.where(kidx, tr.max(axis=2), 0).max(axis=1)
+            tmin = np.where(kidx, tr.min(axis=2), 0).min(axis=1)
+            ok = ((ns == expect) & (bsum == kr[:, 6] - kr[:, 5])
+                  & (tmin >= 0) & (tmax <= enc_max))
+            bad = np.nonzero(~ok)[0]
+            tr_rows = [tr[r, :expect[r]] for r in np.nonzero(ok)[0]]
+            rows_ok = kr[ok]
+            ds_ok = ds[ok]
+            if len(bad):
+                # wide-kernel retry on the host (same ladder as the
+                # pair driver); still-failing records are dropped
+                blk_a, blk_b = blocks[i], blocks[j]
+                from damar_tpu.core.blocks import revcomp_block
+                rc = revcomp_block(blk_b)
+                for comp in (0, 1):
+                    sel = bad[kr[bad, 2] == comp]
+                    if not len(sel):
+                        continue
+                    bb = rc if comp else blk_b
+                    coords = dict(
+                        ar=kr[sel, 0], br=kr[sel, 1],
+                        abp=kr[sel, 3], aep=kr[sel, 4],
+                        bbp=kr[sel, 5], bep=kr[sel, 6])
+                    res = _trace_batch(
+                        jnp.asarray(blk_a.bases), jnp.asarray(bb.bases),
+                        blk_a.starts.astype(np.int64),
+                        bb.starts.astype(np.int64), coords, cfg,
+                        kernel=_wide_trace_kernel(cfg))
+                    offs_r, okr, packed_r, dsum_r = res
+                    for q, r in enumerate(sel):
+                        if okr[q]:
+                            tr_rows.append(
+                                packed_r[offs_r[q]:offs_r[q + 1]])
+                            rows_ok = np.concatenate(
+                                [rows_ok, kr[r:r + 1]])
+                            ds_ok = np.concatenate(
+                                [ds_ok, dsum_r[q:q + 1]])
+            if not len(rows_ok):
+                continue
+            nrec = len(rows_ok)
+            h = np.zeros((nrec, 10), np.int32)
+            seg_lens = np.array([len(t) for t in tr_rows], np.int64)
+            h[:, 0] = 2 * seg_lens
+            h[:, 1] = ds_ok
+            h[:, 2] = rows_ok[:, 3]
+            h[:, 3] = rows_ok[:, 5]
+            h[:, 4] = rows_ok[:, 4]
+            h[:, 5] = rows_ok[:, 6]
+            h[:, 6] = np.where(rows_ok[:, 2] != 0, OVL_COMP, 0)
+            h[:, 7] = blocks[i].ids[rows_ok[:, 0]]
+            h[:, 8] = blocks[j].ids[rows_ok[:, 1]]
+            hdr_parts.append(h)
+            row_parts.extend(tr_rows)
+            len_parts.append(seg_lens)
+        if hdr_parts:
+            hdr = np.concatenate(hdr_parts)
+            lens = np.concatenate(len_parts)
+            rows_all = (np.concatenate(row_parts)
+                        if len(row_parts) else np.zeros((0, 2),
+                                                        np.int32))
+            offs = np.zeros(len(hdr) + 1, np.int64)
+            np.cumsum(lens, out=offs[1:])
+            payload, boffs = encode_trace_columns(
+                rows_all.astype(np.int32), offs, small)
+            las = LasFile(cfg.tspace,
+                          columns=LasColumns(hdr, payload, boffs))
+        else:
+            las = LasFile(cfg.tspace, [])
         las.sort()
         out.append(las)
     return out, counts, total
