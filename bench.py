@@ -177,7 +177,9 @@ def main() -> None:
         # config cannot fill a chip; per-launch latency dominates it)
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        gbp_s = run_config(GENOME_LARGE, 1 << 26, 1 << 21, warmups=1,
+        # hit_cap must exceed the workload's real hit total (~93M at
+        # 50 Mbp / 20x) — a saturated buffer silently truncates hits
+        gbp_s = run_config(GENOME_LARGE, 1 << 27, 1 << 21, warmups=1,
                            rounds=2, label="large-50Mbp")
         config = "large-50Mbp"
         if profile_dir:

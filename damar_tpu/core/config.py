@@ -85,6 +85,9 @@ class TourConfig:
     min_dovetail: int = 1000     # min dovetail overlap for a graph edge
     bubble_max: int = 8          # max path length when popping bubbles
     spur_len: int = 3            # max spur length to clip
+    polish_rounds: int = 3       # staggered consensus rounds (3rd round
+                                 # recovers columns the first two split
+                                 # at window boundaries)
 
 
 @dataclass(frozen=True)

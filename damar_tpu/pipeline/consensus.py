@@ -225,8 +225,8 @@ def _vote_ops_multi(votes: np.ndarray, ins_votes: list[dict],
 
 
 def _consensus_calls(template: np.ndarray, votes: np.ndarray,
-                     ins_votes: list[dict], n_cov: int, min_cov: int
-                     ) -> np.ndarray:
+                     ins_votes: list[dict], n_cov: int, min_cov: int,
+                     template_prior: bool = False) -> np.ndarray:
     if n_cov < min_cov:
         return template.copy()
     # NOTE: the template does NOT vote.  In contig polishing the
@@ -243,10 +243,28 @@ def _consensus_calls(template: np.ndarray, votes: np.ndarray,
     need = max(2.0, 0.35 * n_cov)
     # vectorized base calls (the per-position loop dominated polish):
     # tot == 0 keeps the template char; call 4 (deletion) emits
-    # nothing; otherwise the majority base.  The template itself does
-    # NOT vote (its source read is among the covers).
+    # nothing; otherwise the winning base — but only a STRICT MAJORITY
+    # of covers may override the template.  Plurality-without-majority
+    # at thin-coverage columns is a coin flip biased to base 0, and in
+    # later rounds it REGRESSES settled consensus (the template then
+    # carries the aggregated evidence of every earlier round).  The
+    # template itself still does not vote (its source read is among
+    # the covers).
     tot = votes.sum(axis=1)
-    calls = np.argmax(votes, axis=1)
+    if template_prior:
+        # rounds >= 2: the template carries every earlier round's
+        # aggregated evidence — it votes once and wins ties, so
+        # plurality-without-majority noise at thin columns cannot
+        # regress settled consensus.  Round 1's template is a raw
+        # read and gets no prior.
+        tcol = np.minimum(template, 3)
+        v2 = votes.copy()
+        v2[np.arange(m), tcol] += 1
+        calls = np.argmax(v2, axis=1)
+        tmax = v2[np.arange(m), tcol] == np.max(v2, axis=1)
+        calls = np.where(tmax, tcol, calls)
+    else:
+        calls = np.argmax(votes, axis=1)
     keep = (tot == 0) | (calls != 4)
     base = np.where(tot == 0, template,
                     np.minimum(calls, 3)).astype(np.uint8)
@@ -349,7 +367,8 @@ def full_layout(tour_lay: list[tuple[int, int, int]], las,
 def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                   seq_of, window: int = 500, margin: int = 80,
                   band: int = 96, min_cov: int = 2,
-                  return_map: bool = False):
+                  return_map: bool = False, reject: float = 0.45,
+                  template_prior: bool = False):
     """Polish a toured contig with its own reads.
 
     layout: [(read, dir, contig_start)] from touring.tour_layout —
@@ -436,6 +455,22 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
             s, cursor = st[0], st[1]
             c = s[lo:hi]
             ops, j0 = results[k]
+            # cover outlier rejection: a misplaced/wrong-strand read
+            # (full_layout places by ONE overlap record) aligns at
+            # near-random cost and poisons every vote it touches —
+            # true covers cost <= ~2x the pair error rate, random
+            # sequence ~0.5x window
+            if len(ops):
+                ca = (ops == 0) | (ops == 1)
+                cb = (ops == 0) | (ops == 2)
+                i_ix = np.cumsum(ca) - ca
+                j_ix = j0 + np.cumsum(cb) - cb
+                m0 = ops == 0
+                nmatch = int((tmpl[np.minimum(i_ix[m0], len(tmpl) - 1)]
+                              == c[np.minimum(j_ix[m0],
+                                              len(c) - 1)]).sum())
+                if len(ops) - nmatch > reject * len(tmpl):
+                    ops = ops[:0]            # walk on, vote nothing
             items.append((ops, j0, c))
             ncov[w] += 1
             nb = int((ops != 1).sum())        # cover chars consumed
@@ -458,7 +493,8 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
             parts.append(tmpl.copy())
         else:
             parts.append(_consensus_calls(tmpl, votes[w], ivs[w],
-                                          int(ncov[w]), min_cov))
+                                          int(ncov[w]), min_cov,
+                                          template_prior=template_prior))
     out = np.concatenate(parts) if parts else contig
     if not return_map:
         return out
@@ -492,24 +528,176 @@ def _wrap_layout(layout: list[tuple[int, int, int]], clen: int
             + [(r, d, s + clen) for r, d, s in layout])
 
 
+def _close_circular(seq: np.ndarray, max_dup: int = 800,
+                    k: int = 16, min_votes: int = 3) -> np.ndarray:
+    """Trim the residual closure DUPLICATION of a circular contig:
+    touring's closure cut is exact only to the closing record's
+    alignment drift, and a leftover tandem copy at the seam can never
+    be voted out (covers split their deletion calls between the two
+    copies).  Detect the duplication by matching the tail's k-mers
+    against the head (run after a polish round, when the draft is at
+    ~1% error and exact k-mers land), take the modal offset, trim."""
+    L = len(seq)
+    W = min(max_dup + 200, L // 4)
+    if W < k + 8:
+        return seq
+    head = {bytes(seq[j:j + k]): j for j in range(W - k, -1, -1)}
+    votes: dict[int, int] = {}
+    for i in range(L - W, L - k):
+        j = head.get(bytes(seq[i:i + k]))
+        if j is not None:
+            d = L - i + j
+            if 1 <= d <= max_dup:
+                votes[d] = votes.get(d, 0) + 1
+    if not votes:
+        return seq
+    d, cnt = max(votes.items(), key=lambda kv: kv[1])
+    # only the duplicated stretch itself can match: expect ~d - k
+    # k-mer votes for a d-base duplication (chance matches are ~0)
+    if d <= k or cnt < max(min_votes, (d - k) // 3):
+        return seq
+    return seq[:L - d]
+
+
+def _collapse_junction_dups(seq: np.ndarray, junctions: list[int],
+                            k: int = 16, max_dup: int = 400,
+                            win: int = 600) -> np.ndarray:
+    """Collapse small tandem DUPLICATIONS at tour junctions: a
+    junction cut that is off by d bases duplicates d bases of sequence
+    there, and consensus can never vote it out — covers split their
+    deletion calls between the two copies.  Detection mirrors
+    _close_circular but is anchored to the KNOWN junction positions
+    (a genuine genomic tandem repeat away from any junction is never
+    touched; one under a junction is indistinguishable from a cut
+    error by any consumer of the same evidence).  Run on a polished
+    draft (~1% error) where exact k-mers land."""
+    cuts: list[tuple[int, int]] = []
+    L = len(seq)
+    for p in sorted(set(junctions)):
+        lo = max(0, p - win)
+        hi = min(L, p + win)
+        if hi - lo < 2 * k + 8:
+            continue
+        head: dict[bytes, int] = {}
+        for j in range(min(p, hi - k) - k, lo - 1, -1):
+            if j >= 0:
+                head[bytes(seq[j:j + k])] = j
+        votes: dict[int, int] = {}
+        first_i: dict[int, int] = {}
+        for i in range(max(p - k, lo), hi - k):
+            j = head.get(bytes(seq[i:i + k]))
+            if j is not None:
+                d = i - j
+                if k < d <= max_dup:
+                    votes[d] = votes.get(d, 0) + 1
+                    first_i.setdefault(d, i)
+        if not votes:
+            continue
+        d, cnt = max(votes.items(), key=lambda kv: kv[1])
+        if cnt < max(3, (d - k) // 3):
+            continue
+        x0 = first_i[d]
+        # the duplicated copies must straddle the junction
+        if not (x0 - d - k <= p <= x0 + d + k):
+            continue
+        cuts.append((x0, d))
+    if not cuts:
+        return seq
+    cuts.sort()
+    parts = []
+    pos = 0
+    for x0, d in cuts:
+        if x0 < pos:
+            continue
+        parts.append(seq[pos:x0])
+        pos = x0 + d
+    parts.append(seq[pos:])
+    return np.concatenate(parts)
+
+
 def polish_rounds(contig: np.ndarray, layout: list[tuple[int, int, int]],
                   seq_of, circular: bool = False, window: int = 500,
-                  margin: int = 80, band: int = 96, min_cov: int = 2
-                  ) -> np.ndarray:
-    """Two consensus rounds with staggered window grids (the second
-    round re-anchors against the round-1 draft; its shifted boundaries
-    re-call the columns round 1 split across windows).  Circular
-    contigs polish with seam-wrapped layouts."""
-    lay = _wrap_layout(layout, len(contig)) if circular else layout
-    c1, cmap = polish_contig(contig, lay, seq_of, window=window,
-                             margin=margin, band=band, min_cov=min_cov,
-                             return_map=True)
-    lay2 = remap_layout(layout, cmap, window)
-    if circular:
-        lay2 = _wrap_layout(lay2, len(c1))
-    w2 = max(window - 80, window // 2)
-    return polish_contig(c1, lay2, seq_of, window=w2, margin=margin,
-                         band=band, min_cov=min_cov)
+                  margin: int = 80, band: int = 96, min_cov: int = 2,
+                  rounds: int = 2,
+                  junctions: list[int] | None = None) -> np.ndarray:
+    """Iterated consensus with staggered window grids (each round
+    re-anchors against the previous draft; the shifted boundaries
+    re-call the columns earlier rounds split across windows).
+    Circular contigs polish with seam-wrapped layouts."""
+    cur = contig
+    lay_base = layout
+    w = window
+    for r in range(rounds):
+        lay = _wrap_layout(lay_base, len(cur)) if circular else lay_base
+        # later rounds anchor against a converged (~1% error) draft:
+        # true covers cost ~the read error, so the outlier bar drops
+        cur, cmap = polish_contig(cur, lay, seq_of, window=w,
+                                  margin=margin, band=band,
+                                  min_cov=min_cov, return_map=True,
+                                  reject=0.45 if r == 0 else 0.35)
+        lay_base = remap_layout(lay_base, cmap, w)
+        if junctions:
+            nwin_m = len(cmap) - 1
+            junctions = [int(cmap[min(max(p // w, 0),
+                                      max(nwin_m - 1, 0))]
+                             + (p - (p // w) * w)) for p in junctions]
+            n0 = len(cur)
+            cur = _collapse_junction_dups(cur, junctions)
+            if len(cur) != n0:
+                junctions = [p for p in junctions if p < len(cur)]
+        if circular:
+            n0 = len(cur)
+            cur = _close_circular(cur)
+            if len(cur) != n0:
+                # the trim shortened the tail: clamp any layout starts
+                # past the new end into the wrap copies' range
+                L2 = len(cur)
+                lay_base = [(rd, d, s if s < L2 else s - L2)
+                            for rd, d, s in lay_base]
+        if circular and r < rounds - 1:
+            if junctions:
+                junctions = [(p + len(cur) // 2) % max(len(cur), 1)
+                             for p in junctions]
+            # rotate the draft half a turn: covers spanning the seam
+            # enter their first window MID-READ, where the linear
+            # cursor is off by the read's accumulated indel skew (far
+            # beyond any margin) — they fail the outlier bar and the
+            # seam region polishes coverage-starved.  After rotation
+            # the old seam sits mid-contig with normally-anchored
+            # covers; the new seam's region is already polished and
+            # merely stays put for a round (rejection keeps the
+            # template).  A rotation of a circular contig is the same
+            # contig.
+            sh = len(cur) // 2
+            cur = np.roll(cur, sh)
+            lay_base = [(rd, d, s + sh) for rd, d, s in lay_base]
+        # stagger the grid so column calls split at one round's window
+        # boundary are re-voted whole in the next
+        w = max(w - 80, window // 2, 120)
+    return cur
+
+
+def _correct_one(template: np.ndarray, pile: list, seqs_of, rlen: int,
+                 ts: int, window: int, band: int, min_cov: int
+                 ) -> np.ndarray:
+    """Consensus-correct one read given its pile rows
+    [(bread, comp, abpos, aepos, bbpos, cum_bspans)]."""
+    parts = []
+    for w0 in range(0, rlen, window):
+        w1 = min(w0 + window, rlen)
+        covers = []
+        for bread, comp, abpos, aepos, bbpos, cum in pile:
+            if abpos <= w0 and w1 <= aepos:
+                s0 = abpos // ts
+                seg_lo = w0 // ts
+                seg_hi = (w1 + ts - 1) // ts
+                lo = bbpos + int(cum[max(0, seg_lo - s0)])
+                hi = bbpos + int(cum[min(len(cum) - 1, seg_hi - s0)])
+                b = seqs_of(bread, bool(comp))
+                covers.append(b[lo:hi])
+        parts.append(consensus_window(template[w0:w1], covers,
+                                      band=band, min_cov=min_cov))
+    return np.concatenate(parts) if parts else template
 
 
 def polish_read(aread: int, las, seqs_of, rlen: int, window: int = 500,
@@ -519,22 +707,84 @@ def polish_read(aread: int, las, seqs_of, rlen: int, window: int = 500,
     against the read as template."""
     from damar_tpu.formats.oflags import OVL_COMP
     template = seqs_of(aread, False)
-    parts = []
+    pile = []
+    for o in las.overlaps:
+        if o.aread == aread:
+            cum = np.concatenate([[0], np.cumsum(o.trace[:, 1])])
+            pile.append((o.bread, bool(o.flags & OVL_COMP), o.abpos,
+                         o.aepos, o.bbpos, cum))
+    return _correct_one(template, pile, seqs_of, rlen, las.tspace,
+                        window, band, min_cov)
+
+
+def correct_reads(las, seqs_of, rlen_of: dict[int, int],
+                  reads: list[int] | None = None, window: int = 500,
+                  band: int = 96, min_cov: int = 2
+                  ) -> dict[int, np.ndarray]:
+    """Batched read correction from piles (MARVEL corrector/ + msa/
+    equivalent — upstream-path citation, mount empty): every read is
+    consensus-voted against its covering alignments, turning ~13%%
+    CLR error into ~1%% before the contig polish.  Contig windows
+    whose raw coverage dips to 4-6x then still vote cleanly — thin
+    windows were the measured identity floor of polishing with raw
+    reads.
+
+    Columnar pile construction: ONE pass over the las groups rows by
+    aread (no per-record objects)."""
+    from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD,
+                                       H_BBPOS, H_BREAD, H_FLAGS,
+                                       _decode_trace)
+    from damar_tpu.formats.oflags import OVL_COMP, OVL_DISCARD
+    cols = getattr(las, "columns", None)
     ts = las.tspace
-    pile = [o for o in las.overlaps if o.aread == aread]
-    for w0 in range(0, rlen, window):
-        w1 = min(w0 + window, rlen)
-        covers = []
-        for o in pile:
-            if o.abpos <= w0 and w1 <= o.aepos:
-                s0 = o.abpos // ts
-                cum = np.concatenate([[0], np.cumsum(o.trace[:, 1])])
-                seg_lo = w0 // ts
-                seg_hi = (w1 + ts - 1) // ts
-                lo = o.bbpos + int(cum[max(0, seg_lo - s0)])
-                hi = o.bbpos + int(cum[min(len(cum) - 1, seg_hi - s0)])
-                b = seqs_of(o.bread, bool(o.flags & OVL_COMP))
-                covers.append(b[lo:hi])
-        parts.append(consensus_window(template[w0:w1], covers,
-                                      band=band, min_cov=min_cov))
-    return np.concatenate(parts) if parts else template
+    piles: dict[int, list] = {}
+    if cols is not None and cols.n:
+        h = cols.headers
+        rows_t = _decode_trace(cols.trace, las.small)
+        seg_off = cols.offsets // (2 if las.small else 4)
+        live = (h[:, H_FLAGS] & OVL_DISCARD) == 0
+        order = np.argsort(h[:, H_AREAD], kind="stable")
+        for i in order:
+            if not live[i]:
+                continue
+            a = int(h[i, H_AREAD])
+            if reads is not None and a not in piles and \
+                    a not in _as_set(reads):
+                continue
+            tr = rows_t[seg_off[i]:seg_off[i + 1]]
+            cum = np.concatenate([[0], np.cumsum(tr[:, 1])])
+            piles.setdefault(a, []).append(
+                (int(h[i, H_BREAD]),
+                 bool(h[i, H_FLAGS] & OVL_COMP),
+                 int(h[i, H_ABPOS]), int(h[i, H_AEPOS]),
+                 int(h[i, H_BBPOS]), cum))
+    else:
+        for o in las.overlaps:
+            if o.flags & OVL_DISCARD:
+                continue
+            if reads is not None and o.aread not in _as_set(reads):
+                continue
+            cum = np.concatenate([[0], np.cumsum(o.trace[:, 1])])
+            piles.setdefault(o.aread, []).append(
+                (o.bread, bool(o.flags & OVL_COMP), o.abpos,
+                 o.aepos, o.bbpos, cum))
+    targets = sorted(piles) if reads is None else \
+        [r for r in reads if r in piles]
+    out: dict[int, np.ndarray] = {}
+    for a in targets:
+        out[a] = _correct_one(seqs_of(a, False), piles[a], seqs_of,
+                              rlen_of[a], ts, window, band, min_cov)
+    return out
+
+
+_SET_CACHE: dict[int, set] = {}
+
+
+def _as_set(reads):
+    k = id(reads)
+    s = _SET_CACHE.get(k)
+    if s is None:
+        _SET_CACHE.clear()
+        s = set(reads)
+        _SET_CACHE[k] = s
+    return s

@@ -1064,14 +1064,32 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
         u["mir"] = np.full(n, int(mirrored), np.int32)
         return u
 
-    groups = [units_of(kp, False) for kp in kept_parts if kp["n"]]
+    # uid links the primary and mirrored roles of one extent so trace
+    # failures can be discarded SYMMETRICALLY (a record and its mirror
+    # both survive or neither does — the reference's symmetric output
+    # is an invariant, not a ratio)
+    base = 0
+    groups = []
+    bases_of = []
+    for kp in kept_parts:
+        if kp["n"]:
+            g = units_of(kp, False)
+            g["uid"] = (base + np.arange(kp["n"])).astype(np.int32)
+            groups.append(g)
+            bases_of.append(base)
+            base += kp["n"]
     if emit_mirrors:
-        groups += [units_of(kp, True) for kp in kept_parts if kp["n"]]
+        for kp, b0 in zip([k for k in kept_parts if k["n"]], bases_of):
+            g = units_of(kp, True)
+            g["uid"] = (b0 + np.arange(kp["n"])).astype(np.int32)
+            groups.append(g)
     cols_a: list[LasColumns] = []
     cols_b: list[LasColumns] = []
+    uids_a: list[np.ndarray] = []
+    uids_b: list[np.ndarray] = []
     small = cfg.tspace <= TRACE_XOVR
     UKEYS = ("ar", "br", "abp", "aep", "bbp", "bep", "ast", "bst",
-             "hdr_ar", "hdr_br", "comp", "mir")
+             "hdr_ar", "hdr_br", "comp", "mir", "uid")
 
     def emit(chunk, res, retry_sink=None):
         """Append one trace batch's surviving records as columnar
@@ -1087,10 +1105,12 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             else:
                 stats["dropped_trace"] += len(bad)
         seg_lens_all = offs_t[1:] - offs_t[:-1]
-        for mir, sink in ((0, cols_a), (1, cols_b)):
+        for mir, sink, usink in ((0, cols_a, uids_a),
+                                 (1, cols_b, uids_b)):
             ok_idx = np.nonzero(okv & (chunk["mir"] == mir))[0]
             if not len(ok_idx):
                 continue
+            usink.append(chunk["uid"][ok_idx])
             seg_lens = seg_lens_all[ok_idx]
             n = len(ok_idx)
             h = np.zeros((n, 10), np.int32)
@@ -1175,8 +1195,25 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
     if retries:
         retry_round(retries, _wide_trace_kernel(cfg), None)
 
-    las_a = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_a))
+    ca = LasColumns.concat(cols_a)
+    cb = LasColumns.concat(cols_b)
+    if emit_mirrors:
+        # symmetric discard: a record survives only if its mirror did
+        ua = (np.concatenate(uids_a) if uids_a
+              else np.zeros(0, np.int32))
+        ub = (np.concatenate(uids_b) if uids_b
+              else np.zeros(0, np.int32))
+        both = np.intersect1d(ua, ub)
+        ka = np.nonzero(np.isin(ua, both))[0]
+        kb = np.nonzero(np.isin(ub, both))[0]
+        if len(ka) != ca.n:
+            stats["dropped_trace"] += ca.n - len(ka)
+            ca = ca.permute(ka)
+        if len(kb) != cb.n:
+            stats["dropped_trace"] += cb.n - len(kb)
+            cb = cb.permute(kb)
+    las_a = LasFile(tspace=cfg.tspace, columns=ca)
     las_a.sort()
-    las_b = LasFile(tspace=cfg.tspace, columns=LasColumns.concat(cols_b))
+    las_b = LasFile(tspace=cfg.tspace, columns=cb)
     las_b.sort()
     return las_a, las_b

@@ -225,14 +225,32 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         min_dovetail=cfg.tour.min_dovetail,
         spur_len=cfg.tour.spur_len, bubble_max=cfg.tour.bubble_max)
     if polish:
-        from damar_tpu.pipeline.consensus import polish_rounds
+        from damar_tpu.formats.fasta import revcomp as _rc
+        from damar_tpu.pipeline.consensus import (correct_reads,
+                                                  polish_rounds)
         from damar_tpu.pipeline.touring import dedupe_contained_contigs
+        # corrector pass (MARVEL corrector/): consensus-correct every
+        # read from its pile first — contig windows where raw coverage
+        # dips then vote with ~1% -error covers instead of ~13%
+        corrected = correct_reads(filt, seqs_of_trimmed, trlen)
+
+        def seqs_of_pol(i, comp):
+            s = corrected.get(i)
+            if s is None:
+                return seqs_of_trimmed(i, comp)
+            return _rc(s) if comp else s
+
         out = []
         for c, t in zip(contigs, tours):
-            lay = full_layout(tour_layout(t, seqs_of_trimmed), filt,
-                              trlen)
-            out.append(polish_rounds(c, lay, seqs_of_trimmed,
-                                     circular=t.circular))
+            tlay = tour_layout(t, seqs_of_trimmed)
+            lay = full_layout(tlay, filt, trlen)
+            # junction positions let polish collapse residual cut-error
+            # duplications that votes cannot (copies split the calls)
+            juncs = [s for _, _, s in tlay[1:] if 0 <= s < len(c)]
+            out.append(polish_rounds(c, lay, seqs_of_pol,
+                                     circular=t.circular,
+                                     rounds=cfg.tour.polish_rounds,
+                                     junctions=juncs))
         # polished contigs expose duplicate repeat-branch walks
         contigs, tours = dedupe_contained_contigs(out, tours)
     contig_path = os.path.join(workdir, "CONTIGS.fasta")

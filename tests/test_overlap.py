@@ -73,7 +73,11 @@ class TestOverlapE2E:
                 key = (m.bread, m.aread, comp, m.bbpos, m.bepos)
             if key in prim:
                 n_checked += 1
-        assert n_checked >= 0.9 * las_b.novl
+        # symmetry is an INVARIANT (reference parity): every record
+        # has its mirror — trace-retry drops are symmetric by uid
+        assert las_a.novl == las_b.novl
+        assert n_checked == las_b.novl, \
+            f"{n_checked}/{las_b.novl} mirrored"
 
     def test_diff_rates_sane(self, overlap_result):
         sim, blk, las_a, las_b, stats = overlap_result
