@@ -31,7 +31,7 @@ def _ocfg(args):
     from damar_tpu.core.config import OverlapConfig
     kw = {}
     for field in ("kmer", "band_shift", "hit_min", "min_len", "tspace",
-                  "max_kmer_count", "err", "identity"):
+                  "max_kmer_count", "err", "identity", "bias"):
         v = getattr(args, field, None)
         if v is not None:
             kw[field] = v
@@ -598,6 +598,10 @@ def build_parser():
         A("-e", "--err", type=float, default=None),
         A("-I", "--identity", action="store_const", const=True,
           default=None, help="report self-overlaps of a read"),
+        A("-b", "--bias", action="store_const", const=True,
+          default=None,
+          help="biased-composition seeding (information-weighted "
+               "band coverage)"),
     ]
 
     tool("fasta2db", cmd_fasta2db, A("db"), A("fasta", nargs="+"))

@@ -22,6 +22,10 @@ class OverlapConfig:
     tspace: int = 100           # -s  trace-point spacing
     identity: bool = False      # -I  report self-overlaps of a read
                                 #     (tandem-like off-diagonal hits)
+    bias: bool = False          # -b  biased-composition seeding: band
+                                #     coverage counts information-
+                                #     weighted bases (AT-rich k-mers
+                                #     count less on AT-rich genomes)
     # --- TPU kernel shape parameters (not in the reference) ---
     band_width: int = 128       # DP band lanes (multiple of 128)
     xdrop: int = 60             # X-drop termination threshold (diff units)

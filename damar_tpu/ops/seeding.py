@@ -168,12 +168,35 @@ def match_hits(a_codes, a_pos, b_codes, b_pos, k: int, hit_cap: int,
     return match_fill(a_pos, b_pos, lo, c, cum, hit_cap=hit_cap)
 
 
+def bias_weight_lut(bases) -> "np.ndarray":
+    """daligner -b: per-base information weights (x256 fixed point)
+    from block composition — a base contributes -log2(freq)/2 'bases'
+    of band coverage, so homopolymer-ish k-mers on biased genomes must
+    clear a proportionally higher bar (upstream dalign/daligner.c -b,
+    mount empty).  Uniform composition gives exactly 256 per base."""
+    import numpy as np
+    b = np.asarray(bases)
+    cnt = np.bincount(b[b < 4], minlength=4).astype(np.float64)
+    f = cnt / max(cnt.sum(), 1.0)
+    w = np.round(256.0 * (-np.log2(np.maximum(f, 1e-9)) / 2.0))
+    return np.clip(w, 32, 1024).astype(np.uint32)
+
+
+def _bias_prefix_dev(bases, lut):
+    """uint32 prefix of per-base weights (wraps mod 2^32; only short-
+    range differences are consumed, which wrap back correctly)."""
+    w = jnp.where(bases < 4,
+                  jnp.asarray(lut)[jnp.minimum(bases, 3)],
+                  jnp.uint32(0)).astype(jnp.uint32)
+    return jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(w)])
+
+
 def _diag_filter_impl(apos, bpos, nhits, a_read_id, b_read_id,
                       pos_bits: int, read_bits: int, band_shift: int,
                       hit_min: int, kmer: int, seed_cap: int,
                       upper_only: bool, suppress_equal,
                       self_only: bool, min_diag, max_diag, strand,
-                      include_self: bool = False):
+                      include_self: bool = False, wprefix=None):
     """Shared banding core; `strand` is an optional per-hit comp bit
     (bool array or None) carried through the sort key so one pass bands
     both orientations.  Returns (ar, br, apos, bpos, cov[, strand],
@@ -237,11 +260,25 @@ def _diag_filter_impl(apos, bpos, nhits, a_read_id, b_read_id,
         brk = brk | (strand_s[1:] != strand_s[:-1])
     first = jnp.concatenate([jnp.ones((1,), bool), brk])
     prev_apos = jnp.concatenate([apos_s[:1], apos_s[:-1]])
-    cov = jnp.where(first, kmer,
-                    jnp.minimum(apos_s - prev_apos, kmer)).astype(jnp.int32)
+    if wprefix is None:
+        cov = jnp.where(first, kmer,
+                        jnp.minimum(apos_s - prev_apos,
+                                    kmer)).astype(jnp.int32)
+        thresh = hit_min
+    else:
+        # -b: novel bases weighted by composition information — the
+        # covered interval is [max(prev+k, apos), apos+k); weights via
+        # the uint32 prefix (differences wrap back exactly)
+        npos = wprefix.shape[0] - 1
+        hi_i = jnp.minimum(apos_s + kmer, npos)
+        lo_i = jnp.where(first, apos_s,
+                         jnp.maximum(prev_apos + kmer, apos_s))
+        lo_i = jnp.minimum(jnp.maximum(lo_i, 0), hi_i)
+        cov = (wprefix[hi_i] - wprefix[lo_i]).astype(jnp.int32)
+        thresh = hit_min * 256
     cov = jnp.maximum(cov, 0)
     seg_sum = segment_sum_to_elements(cov, first)
-    good = (seg_sum >= hit_min) & (ar_s != dead_read)
+    good = (seg_sum >= thresh) & (ar_s != dead_read)
     rep = first & good                              # one seed per band
 
     # compact representatives into the seed buffer (packed words ride
@@ -306,15 +343,17 @@ def diagonal_filter_comp(apos, bpos, comp, nhits, a_read_id, b_read_id,
                          pos_bits: int, read_bits: int, band_shift: int,
                          hit_min: int, kmer: int, seed_cap: int,
                          upper_only: bool, suppress_equal=False,
-                         include_self: bool = False):
+                         include_self: bool = False, wprefix=None):
     """diagonal_filter over a MIXED-orientation hit stream (canonical
     seeding): `comp` is the per-hit orientation bit, carried in the
     band key so forward and comp hits band independently in ONE sort.
+    wprefix: optional uint32 weight prefix (-b biased composition).
     Returns (ar, br, apos, bpos, cov, comp, nseeds, total_seeds)."""
     return _diag_filter_impl(
         apos, bpos, nhits, a_read_id, b_read_id, pos_bits, read_bits,
         band_shift, hit_min, kmer, seed_cap, upper_only, suppress_equal,
-        False, None, None, strand=comp, include_self=include_self)
+        False, None, None, strand=comp, include_self=include_self,
+        wprefix=wprefix)
 
 
 def _pos_bits(*caps: int) -> int:
@@ -513,7 +552,7 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
                              hit_cap: int = 1 << 21,
                              seed_cap: int = 1 << 17, a_index=None,
                              dev_arrays=None, raw_hint: int | None = None,
-                             self_pair: bool = False):
+                             self_pair: bool = False, bias_lut=None):
     """Device-resident CANONICAL seeding: ONE index merge + ONE banding
     sort yields seeds of BOTH orientations (comp bit per seed), where
     the two-pass layout (find_seeds_dev per orientation) pays every
@@ -556,6 +595,8 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
                                                hit_cap=cap)
     apos, bpos, comp = _split_strand_hits(ap2v, bp2v, b_rid, b_starts,
                                           cfg.kmer)
+    wprefix = _bias_prefix_dev(a_bases, bias_lut) \
+        if bias_lut is not None else None
     ar, br, sap, sbp, cov, scomp, nseeds, total_seeds = \
         diagonal_filter_comp(
             apos, bpos, comp, nhits, a_rid, b_rid,
@@ -564,7 +605,8 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
             band_shift=cfg.band_shift, hit_min=cfg.hit_min,
             kmer=cfg.kmer, seed_cap=seed_cap,
             upper_only=bool(self_pair and upper_only),
-            include_self=bool(getattr(cfg, "identity", False)))
+            include_self=bool(getattr(cfg, "identity", False)),
+            wprefix=wprefix)
     return {
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
         "cov": cov, "comp": scomp, "nseeds": nseeds,

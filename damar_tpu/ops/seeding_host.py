@@ -103,7 +103,8 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
                               hit_cap: int = 1 << 21,
                               seed_cap: int = 1 << 17, a_index=None,
                               raw_hint: int | None = None,
-                              self_pair: bool = False) -> dict:
+                              self_pair: bool = False,
+                              bias_lut=None) -> dict:
     """Drop-in for find_seeds_canonical_dev returning numpy arrays
     (same dict contract; fetch_seeds consumes either)."""
     k = cfg.kmer
@@ -157,13 +158,21 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
         bpos = np.where(comp, blo + bhi - bposf - k,
                         bposf).astype(np.int32)
 
+    wprefix = None
+    if bias_lut is not None:
+        b = np.asarray(blk_a.bases)
+        wv = np.where(b < 4, np.asarray(bias_lut, np.uint32)[
+            np.minimum(b, 3)], np.uint32(0)).astype(np.uint32)
+        wprefix = np.zeros(len(b) + 1, np.uint32)
+        np.cumsum(wv, out=wprefix[1:], dtype=np.uint32)
     seeds = _band_filter(
         apos, bpos, comp, np.asarray(blk_a.read_id),
         b_rid, blk_a.cap, blk_b.cap,
         max(blk_a.nreads, blk_b.nreads) + 1, cfg,
         seed_cap=seed_cap,
         upper_only=bool(self_pair and upper_only),
-        include_self=bool(getattr(cfg, "identity", False)))
+        include_self=bool(getattr(cfg, "identity", False)),
+        wprefix=wprefix)
     ar, br, sap, sbp, cov, scomp, nseeds, total_seeds = seeds
     return {
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
@@ -181,7 +190,7 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
                  nreads1, cfg, seed_cap: int, upper_only: bool,
                  include_self: bool, self_only: bool = False,
                  min_diag: int | None = None,
-                 max_diag: int | None = None):
+                 max_diag: int | None = None, wprefix=None):
     """Numpy replica of _diag_filter_impl (strand present, the
     canonical path's configuration): double-bucket banding, stable
     two-pass sort == the packed (ar,br,strand,bucket,apos) key sort,
@@ -211,7 +220,9 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
         comp, ar, br = comp[idx], ar[idx], br[idx]
         n = len(idx)
     from damar_tpu import native
-    res = native.band_filter(
+    # the native C band filter has no bias-weighted coverage mode:
+    # biased runs take the numpy branch (same formula as the device)
+    res = None if wprefix is not None else native.band_filter(
         apos, bpos, comp, ar, br, bcap=len(b_read_id),
         band_shift=band_shift, kmer=kmer, hit_min=hit_min,
         read_bits=read_bits, bucket_bits=bucket_bits,
@@ -263,11 +274,22 @@ def _band_filter(apos, bpos, comp, a_read_id, b_read_id, a_cap, b_cap,
     prev_ap = np.empty_like(ap_s)
     prev_ap[0] = ap_s[0]
     prev_ap[1:] = ap_s[:-1]
-    cov = np.where(first, kmer, np.minimum(ap_s - prev_ap, kmer))
+    if wprefix is None:
+        cov = np.where(first, kmer, np.minimum(ap_s - prev_ap, kmer))
+        thresh = hit_min
+    else:
+        # -b: composition-weighted novel coverage (device twin in
+        # ops.seeding._diag_filter_impl — formulas must match exactly)
+        npos = len(wprefix) - 1
+        hi_i = np.minimum(ap_s + kmer, npos)
+        lo_i = np.where(first, ap_s, np.maximum(prev_ap + kmer, ap_s))
+        lo_i = np.minimum(np.maximum(lo_i, 0), hi_i)
+        cov = (wprefix[hi_i] - wprefix[lo_i]).astype(np.int32)
+        thresh = hit_min * 256
     cov = np.maximum(cov, 0)
     seg_idx = np.flatnonzero(first)
     seg_sum = np.add.reduceat(cov, seg_idx)
-    good = seg_sum >= hit_min
+    good = seg_sum >= thresh
     rep_idx = seg_idx[good]                   # first hit of each band
     total_seeds = len(rep_idx)
     nseeds = min(total_seeds, seed_cap)

@@ -876,6 +876,12 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
     host = _host_compute_enabled()
+    # -b: composition weights from the A block (host LUT; both seeding
+    # twins apply the identical fixed-point formula)
+    bias_lut = None
+    if getattr(cfg, "bias", False):
+        from damar_tpu.ops.seeding import bias_weight_lut
+        bias_lut = bias_weight_lut(blk_a.bases)
     # ONE canonical seeding pass covers both orientations (comp bit per
     # seed); comp seeds carry bpos already in rc-block coordinates
     if host:
@@ -913,6 +919,10 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
                                       jnp.asarray(blk_b.read_id)))
             return fetch_seeds(find_seeds_canonical_dev(
                 blk_a, blk_b, cfg, **kw))
+    if bias_lut is not None:
+        _orig_run_seeding = run_seeding
+        run_seeding = lambda kw: _orig_run_seeding(  # noqa: E731
+            dict(kw, bias_lut=bias_lut))
     kw = dict(mask_a=mask_a, mask_b=mask_b, upper_only=self_block,
               hit_cap=hit_cap, seed_cap=seed_cap, a_index=a_index,
               self_pair=self_block)

@@ -128,3 +128,72 @@ class TestIdentityOption:
                 assert selfs > 0, "identity=True found no self-overlaps"
             else:
                 assert selfs == 0, f"{selfs} self records at default"
+
+
+class TestBiasedComposition:
+    """daligner -b: information-weighted band coverage (VERDICT r1
+    item 9).  On an AT-rich genome, AT-dominated k-mer clusters must
+    clear a higher bar, suppressing composition-driven seeds without
+    losing true overlaps."""
+
+    def _at_rich_sim(self):
+        rng = np.random.default_rng(91)
+        g = rng.choice(np.arange(4, dtype=np.uint8), size=60_000,
+                       p=[0.40, 0.10, 0.10, 0.40])
+        from damar_tpu.utils.sim import SimReads, mutate
+        from damar_tpu.formats.fasta import revcomp
+        reads, starts, ends, strands = [], [], [], []
+        for _ in range(140):
+            L = int(rng.integers(2500, 5000))
+            s = int(rng.integers(0, len(g) - L))
+            span = g[s:s + L]
+            d = int(rng.integers(0, 2))
+            r = span if d == 0 else revcomp(span)
+            reads.append(mutate(r, 0.13, rng))
+            starts.append(s); ends.append(s + L); strands.append(d)
+        return SimReads(genome=g, reads=reads,
+                        start=np.array(starts), end=np.array(ends),
+                        strand=np.array(strands), err=0.13), g
+
+    def test_host_device_parity_and_recall(self):
+        import os
+        from damar_tpu.ops.seeding import bias_weight_lut
+        from damar_tpu.ops import seeding_host as sh
+        from damar_tpu.ops.seeding import find_seeds_canonical_dev
+        from damar_tpu.pipeline.overlap import fetch_seeds
+        sim, g = self._at_rich_sim()
+        blk = block_from_reads(sim.reads)
+        cfg = OverlapConfig(seed_batch=512, bias=True)
+        lut = bias_weight_lut(blk.bases)
+        assert lut[0] > 256 * 0.5 and lut[1] > lut[0], \
+            "rare bases must weigh more"
+        sd = fetch_seeds(find_seeds_canonical_dev(
+            blk, blk, cfg, upper_only=True, self_pair=True,
+            hit_cap=1 << 20, seed_cap=1 << 15, bias_lut=lut))
+        sh_ = sh.fetch_seeds_host(sh.find_seeds_canonical_host(
+            blk, blk, cfg, upper_only=True, self_pair=True,
+            hit_cap=1 << 20, seed_cap=1 << 15, bias_lut=lut))
+        assert sd["nseeds"] == sh_["nseeds"]
+        for k in ("aread", "bread", "apos", "bpos", "comp"):
+            np.testing.assert_array_equal(sd[k], sh_[k], err_msg=k)
+
+    def test_bias_suppresses_at_seeds_keeps_overlaps(self):
+        sim, g = self._at_rich_sim()
+        blk = block_from_reads(sim.reads)
+        results = {}
+        for bias in (False, True):
+            cfg = OverlapConfig(seed_batch=512, bias=bias)
+            la, lb, st = overlap_block_pair(
+                blk, blk, cfg, self_block=True,
+                hit_cap=1 << 20, seed_cap=1 << 15)
+            found = {(o.aread, o.bread) for o in la.overlaps}
+            results[bias] = (st["seeds"], found)
+        s0, f0 = results[False]
+        s1, f1 = results[True]
+        assert s1 < s0, f"bias did not reduce seeds ({s1} vs {s0})"
+        # true overlaps survive: pairs found without bias and truly
+        # overlapping must still be found
+        true0 = {p for p in f0 if sim.true_overlap(*p, 1500)}
+        true1 = {p for p in f1 if sim.true_overlap(*p, 1500)}
+        assert len(true1) >= 0.97 * len(true0), \
+            f"bias lost true overlaps: {len(true1)}/{len(true0)}"
