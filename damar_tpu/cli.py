@@ -598,10 +598,10 @@ def build_parser():
         A("-e", "--err", type=float, default=None),
         A("-I", "--identity", action="store_const", const=True,
           default=None, help="report self-overlaps of a read"),
-        A("-b", "--bias", action="store_const", const=True,
+        A("--bias", action="store_const", const=True,
           default=None,
-          help="biased-composition seeding (information-weighted "
-               "band coverage)"),
+          help="daligner -b: biased-composition seeding "
+               "(information-weighted band coverage)"),
     ]
 
     tool("fasta2db", cmd_fasta2db, A("db"), A("fasta", nargs="+"))

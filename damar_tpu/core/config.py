@@ -77,6 +77,10 @@ class ScrubConfig:
     min_cov_patch: int = 1       # min alternatives to patch a segment
     gap_min_cov: int = 2         # LAgap: coverage below -> break candidate
     min_trim_len: int = 1000     # drop reads shorter than this after trim
+    anchor_min: int = 300        # LAfilter chain rule: min bases of an
+                                 # alignment OUTSIDE repeat intervals
+                                 # (repeat-end dovetails between copies
+                                 # otherwise branch the graph)
     filter_min_len: int = 1000   # LAfilter: min overlap length kept
     filter_max_diff: float = 0.35  # max error rate of kept overlaps
     filter_fuzz: int = 40        # dovetail end slop (matches wave

@@ -66,12 +66,27 @@ def plan_block_pairs(db_root: str, nblocks: int,
     return jobs
 
 
-def plan_masking(db_root: str, nblocks: int) -> list[Job]:
+def plan_masking(db_root: str, nblocks: int,
+                 rep_rounds: tuple = None) -> list[Job]:
     """The HPC.TANmask / HPC.REPmask-equivalent job list: dust +
     per-block tandem masking (independent block jobs + a track merge),
-    then a coverage-based repeat-mask round fed by each block's merged
-    overlaps (the reference's 3-round coarse-to-fine REPmask collapses
-    to one round here because the overlap matrix is a single plan)."""
+    then COARSE-TO-FINE repeat-mask rounds (upstream HPC.REPmask plans
+    3 rounds of group-limited daligner sweeps with falling coverage
+    thresholds — each round's track soft-masks the next round's
+    seeding, so high-copy repeats are suppressed before they flood the
+    finer rounds' hit buffers).
+
+    rep_rounds: tuple of (group_size, cov_multiple) per round; group
+    size g means each block is overlapped against g blocks starting at
+    itself (g=0 -> all blocks).  Defaults to the reference's 3-round
+    shape scaled to the block count."""
+    if rep_rounds is None:
+        if nblocks <= 1:
+            rep_rounds = ((0, 2.0),)
+        elif nblocks <= 4:
+            rep_rounds = ((1, 4.0), (0, 2.0))
+        else:
+            rep_rounds = ((1, 4.0), (min(4, nblocks), 3.0), (0, 2.0))
     jobs: list[Job] = []
     jobs.append(Job(name="dust", kind="mask",
                     args=dict(cmd="dbdust", db=db_root)))
@@ -81,15 +96,37 @@ def plan_masking(db_root: str, nblocks: int) -> list[Job]:
     jobs.append(Job(name="tan.merge", kind="mask",
                     args=dict(cmd="tkmerge", db=db_root, track="tan"),
                     deps=[f"tan.{i}" for i in range(1, nblocks + 1)]))
-    for i in range(1, nblocks + 1):
+    masks = ["dust", "tan"]
+    for r, (g, cmult) in enumerate(rep_rounds, 1):
+        track = f"rep{r}" if len(rep_rounds) > 1 else "rep"
+        grp = nblocks if g == 0 else min(g, nblocks)
+        for i in range(1, nblocks + 1):
+            pair_deps = []
+            for dj in range(grp):
+                j = (i - 1 + dj) % nblocks + 1
+                a, b = min(i, j), max(i, j)
+                name = f"rep{r}.ovl.{a}.{b}"
+                if not any(jb.name == name for jb in jobs):
+                    jobs.append(Job(
+                        name=name, kind="overlap",
+                        args=dict(db=db_root, a_block=a, b_block=b,
+                                  masks=list(masks),
+                                  out_a=f"{db_root}.R{r}.{a}.{b}.las",
+                                  out_b=f"{db_root}.R{r}.{b}.{a}.las"),
+                        deps=(["tan.merge"] if r == 1
+                              else [f"rep{r-1}.merge"])))
+                pair_deps.append(name)
+            jobs.append(Job(
+                name=f"rep{r}.{i}", kind="mask",
+                args=dict(cmd="repmask", db=db_root, block=i,
+                          cov_mult=cmult, track=track,
+                          las=f"{db_root}.R{r}.{i}.las"),
+                deps=pair_deps))
         jobs.append(Job(
-            name=f"rep.{i}", kind="mask",
-            args=dict(cmd="repmask", db=db_root, block=i,
-                      las=f"{db_root}.{i}.las"),
-            deps=[f"merge.{i}"]))
-    jobs.append(Job(name="rep.merge", kind="mask",
-                    args=dict(cmd="tkmerge", db=db_root, track="rep"),
-                    deps=[f"rep.{i}" for i in range(1, nblocks + 1)]))
+            name=f"rep{r}.merge", kind="mask",
+            args=dict(cmd="tkmerge", db=db_root, track=track),
+            deps=[f"rep{r}.{i}" for i in range(1, nblocks + 1)]))
+        masks = masks + [track]
     return jobs
 
 
@@ -118,6 +155,13 @@ def render_script(jobs: list[Job], db_root: str | None = None,
                      "(HPC.TANmask / HPC.REPmask equivalents)")
         for j in plan_masking(db_root, nb):
             a = j.args
+            if j.kind == "overlap":
+                m = " ".join(f"-m {t}" for t in a.get("masks", []))
+                lines.append(
+                    f"python -m damar_tpu.cli daligner {a['db']} "
+                    f"{a['a_block']} {a['b_block']}"
+                    + (f"  # masks: {m}" if m else ""))
+                continue
             if a["cmd"] == "dbdust":
                 lines.append(f"python -m damar_tpu.cli dbdust {db_root}")
             elif a["cmd"] == "datander":
@@ -127,7 +171,7 @@ def render_script(jobs: list[Job], db_root: str | None = None,
                 lines.append(f"python -m damar_tpu.cli tkmerge "
                              f"{db_root} {a['track']}")
             elif a["cmd"] == "repmask":
-                lines.append(f"# after merge.{a['block']}: "
+                lines.append(f"# after {', '.join(j.deps[:1])}: "
                              f"python -m damar_tpu.cli repmask "
                              f"{db_root} {a['las']}")
     lines += ["# phase 1: block-pair overlaps"]

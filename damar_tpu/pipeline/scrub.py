@@ -737,9 +737,14 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
     flags |= np.where(partial, OVL_DISCARD | OVL_GAP, 0)
     flags |= np.where(a_cont | b_cont, OVL_CONT, 0)
     if repeat_iv is not None:
-        # group rows by aread ONCE (a scan per repeat-read would be
-        # O(reads x records) on block-scale inputs)
-        inside = np.zeros(n, bool)
+        # chain-aware unique-anchor rule (LAfilterChains analogue,
+        # SURVEY.md §2.6 ⟨VERIFY⟩): an alignment must be anchored by
+        # at least anchor_min bases OUTSIDE repeat intervals — a
+        # repeat sitting at a read end turns copy-vs-copy alignments
+        # into plausible dovetails that branch (and break) the graph.
+        # Group rows by aread ONCE (a scan per repeat-read would be
+        # O(reads x records) on block-scale inputs).
+        covered = np.zeros(n, np.int64)
         order = np.argsort(h[:, H_AREAD], kind="stable")
         ar_s = h[order, H_AREAD]
         g_start = np.concatenate([[0], np.nonzero(
@@ -751,9 +756,13 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
                 continue
             sel = order[s_:e_]
             p = np.asarray(iv).reshape(-1, 2)
-            inside[sel] = ((p[None, :, 0] <= abp[sel, None])
-                           & (aep[sel, None] <= p[None, :, 1])).any(1)
-        flags |= np.where(inside, OVL_REPEAT | OVL_DISCARD, 0)
+            covered[sel] = np.clip(
+                np.minimum(aep[sel, None], p[None, :, 1])
+                - np.maximum(abp[sel, None], p[None, :, 0]),
+                0, None).sum(axis=1)
+        unique = olen - covered
+        flags |= np.where((covered > 0) & (unique < cfg.anchor_min),
+                          OVL_REPEAT | OVL_DISCARD, 0)
 
     hdr = h.copy()
     hdr[:, H_FLAGS] = flags.astype(np.uint32).view(np.int32)

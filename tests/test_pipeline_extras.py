@@ -109,3 +109,33 @@ class TestFullPipeline:
             rep2["phases"]["overlap1"]["skipped"] + \
             rep2["phases"]["overlap1"]["pairs"]
         assert os.path.exists(str(tmp_path / "asm" / "report.json"))
+
+
+class TestMultiRoundRepmask:
+    def test_plan_masking_rounds(self):
+        """HPC.REPmask parity: >4 blocks plan 3 coarse-to-fine repeat
+        rounds; each round's overlap jobs soft-mask with the previous
+        rounds' tracks and feed a per-block repmask + track merge."""
+        from damar_tpu.pipeline.planner import plan_masking
+        jobs = plan_masking("E", 6)
+        names = {j.name for j in jobs}
+        assert {"rep1.merge", "rep2.merge", "rep3.merge"} <= names
+        r2 = [j for j in jobs if j.name.startswith("rep2.ovl.")]
+        assert r2, "round 2 has no overlap jobs"
+        assert all("rep1" in j.args["masks"] for j in r2)
+        assert all(j.deps == ["rep1.merge"] for j in r2)
+        r3 = [j for j in jobs if j.name.startswith("rep3.ovl.")]
+        # final round sweeps all blocks
+        assert len(r3) == 6 * 7 // 2
+        assert all("rep2" in j.args["masks"] for j in r3)
+        # small DBs degrade to fewer rounds
+        j1 = plan_masking("E", 1)
+        assert any(j.name == "rep1.merge" or j.name == "rep.merge"
+                   for j in j1)
+
+    def test_render_script_includes_mask_rounds(self):
+        from damar_tpu.pipeline.planner import (plan_block_pairs,
+                                                render_script)
+        jobs = plan_block_pairs("E", 6)
+        s = render_script(jobs, db_root="E", nblocks=6)
+        assert "rep" in s and "daligner" in s
