@@ -498,6 +498,7 @@ def cmd_ogtour(args):
                         spur_len=args.spur_len,
                         bubble_max=args.bubble_max)
     doc = {"tours": [{"circular": t.circular,
+                      "ends": t.ends,
                       "steps": [[v.read, v.dir, cut]
                                 for v, cut in t.steps]}
                      for t in tours]}
@@ -522,7 +523,8 @@ def cmd_tour2fasta(args):
         return revcomp(s) if d else s
 
     tours = [Tour(steps=[(Vertex(r, d), cut) for r, d, cut
-                         in t["steps"]], circular=t["circular"])
+                         in t["steps"]], circular=t["circular"],
+                  ends=t.get("ends"))
              for t in doc["tours"]]
     contigs = [tour_to_seq(t, seq_of) for t in tours]
     order = np.argsort([-len(c) for c in contigs])

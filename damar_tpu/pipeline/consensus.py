@@ -658,17 +658,17 @@ def polish_rounds(contig: np.ndarray, layout: list[tuple[int, int, int]],
             if junctions:
                 junctions = [(p + len(cur) // 2) % max(len(cur), 1)
                              for p in junctions]
-            # rotate the draft half a turn: covers spanning the seam
-            # enter their first window MID-READ, where the linear
+            # rotate the draft 1/rounds of a turn: covers spanning the
+            # seam enter their first window MID-READ, where the linear
             # cursor is off by the read's accumulated indel skew (far
             # beyond any margin) — they fail the outlier bar and the
-            # seam region polishes coverage-starved.  After rotation
-            # the old seam sits mid-contig with normally-anchored
-            # covers; the new seam's region is already polished and
-            # merely stays put for a round (rejection keeps the
-            # template).  A rotation of a circular contig is the same
+            # seam region polishes coverage-starved.  Rotating a
+            # DIFFERENT fraction each round keeps every round's seam
+            # at a distinct region (len//2 with 3 rounds returns to
+            # the start, leaving that region only one effective
+            # round).  A rotation of a circular contig is the same
             # contig.
-            sh = len(cur) // 2
+            sh = max(1, len(cur) // max(rounds, 2))
             cur = np.roll(cur, sh)
             lay_base = [(rd, d, s + sh) for rd, d, s in lay_base]
         # stagger the grid so column calls split at one round's window

@@ -40,6 +40,11 @@ class Edge:
     cut: int          # oriented-dst coordinate where novel suffix starts
     adv: int          # bases the edge advances (len(dst) - cut)
     olen: int         # overlap length (support/weight)
+    # oriented-src coordinate where the overlap ENDS: the src read's
+    # tail beyond it (<= fuzz + alignment slop) is NOT covered by the
+    # overlap and would be spliced into the contig as novel junk if
+    # the tour appended the full part (tour_to_seq clips here)
+    src_end: int | None = None
     reduced: bool = False
 
 
@@ -138,7 +143,8 @@ def build_graph(las: LasFile, rlen_of: dict[int, int], fuzz: int = 25,
                 and o.abpos > fuzz and o.bepos < blen - fuzz:
             cand.append(Edge(src=Vertex(o.aread, 0),
                              dst=Vertex(o.bread, comp),
-                             cut=o.bepos, adv=blen - o.bepos, olen=olen))
+                             cut=o.bepos, adv=blen - o.bepos, olen=olen,
+                             src_end=o.aepos))
             # twin: continuing from b' reversed into a reversed; the
             # novel part is a's prefix before the overlap.  Non-comp
             # mirror records re-emit the SAME forward edge (left
@@ -146,15 +152,18 @@ def build_graph(las: LasFile, rlen_of: dict[int, int], fuzz: int = 25,
             # so the twin must be synthesized here or it never exists.
             cand.append(Edge(src=Vertex(o.bread, 1 - comp),
                              dst=Vertex(o.aread, 1),
-                             cut=alen - o.abpos, adv=o.abpos, olen=olen))
+                             cut=alen - o.abpos, adv=o.abpos, olen=olen,
+                             src_end=blen - o.bbpos))
         elif o.abpos <= fuzz and o.bepos >= blen - fuzz \
                 and o.aepos < alen - fuzz and o.bbpos > fuzz:
             cand.append(Edge(src=Vertex(o.bread, comp),
                              dst=Vertex(o.aread, 0),
-                             cut=o.aepos, adv=alen - o.aepos, olen=olen))
+                             cut=o.aepos, adv=alen - o.aepos, olen=olen,
+                             src_end=o.bepos))
             cand.append(Edge(src=Vertex(o.aread, 1),
                              dst=Vertex(o.bread, 1 - comp),
-                             cut=blen - o.bbpos, adv=o.bbpos, olen=olen))
+                             cut=blen - o.bbpos, adv=o.bbpos, olen=olen,
+                             src_end=alen - o.abpos))
         for e in cand:
             key = (e.src, e.dst)
             old = best.get(key)
@@ -224,14 +233,18 @@ def _build_graph_columnar(g: StringGraph, cols, rlen_of, fuzz: int,
         comp = int(comp_all[i])
         if right[i]:
             offer(Edge(src=Vertex(a, 0), dst=Vertex(b, comp),
-                       cut=int(bep[i]), adv=bl - int(bep[i]), olen=ol))
+                       cut=int(bep[i]), adv=bl - int(bep[i]), olen=ol,
+                       src_end=int(aep[i])))
             offer(Edge(src=Vertex(b, 1 - comp), dst=Vertex(a, 1),
-                       cut=al - int(abp[i]), adv=int(abp[i]), olen=ol))
+                       cut=al - int(abp[i]), adv=int(abp[i]), olen=ol,
+                       src_end=bl - int(bbp[i])))
         else:
             offer(Edge(src=Vertex(b, comp), dst=Vertex(a, 0),
-                       cut=int(aep[i]), adv=al - int(aep[i]), olen=ol))
+                       cut=int(aep[i]), adv=al - int(aep[i]), olen=ol,
+                       src_end=int(bep[i])))
             offer(Edge(src=Vertex(a, 1), dst=Vertex(b, 1 - comp),
-                       cut=bl - int(bbp[i]), adv=int(bbp[i]), olen=ol))
+                       cut=bl - int(bbp[i]), adv=int(bbp[i]), olen=ol,
+                       src_end=al - int(abp[i])))
     for e in best.values():
         g.add(e)
     return g

@@ -22,9 +22,20 @@ from damar_tpu.pipeline.graph import Edge, StringGraph, Vertex
 class Tour:
     steps: list[tuple[Vertex, int]]   # (vertex, cut); cut=0 for first
     circular: bool = False
+    # ends[i]: oriented-src overlap END of the edge INTO step i (None
+    # for step 0, or when unknown): tour2fasta clips step i-1's part
+    # there — the source read's tail beyond the overlap is not covered
+    # by the junction alignment and would otherwise splice junk into
+    # the contig
+    ends: list | None = None
 
     def nreads(self) -> int:
         return len(self.steps)
+
+    def end_of(self, i: int):
+        if self.ends is None or i >= len(self.ends):
+            return None
+        return self.ends[i]
 
 
 def clip_spurs(g: StringGraph, max_len: int = 3) -> int:
@@ -126,6 +137,7 @@ def tour_graph(g: StringGraph) -> list[Tour]:
         if v in used:
             return None
         steps: list[tuple[Vertex, int]] = [(v, 0)]
+        ends: list = [None]
         used.add(v)
         used.add(v.twin)
         cur = v
@@ -141,13 +153,15 @@ def tour_graph(g: StringGraph) -> list[Tour]:
                 # closed a cycle back to the start
                 if e.dst == v:
                     return Tour(steps=steps + [(v, e.cut)],
+                                ends=ends + [e.src_end],
                                 circular=True)
                 break
             steps.append((e.dst, e.cut))
+            ends.append(e.src_end)
             used.add(e.dst)
             used.add(e.dst.twin)
             cur = e.dst
-        return Tour(steps=steps, circular=False)
+        return Tour(steps=steps, ends=ends, circular=False)
 
     # linear path starts: out-deg >= 1, in-deg != 1 (or predecessor is a branch)
     verts = set(g.edges.keys()) | {e.dst for es in g.edges.values()
@@ -177,9 +191,17 @@ def tour_to_seq(tour: Tour, seq_of) -> np.ndarray:
     has ~genome length with no duplicated closure."""
     first_v, _ = tour.steps[0]
     parts = [seq_of(first_v.read, first_v.dir)]
-    for v, cut in tour.steps[1:]:
+    prev_cut = 0
+    for i, (v, cut) in enumerate(tour.steps[1:], 1):
+        se = tour.end_of(i)
+        if se is not None and se - prev_cut < len(parts[-1]):
+            # clip the previous part at the junction overlap's end:
+            # its tail beyond is not covered by the alignment (up to
+            # fuzz + endpoint slop of novel junk otherwise)
+            parts[-1] = parts[-1][:max(se - prev_cut, 0)]
         s = seq_of(v.read, v.dir)
         parts.append(s[cut:])
+        prev_cut = cut
     trim = 0
     if tour.circular and len(tour.steps) > 1:
         parts.pop()
@@ -200,14 +222,19 @@ def tour_layout(tour: Tour, seq_of) -> list[tuple[int, int, int]]:
     # the first read's (possibly negative) start is still correct:
     # its first `trim` bases are simply not in the contig
     layout = [(first.read, first.dir, -trim)]
-    clen = len(seq_of(first.read, first.dir)) - trim
     steps = tour.steps[1:-1] if (tour.circular and len(tour.steps) > 1) \
         else tour.steps[1:]
-    for v, cut in steps:
-        L = len(seq_of(v.read, v.dir))
-        start = clen - cut
+    prev_start = -trim
+    prev_L = len(seq_of(first.read, first.dir))
+    for i, (v, cut) in enumerate(steps, 1):
+        # junction clip (see tour_to_seq): part i-1 ends at the
+        # incoming edge's src-side overlap end, not the read end
+        se = tour.end_of(i)
+        prev_end = prev_L if se is None else min(max(se, 0), prev_L)
+        start = prev_start + prev_end - cut
         layout.append((v.read, v.dir, start))
-        clen = start + L
+        prev_start = start
+        prev_L = len(seq_of(v.read, v.dir))
     return layout
 
 
