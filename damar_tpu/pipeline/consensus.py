@@ -191,22 +191,26 @@ def _vote_ops_multi(votes: np.ndarray, ins_votes: list[dict],
     an insertion, so runs cannot cross covers)."""
     if not items:
         return
+    # items: (ops, jstart, c[, template-offset of this cover's votes])
+    items = [(it[0], it[1], it[2], it[3] if len(it) > 3 else 0)
+             for it in items]
     sep = np.array([3], np.uint8)
     cat = np.concatenate(
-        [x for ops, _, _ in items for x in (ops, sep)])
-    lens = np.array([len(ops) + 1 for ops, _, _ in items])
+        [x for ops, _, _, _ in items for x in (ops, sep)])
+    lens = np.array([len(ops) + 1 for ops, _, _, _ in items])
     starts = np.cumsum(lens) - lens
     cov_id = np.repeat(np.arange(len(items)), lens)
     consume_a = (cat == 0) | (cat == 1)
     consume_b = (cat == 0) | (cat == 2)
     cum_a = np.cumsum(consume_a) - consume_a
     cum_b = np.cumsum(consume_b) - consume_b
-    c_lens = np.array([len(c) for _, _, c in items])
+    c_lens = np.array([len(c) for _, _, c, _ in items])
     c_offs = np.cumsum(c_lens) - c_lens
-    j0s = np.array([j0 for _, j0, _ in items])
-    i_arr = cum_a - cum_a[starts][cov_id]
+    j0s = np.array([j0 for _, j0, _, _ in items])
+    ioffs = np.array([io for _, _, _, io in items])
+    i_arr = cum_a - cum_a[starts][cov_id] + ioffs[cov_id]
     j_arr = cum_b - cum_b[starts][cov_id] + (j0s + c_offs)[cov_id]
-    c_cat = np.concatenate([c for _, _, c in items])
+    c_cat = np.concatenate([c for _, _, c, _ in items])
     m0 = cat == 0
     if m0.any():
         np.add.at(votes, (i_arr[m0], c_cat[j_arr[m0]]), 1)
@@ -681,22 +685,49 @@ def _correct_one(template: np.ndarray, pile: list, seqs_of, rlen: int,
                  ts: int, window: int, band: int, min_cov: int
                  ) -> np.ndarray:
     """Consensus-correct one read given its pile rows
-    [(bread, comp, abpos, aepos, bbpos, cum_bspans)]."""
+    [(bread, comp, abpos, aepos, bbpos, cum_bspans)].
+
+    PARTIAL covers participate too (aligned against the sub-template
+    they span, votes offset accordingly): thin piles — exactly the
+    reads that need correction most — rarely have alignments spanning
+    a whole window, and a full-span-only rule leaves them raw."""
     parts = []
     for w0 in range(0, rlen, window):
         w1 = min(w0 + window, rlen)
-        covers = []
+        votes, ins_votes = _new_votes(w1 - w0)
+        items = []
+        n_cov = 0
         for bread, comp, abpos, aepos, bbpos, cum in pile:
-            if abpos <= w0 and w1 <= aepos:
-                s0 = abpos // ts
-                seg_lo = w0 // ts
-                seg_hi = (w1 + ts - 1) // ts
-                lo = bbpos + int(cum[max(0, seg_lo - s0)])
-                hi = bbpos + int(cum[min(len(cum) - 1, seg_hi - s0)])
-                b = seqs_of(bread, bool(comp))
-                covers.append(b[lo:hi])
-        parts.append(consensus_window(template[w0:w1], covers,
-                                      band=band, min_cov=min_cov))
+            lo_a = max(abpos, w0)
+            hi_a = min(aepos, w1)
+            if hi_a - lo_a < min(w1 - w0, 200):
+                continue
+            s0 = abpos // ts
+            seg_lo = lo_a // ts
+            seg_hi = (hi_a + ts - 1) // ts
+            lo = bbpos + int(cum[min(max(0, seg_lo - s0),
+                                     len(cum) - 1)])
+            hi = bbpos + int(cum[min(max(0, seg_hi - s0),
+                                     len(cum) - 1)])
+            b = seqs_of(bread, bool(comp))
+            c = b[lo:hi]
+            if not len(c):
+                continue
+            # trace segments snap outward to ts boundaries: align
+            # against the sub-template those segments span, offset
+            # the votes to window coordinates
+            sub_lo = max(seg_lo * ts, w0)
+            sub_hi = min(seg_hi * ts, w1)
+            sub = template[sub_lo:sub_hi]
+            if not len(sub):
+                continue
+            ops, j0 = _align_ops(sub, c, band)
+            items.append((ops, j0, c, sub_lo - w0))
+            n_cov += 1
+        if items:
+            _vote_ops_multi(votes, ins_votes, items)
+        parts.append(_consensus_calls(template[w0:w1], votes,
+                                      ins_votes, n_cov, min_cov))
     return np.concatenate(parts) if parts else template
 
 

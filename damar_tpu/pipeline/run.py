@@ -179,6 +179,13 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         tracks.write_track(fix_db,
                            scrub.trim_track(trim, fdb.ureads, idx))
         stitched = scrub.clip_las_to_trim(stitched, frlen, trim)
+        # persist the full scrubbed piles: the corrector consumes ALL
+        # alignments (graph filtering drops local/partial/repeat
+        # records that still carry valid sequence evidence — a read
+        # whose records are all graph-filtered would stay RAW and
+        # poison consensus votes wherever it covers)
+        lasmod.write_las(os.path.join(workdir, "FIX.scrubbed.las"),
+                         stitched)
         trlen_arr = np.array([max(trim.get(i, (0, frlen[i]))[1]
                                   - trim.get(i, (0, frlen[i]))[0], 0)
                               for i in range(fdb.ureads)], np.int64)
@@ -230,9 +237,13 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
                                                   polish_rounds)
         from damar_tpu.pipeline.touring import dedupe_contained_contigs
         # corrector pass (MARVEL corrector/): consensus-correct every
-        # read from its pile first — contig windows where raw coverage
-        # dips then vote with ~1% -error covers instead of ~13%
-        corrected = correct_reads(filt, seqs_of_trimmed, trlen)
+        # read from its FULL scrubbed pile first — contig windows
+        # where raw coverage dips then vote with ~1%-error covers
+        # instead of ~13%
+        scr_path = os.path.join(workdir, "FIX.scrubbed.las")
+        pile_las = lasmod.read_las(scr_path) \
+            if os.path.exists(scr_path) else filt
+        corrected = correct_reads(pile_las, seqs_of_trimmed, trlen)
 
         def seqs_of_pol(i, comp):
             s = corrected.get(i)
