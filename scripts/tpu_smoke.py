@@ -130,10 +130,34 @@ def main(out_path: str = "TPU_SMOKE.json") -> int:
         dev = jax.block_until_ready(wb.trace_wave_bp(*targs))
         cmp("trace_bp", dev, nat, ("trace", "nseg", "dsum"))
 
+    from damar_tpu.ops import wave_bp_pallas as wbp
+
+    def step_extend_bp_pl():
+        for rev, (ca, cb) in ((False, (af, bf)), (True, (ao, bo))):
+            rv = np.full(S, rev, bool)
+            nat = native.bp_extend_batch(A, B, ao, bo, ca, cb, rv, **kw)
+            dev = jax.block_until_ready(wbp.extend_wave_bp_pl(
+                jnp.asarray(A), jnp.asarray(B), jnp.asarray(ao),
+                jnp.asarray(bo), jnp.asarray(ca), jnp.asarray(cb),
+                dirs=jnp.asarray(rv), **kw))
+            cmp(f"extend_bp_pl[rev={rev}]", dev, nat,
+                ("va", "vb", "d", "score"))
+
+    def step_trace_bp_pl():
+        zn = np.zeros(St, np.int32)
+        nat = native.bp_trace_batch(A, B, zn, zn,
+                                    np.asarray(abp), np.asarray(bbp),
+                                    al, bl, tspace=100, max_segs=660)
+        dev = jax.block_until_ready(wbp.trace_wave_bp_pl(
+            *targs, tspace=100, max_segs=660))
+        cmp("trace_bp_pl", dev, nat, ("trace", "nseg", "dsum"))
+
     record("extend_wave_pl", step_extend_pl)
     record("trace_wave_pl", step_trace_pl)
     record("extend_wave_bp", step_extend_bp)
     record("trace_wave_bp", step_trace_bp)
+    record("extend_wave_bp_pallas", step_extend_bp_pl)
+    record("trace_wave_bp_pallas", step_trace_bp_pl)
 
     res["ok"] = all(s["ok"] for s in res["steps"].values())
     res["wall_s"] = round(time.time() - t0, 2)
