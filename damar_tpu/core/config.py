@@ -85,6 +85,13 @@ class ScrubConfig:
     filter_max_diff: float = 0.35  # max error rate of kept overlaps
     filter_fuzz: int = 40        # dovetail end slop (matches wave
                                  # endpoint p99 ~22, max ~40)
+    filter_best_n: int = 0       # LAfilter best-n-per-end: keep at most
+                                 # n dovetails per read end (0 = off).
+                                 # A dovetail survives when it ranks in
+                                 # the top n (by span, ties by diffs) on
+                                 # EITHER of its two ends — symmetric by
+                                 # construction (upstream
+                                 # MARVEL/scrub/LAfilter.c ⟨VERIFY⟩)
 
 
 @dataclass(frozen=True)

@@ -173,6 +173,19 @@ def _lib():
                 ctypes.POINTER(ctypes.c_uint32), i64,
                 ctypes.c_uint32, i64, i64p, i64p]
             lib.self_hit_counts.restype = None
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.fill_hits_packed.argtypes = [
+                u32p, u32p, i64p, i64p, i64, i64, ctypes.c_int32,
+                u32p, u32p, i64p]
+            lib.fill_hits_packed.restype = i64
+            lib.band_filter_packed.argtypes = [
+                u32p, u32p, i64,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_int32, ctypes.c_int32, i64,
+                i32p, i32p, i32p, i32p, i32p, i32p,
+                ctypes.POINTER(i64)]
+            lib.band_filter_packed.restype = i64
             _LIB = lib
     return _LIB
 
@@ -573,6 +586,67 @@ def fill_hits_strand(a_pos2, b_pos2, lo, c, cap: int, b_rid, b_starts,
     n = int(nhits)
     return (apos[:n], bpos[:n], comp[:n].view(bool), n,
             int(total.value))
+
+
+def fill_hits_packed(a_mp, b_mp, lo, c, cap: int):
+    """Packed-payload hit materialization (v3 twin of
+    seeding_host._fill_hits_packed_np): B-tuple-major run expansion
+    truncated at cap, payload words carried verbatim.  Returns
+    (ap_mp u32, bp_mp u32, nhits, total) sized nhits, or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    u32 = lambda x: np.ascontiguousarray(x, dtype=np.uint32)
+    i64 = lambda x: np.ascontiguousarray(x, dtype=np.int64)
+    amp, bmp = u32(a_mp), u32(b_mp)
+    lo_, c_ = i64(lo), i64(c)
+    cap = int(cap)
+    ap = np.empty(max(cap, 1), np.uint32)
+    bp = np.empty(max(cap, 1), np.uint32)
+    total = ctypes.c_int64(0)
+    pu = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    nhits = lib.fill_hits_packed(
+        pu(amp), pu(bmp), p64(lo_), p64(c_), np.int64(len(c_)),
+        np.int64(cap), np.int32(_nthreads()), pu(ap), pu(bp),
+        ctypes.byref(total))
+    if nhits < 0:
+        return None
+    n = int(nhits)
+    return ap[:n], bp[:n], n, int(total.value)
+
+
+def band_filter_packed(ap_mp, bp_mp, a_rpos_bits: int, b_rpos_bits: int,
+                       read_bits: int, band_shift: int, kmer: int,
+                       hit_min: int, upper_only: bool,
+                       include_self: bool, seed_cap: int):
+    """v3 single-bucket packed banding C core (damar_native.c
+    band_filter_packed; exact replica of
+    seeding_host._band_filter_packed_np).  Returns (s_ar, s_br, s_arp,
+    s_brp, s_cov, s_comp, nseeds, total_seeds) sized nseeds in
+    READ-LOCAL coordinates, or None when native is unavailable or the
+    band key exceeds 64 bits (caller falls back to numpy)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    u32 = lambda x: np.ascontiguousarray(x, dtype=np.uint32)
+    amp, bmp = u32(ap_mp), u32(bp_mp)
+    n = len(amp)
+    cap = max(min(int(seed_cap), max(n, 1)), 1)
+    outs = [np.zeros(cap, np.int32) for _ in range(6)]
+    ns = ctypes.c_int64(0)
+    pu = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    p32 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    total = lib.band_filter_packed(
+        pu(amp), pu(bmp), np.int64(n), np.int32(a_rpos_bits),
+        np.int32(b_rpos_bits), np.int32(read_bits),
+        np.int32(band_shift), np.int32(kmer), np.int32(hit_min),
+        np.int32(bool(upper_only)), np.int32(bool(include_self)),
+        np.int64(seed_cap), *[p32(o) for o in outs], ctypes.byref(ns))
+    if total < 0:
+        return None
+    k = int(ns.value)
+    return tuple(o[:k] for o in outs) + (k, int(total))
 
 
 def bp_extend_batch(a_bases, b_bases, aorigin, borigin, alim, blim,

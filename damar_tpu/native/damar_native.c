@@ -1797,3 +1797,225 @@ void self_hit_counts(const uint32_t *codes, int64_t n, uint32_t inval,
         }
     }
 }
+
+/* ---------------- v3 packed-payload seeding twins ----------------
+ *
+ * fill_hits_packed: packed twin of fill_hits_strand — the same
+ * B-tuple-major run expansion truncated at cap, but payloads are the
+ * v3 packed (rid, read-local pos, strand) words carried verbatim
+ * (strand split and rc mapping move to the band filter / seed
+ * emission).  Threads split the OUTPUT range so order is
+ * byte-identical to the numpy twin (_fill_hits_packed_np).
+ */
+typedef struct {
+    const uint32_t *a_mp, *b_mp;
+    const int64_t *lo, *cum;
+    int64_t ntuples;
+    int64_t o0, o1;
+    uint32_t *ap, *bp;
+} FpJob;
+
+static void *fp_worker(void *vp) {
+    FpJob *j = (FpJob *)vp;
+    int64_t lo_t = 0, hi_t = j->ntuples;
+    while (lo_t < hi_t) {          /* first t with cum[t+1] > o0 */
+        int64_t mid = lo_t + (hi_t - lo_t) / 2;
+        if (j->cum[mid + 1] > j->o0) hi_t = mid;
+        else lo_t = mid + 1;
+    }
+    int64_t out = j->o0;
+    for (int64_t t = lo_t; t < j->ntuples && out < j->o1; t++) {
+        int64_t base = j->cum[t];
+        int64_t end = j->cum[t + 1];
+        if (end == base) continue;
+        const uint32_t bmp = j->b_mp[t];
+        const int64_t a0 = j->lo[t];
+        int64_t stop = end < j->o1 ? end : j->o1;
+        for (; out < stop; out++) {
+            j->ap[out] = j->a_mp[a0 + (out - base)];
+            j->bp[out] = bmp;
+        }
+    }
+    return NULL;
+}
+
+int64_t fill_hits_packed(const uint32_t *a_mp, const uint32_t *b_mp,
+                         const int64_t *lo, const int64_t *c,
+                         int64_t ntuples, int64_t cap, int32_t nthreads,
+                         uint32_t *ap, uint32_t *bp,
+                         int64_t *total_out) {
+    int64_t *cum = (int64_t *)malloc(((size_t)ntuples + 1) * 8);
+    if (!cum) return -1;
+    cum[0] = 0;
+    for (int64_t i = 0; i < ntuples; i++) cum[i + 1] = cum[i] + c[i];
+    int64_t total = cum[ntuples];
+    *total_out = total;
+    int64_t nhits = total < cap ? total : cap;
+    if (nhits <= 0) {
+        free(cum);
+        return nhits < 0 ? -1 : 0;
+    }
+    int nt = nthreads < 1 ? 1 : (nthreads > 8 ? 8 : nthreads);
+    if (nhits < 262144) nt = 1;
+    pthread_t tid[8];
+    FpJob jobs[8];
+    int64_t per = (nhits + nt - 1) / nt;
+    for (int t = 0; t < nt; t++) {
+        int64_t o0 = t * per, o1 = o0 + per;
+        if (o0 > nhits) o0 = nhits;
+        if (o1 > nhits) o1 = nhits;
+        jobs[t] = (FpJob){a_mp, b_mp, lo, cum, ntuples, o0, o1, ap, bp};
+    }
+    if (nt == 1) fp_worker(&jobs[0]);
+    else {
+        for (int t = 0; t < nt; t++)
+            pthread_create(&tid[t], NULL, fp_worker, &jobs[t]);
+        for (int t = 0; t < nt; t++) pthread_join(tid[t], NULL);
+    }
+    free(cum);
+    return nhits;
+}
+
+/* band_filter_packed: v3 single-bucket banding over packed hits — C
+ * core of the host twin (ops/seeding_host.py _band_filter_packed_np;
+ * semantics of ops/seeding.py diagonal_filter_packed).  Stable sort
+ * by (ar, br, strand, bucket, arpos); per-band novel k-mer coverage;
+ * band score = cov(band) + cov(band+1) via band-key adjacency
+ * (key + 1 never carries past the bucket field: headroom bit); the
+ * first hit of every band reaching hit_min is its anchor seed,
+ * emitted in READ-LOCAL coordinates (caller converts).  Returns the
+ * band count (total_seeds) or negative on error. */
+int64_t band_filter_packed(const uint32_t *ap_mp, const uint32_t *bp_mp,
+                           int64_t n, int32_t a_rpos_bits,
+                           int32_t b_rpos_bits, int32_t read_bits,
+                           int32_t band_shift, int32_t kmer,
+                           int32_t hit_min, int32_t upper_only,
+                           int32_t include_self, int64_t seed_cap,
+                           int32_t *s_ar, int32_t *s_br,
+                           int32_t *s_arp, int32_t *s_brp,
+                           int32_t *s_cov, int32_t *s_comp,
+                           int64_t *nseeds_out) {
+    int32_t rpb = a_rpos_bits > b_rpos_bits ? a_rpos_bits : b_rpos_bits;
+    int32_t bucket_bits = rpb + 2 - band_shift;
+    if (2 * read_bits + 1 + bucket_bits > 64)
+        return -9;                     /* caller falls back to numpy */
+    int fused = 2 * read_bits + 1 + bucket_bits + a_rpos_bits <= 64;
+    const uint32_t amask = ((uint32_t)1 << a_rpos_bits) - 1;
+    const uint32_t bmask = ((uint32_t)1 << b_rpos_bits) - 1;
+    uint64_t *key = (uint64_t *)malloc((size_t)n * 8);
+    int64_t *hid = (int64_t *)malloc((size_t)n * 8);
+    if ((!key || !hid) && n) {
+        free(key); free(hid);
+        return -1;
+    }
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t a = ap_mp[i], b = bp_mp[i];
+        int64_t ar = a >> (1 + a_rpos_bits);
+        int64_t br = b >> (1 + b_rpos_bits);
+        if (upper_only && !(include_self ? ar <= br : ar < br))
+            continue;
+        int64_t arp = (a >> 1) & amask;
+        int64_t brp = (b >> 1) & bmask;
+        uint64_t st = (a ^ b) & 1u;
+        int64_t diag = st ? arp + brp
+                          : arp - brp + ((int64_t)1 << rpb);
+        uint64_t bkt = (uint64_t)(diag >> band_shift);
+        uint64_t k2 = ((((((uint64_t)ar << read_bits)
+                          | (uint64_t)br) << 1) | st)
+                       << bucket_bits) | bkt;
+        key[m] = fused ? (k2 << a_rpos_bits) | (uint64_t)arp : k2;
+        hid[m] = i;
+        m++;
+    }
+    int64_t *ord = (int64_t *)malloc((size_t)m * 8);
+    if (!ord && m) {
+        free(key); free(hid);
+        return -1;
+    }
+    int64_t rc = 0;
+    if (m) {
+        if (fused) {
+            rc = radix_argsort_u64(key, m, ord);
+        } else {
+            /* two-pass stable sort (arp, then band key) == one
+             * lexicographic sort, when band key + arp exceed 64 bits */
+            uint64_t *tmp = (uint64_t *)malloc((size_t)m * 8);
+            int64_t *o1 = (int64_t *)malloc((size_t)m * 8);
+            if (!tmp || !o1) {
+                free(tmp); free(o1); free(key); free(hid); free(ord);
+                return -1;
+            }
+            for (int64_t e = 0; e < m; e++)
+                tmp[e] = (ap_mp[hid[e]] >> 1) & amask;
+            rc = radix_argsort_u64(tmp, m, o1);
+            if (rc == 0) {
+                for (int64_t e = 0; e < m; e++)
+                    tmp[e] = key[o1[e]];
+                rc = radix_argsort_u64(tmp, m, ord);
+                for (int64_t e = 0; e < m; e++)
+                    ord[e] = o1[ord[e]];
+            }
+            free(tmp);
+            free(o1);
+        }
+    }
+    if (rc != 0) {
+        free(key); free(hid); free(ord);
+        return rc;
+    }
+    /* pass 1: segment structure (band = run of equal band keys) */
+    int64_t *seg_first = (int64_t *)malloc((size_t)(m + 1) * 8);
+    uint64_t *seg_key = (uint64_t *)malloc((size_t)(m + 1) * 8);
+    int64_t *seg_sum = (int64_t *)malloc((size_t)(m + 1) * 8);
+    if ((!seg_first || !seg_key || !seg_sum) && m) {
+        free(key); free(hid); free(ord);
+        free(seg_first); free(seg_key); free(seg_sum);
+        return -1;
+    }
+    int64_t nseg = 0;
+    int64_t prev_arp = 0;
+    uint64_t prev_band = ~(uint64_t)0;
+    for (int64_t i = 0; i < m; i++) {
+        int64_t e = ord[i];
+        uint64_t band = fused ? key[e] >> a_rpos_bits : key[e];
+        int64_t arp = (ap_mp[hid[e]] >> 1) & amask;
+        if (i == 0 || band != prev_band) {
+            seg_first[nseg] = i;
+            seg_key[nseg] = band;
+            seg_sum[nseg] = kmer;
+            nseg++;
+        } else {
+            int64_t cov = arp - prev_arp;
+            if (cov > kmer) cov = kmer;
+            if (cov < 0) cov = 0;
+            seg_sum[nseg - 1] += cov;
+        }
+        prev_arp = arp;
+        prev_band = band;
+    }
+    /* pass 2: adjacent-band (previous, this) score + anchor emission */
+    int64_t nseeds = 0, total = 0;
+    for (int64_t s = 0; s < nseg; s++) {
+        int64_t score = seg_sum[s];
+        if (s > 0 && seg_key[s - 1] + 1 == seg_key[s])
+            score += seg_sum[s - 1];
+        if (score < hit_min) continue;
+        if (total < seed_cap) {
+            int64_t h = hid[ord[seg_first[s]]];
+            uint32_t a = ap_mp[h], b = bp_mp[h];
+            s_ar[nseeds] = (int32_t)(a >> (1 + a_rpos_bits));
+            s_br[nseeds] = (int32_t)(b >> (1 + b_rpos_bits));
+            s_arp[nseeds] = (int32_t)((a >> 1) & amask);
+            s_brp[nseeds] = (int32_t)((b >> 1) & bmask);
+            s_cov[nseeds] = (int32_t)score;
+            s_comp[nseeds] = (int32_t)((a ^ b) & 1u);
+            nseeds++;
+        }
+        total++;
+    }
+    free(key); free(hid); free(ord);
+    free(seg_first); free(seg_key); free(seg_sum);
+    *nseeds_out = nseeds;
+    return total;
+}

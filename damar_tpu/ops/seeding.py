@@ -38,7 +38,8 @@ import jax.numpy as jnp
 from damar_tpu.ops.kmers import invalid_code, kmer_codes
 from damar_tpu.ops.sort import (compact_flagged, merge_ranks,
                                 pack_fields, radix_sort_bits,
-                                radix_sort_packed, seg_starts_from_first,
+                                radix_sort_packed, seg_last_from_first,
+                                seg_starts_from_first,
                                 segment_sum_to_elements, unpack_field)
 
 
@@ -90,9 +91,11 @@ def match_count(a_codes, a_pos, b_codes, b_pos, k: int,
     assert 2 * k + 2 <= 32, "merge key must fit 32 bits (k <= 15)"
     lo, count_a = merge_ranks(a_codes, b_codes, 2 * k + 1)
     # B-side run lengths via neighbor compare over the sorted stream
+    # (last - first + 1: pure scans, no segment-sum gathers)
     first = jnp.concatenate([jnp.ones((1,), bool),
                              b_codes[1:] != b_codes[:-1]])
-    count_b = segment_sum_to_elements(jnp.ones(n_b, jnp.int32), first)
+    count_b = (seg_last_from_first(first)
+               - seg_starts_from_first(first) + 1)
     ok = (b_codes != jnp.uint32(invalid_code(k))) \
         & (count_a <= max_count) & (count_b <= max_count)
     c = jnp.where(ok, count_a, 0)
@@ -114,7 +117,10 @@ def match_count_self(codes, k: int, max_count: int = 128):
     first = jnp.concatenate([jnp.ones((1,), bool),
                              codes[1:] != codes[:-1]])
     lo = seg_starts_from_first(first)
-    cnt = segment_sum_to_elements(jnp.ones(n, jnp.int32), first)
+    # run length = last - first + 1, both from pure scans (the
+    # segment_sum-of-ones form costs two hit-scale gathers)
+    last = seg_last_from_first(first)
+    cnt = last - lo + 1
     rank = jnp.arange(n, dtype=jnp.int32) - lo
     ok = (codes != jnp.uint32(invalid_code(k))) & (cnt <= max_count)
     c = jnp.where(ok, rank, 0)
@@ -361,12 +367,17 @@ def _pos_bits(*caps: int) -> int:
 
 
 def _pow2_cap(want: int, cap: int, floor: int = 1 << 17) -> int:
-    """Smallest power-of-two buffer >= want, floored and capped (the
-    fill + banding sorts scale with buffer size; pow2 buckets keep the
-    compile cache small)."""
+    """Smallest quarter-power-of-two buffer >= want, floored and
+    capped: every hit-scale op (fill scatters, banding sort, scans)
+    costs proportional to the BUFFER, not the hits, so the pow2-only
+    buckets wasted up to 2x; quarter steps bound waste at 25% while
+    keeping the compile cache small."""
     c = floor
     while c < want and c < cap:
         c *= 2
+    if c > floor:
+        q = c // 4
+        c = max(min(-(-want // q) * q, c), floor)
     return min(c, cap)
 
 
@@ -547,24 +558,18 @@ def _split_strand_hits(ap2, bp2, b_rid, b_starts, k: int):
     return apos, bpos, comp
 
 
-def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
-                             upper_only: bool = False,
-                             hit_cap: int = 1 << 21,
-                             seed_cap: int = 1 << 17, a_index=None,
-                             dev_arrays=None, raw_hint: int | None = None,
-                             self_pair: bool = False, bias_lut=None):
-    """Device-resident CANONICAL seeding: ONE index merge + ONE banding
-    sort yields seeds of BOTH orientations (comp bit per seed), where
-    the two-pass layout (find_seeds_dev per orientation) pays every
-    sort twice.  For a self-block comparison (self_pair=True) the merge
-    itself collapses to the per-run rank trick of match_count_self —
-    the whole block-vs-block seeding (both strands) is one index sort,
-    one fill and one banding sort.
-
-    Returns device dict like find_seeds_dev plus a "comp" array; bpos
-    of comp seeds is in per-read reverse-complement coordinates (the
-    blk_b_rc frame the extension's COMP pass uses).
-    """
+def _find_seeds_canonical_dev_legacy(blk_a, blk_b, cfg, mask_a=None,
+                                     mask_b=None,
+                                     upper_only: bool = False,
+                                     hit_cap: int = 1 << 21,
+                                     seed_cap: int = 1 << 17,
+                                     a_index=None, dev_arrays=None,
+                                     raw_hint: int | None = None,
+                                     self_pair: bool = False,
+                                     bias_lut=None):
+    """v2 canonical seeding (block-absolute positions, double-bucket
+    banding) — retained for blocks whose packed payload exceeds 32
+    bits; see find_seeds_canonical_dev for the v3 default."""
     if dev_arrays is not None:
         a_bases, a_rid, b_bases, b_rid = dev_arrays
     else:
@@ -610,6 +615,415 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     return {
         "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
         "cov": cov, "comp": scomp, "nseeds": nseeds,
+        "total_seeds": total_seeds, "total_hits": total_hits,
+        "total_compact": total_hits,
+        # overflow covers BOTH fixed buffers: truncated seeds silently
+        # lose overlaps just like truncated hits
+        "overflow": (total_hits > cap) | (total_seeds > seed_cap),
+        "raw_cap": cap,
+        "compact_cap": cap,
+    }
+
+
+# --------------------------------------------------------------------
+# v3 packed-payload canonical seeding (round-3 perf redesign)
+#
+# The v2 path carried BLOCK-ABSOLUTE positions through the index and
+# recovered read ids / rc coordinates by hit-scale random gathers
+# (a_read_id[apos], b_read_id[bpos], b_starts[r] — measured 28-38
+# ns/element on the chip, ~60% of the 50 Mbp overlap wall).  v3 packs
+# (read id, READ-LOCAL position, strand) into the ONE u32 sort payload
+#
+#     mp = rid << (1 + rpos_bits) | rpos << 1 | strand
+#
+# so after hit materialization every banding quantity is an ELEMENTWISE
+# unpack: ar/br/arpos/brpos/strand come from the hit payloads, the
+# band key uses read-local diagonals (fwd: arpos - brpos; comp: the
+# ANTI-diagonal arpos + brpos, constant along an overlap line in the
+# B-read's rc frame without knowing the read length), and only the
+# <= seed_cap surviving anchors pay the starts[] lookups that convert
+# back to block coordinates.  Banding is single-bucket (half the v2
+# double-bucket sort traffic); boundary-straddling seeds are kept by
+# scoring each band as cov(band) + cov(band + 1) via one neighbor-
+# segment lookup (daligner's adjacent-band counting, upstream
+# dalign/filter.c Match_Filter ⟨VERIFY⟩, re-derived for sorted-stream
+# scans).
+#
+# Exact twins: ops/seeding_host.py (numpy + native C) reproduces this
+# path bit-for-bit; blocks whose rid+rpos+strand exceed 32 bits fall
+# back to the v2 legacy path in BOTH twins (same condition).
+# --------------------------------------------------------------------
+
+
+def payload_bits(blk) -> tuple[int, int]:
+    """(rid_bits, rpos_bits) of a block's packed payload: exact bit
+    widths for the read ordinal (padding rid = nreads must fit) and
+    the read-local position (< max read length)."""
+    rid_bits = max(int(blk.nreads).bit_length(), 1)
+    max_rlen = int(blk.rlen.max()) if blk.nreads else 1
+    rpos_bits = max(int(max_rlen).bit_length(), 1)
+    return rid_bits, rpos_bits
+
+
+def packed_payload_base(read_id, starts, nreads: int, cap: int,
+                        rid_bits: int, rpos_bits: int):
+    """u32[cap] packed payload base for given field widths (strand bit
+    left clear; the index build ORs it in).  Padding tail positions are
+    clamped into the rpos field — their k-mers are invalid (PAD_BASE)
+    and never produce hits, so only well-formed bits matter."""
+    import numpy as np
+    rid = read_id.astype(np.uint32)
+    starts64 = np.asarray(starts, dtype=np.int64)
+    rpos = (np.arange(cap, dtype=np.int64)
+            - starts64[np.minimum(read_id, nreads)])
+    rpos = np.clip(rpos, 0, (1 << rpos_bits) - 1).astype(np.uint32)
+    return (rid << np.uint32(1 + rpos_bits)) | (rpos << np.uint32(1))
+
+
+def packed_payload_host(blk):
+    """Per-position packed payload base of a block, cached on it.
+    Returns (mp_base, rid_bits, rpos_bits), or None when the fields
+    exceed 32 bits (callers use the legacy block-absolute path)."""
+    if "mp_base" in blk.cache:
+        return blk.cache["mp_base"]
+    rid_bits, rpos_bits = payload_bits(blk)
+    if rid_bits + rpos_bits + 1 > 32:
+        blk.cache["mp_base"] = None
+        return None
+    mp = packed_payload_base(blk.read_id, blk.starts, blk.nreads,
+                             blk.cap, rid_bits, rpos_bits)
+    res = (mp, rid_bits, rpos_bits)
+    blk.cache["mp_base"] = res
+    return res
+
+
+@partial(jax.jit, static_argnames=("k",))
+def build_index_canonical_packed(bases, read_id, mp_base, k: int,
+                                 mask=None):
+    """Sorted canonical k-mer index with the PACKED payload (v3): the
+    stable sort keeps per-code runs in block-position order, exactly
+    like the pos2 payload, so hit enumeration order is unchanged."""
+    from damar_tpu.ops.kmers import kmer_codes_canonical
+    codes, strand = kmer_codes_canonical(bases, read_id, k, mask)
+    mp = mp_base | strand.astype(jnp.uint32)
+    codes_s, (mp_s,) = radix_sort_bits(codes, (mp,), 2 * k + 1)
+    return codes_s, mp_s
+
+
+def canonical_index_dev(bases_d, rid_d, blk, k: int, mask=None):
+    """Build the device canonical index for a block, choosing the v3
+    packed payload when it fits 32 bits.  Returns (tag, index) where
+    tag is ("packed", rid_bits, rpos_bits) or "legacy" — callers pass
+    the pair to find_seeds_canonical_dev via a_index."""
+    p = packed_payload_host(blk)
+    if p is None:
+        return "legacy", build_index_canonical(bases_d, rid_d, k, mask)
+    mp_base, rid_bits, rpos_bits = p
+    idx = build_index_canonical_packed(bases_d, rid_d,
+                                       jnp.asarray(mp_base), k, mask)
+    return ("packed", rid_bits, rpos_bits), idx
+
+
+@partial(jax.jit, static_argnames=("hit_cap",))
+def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int):
+    """Materialize packed (A payload, B payload) hit pairs from a
+    match_count result, B-tuple-major, into a hit_cap buffer.
+
+    Gather-minimal run expansion: runs tile the buffer contiguously
+    (starts = cum - c), so any per-tuple value v expands to its run's
+    rows by scattering +v at the run's first slot and -v one past its
+    last, then prefix-summing — tuples with c == 0 add +v/-v to the
+    SAME slot (a no-op), so no masking or bidx recovery is needed.
+    TWO flat expansions suffice: the per-tuple A-index shift
+    (lo - starts, so aidx = hit_ordinal + shift) and the B payload;
+    the only remaining per-hit gather is the A payload at aidx, which
+    varies within a run.  All arrays stay 1-D (a stacked [cap, 3]
+    variant measured ~25% SLOWER end-to-end on the chip: TPU pads the
+    3-wide trailing dim to full lane tiles).  int32 wraparound is
+    exact under the final subtraction/bitcast.
+
+    Returns (ap_mp u32[cap], bp_mp u32[cap], nhits, total)."""
+    total = cum[-1]
+    starts = cum - c
+    s0 = jnp.minimum(starts, hit_cap)
+    s1 = jnp.minimum(starts + c, hit_cap)
+    idx = jnp.concatenate([s0, s1])
+
+    def expand(v):
+        w = jnp.zeros(hit_cap + 1, jnp.int32).at[idx].add(
+            jnp.concatenate([v, -v]))
+        return jnp.cumsum(w[:hit_cap])
+
+    shift = expand(lo.astype(jnp.int32) - starts)
+    e_bmp = expand(jax.lax.bitcast_convert_type(b_mp, jnp.int32))
+    hit0 = jnp.arange(hit_cap, dtype=jnp.int32)
+    aidx = hit0 + shift
+    ap_mp = a_mp[jnp.clip(aidx, 0, a_mp.shape[0] - 1)]
+    bp_mp = jax.lax.bitcast_convert_type(e_bmp, jnp.uint32)
+    nhits = jnp.minimum(total, hit_cap)
+    live = hit0 < nhits
+    dead = jnp.uint32(0xFFFFFFFF)
+    return (jnp.where(live, ap_mp, dead), jnp.where(live, bp_mp, dead),
+            nhits, total)
+
+
+@partial(jax.jit, static_argnames=(
+    "a_rid_bits", "a_rpos_bits", "b_rid_bits", "b_rpos_bits",
+    "read_bits", "band_shift", "hit_min", "kmer", "seed_cap",
+    "upper_only", "include_self", "use_bias"))
+def diagonal_filter_packed(ap_mp, bp_mp, nhits,
+                           a_rid_bits: int, a_rpos_bits: int,
+                           b_rid_bits: int, b_rpos_bits: int,
+                           read_bits: int, band_shift: int,
+                           hit_min: int, kmer: int, seed_cap: int,
+                           upper_only: bool, suppress_equal=False,
+                           include_self: bool = False,
+                           use_bias: bool = False, wprefix=None,
+                           a_starts=None):
+    """Single-bucket banding over packed hits: sort by the packed
+    (ar, br, strand, bucket, arpos) key, sum novel k-mer coverage per
+    band, score each band as cov(band-1) + cov(band) (adjacent-band
+    counting without duplicating the hit stream), and emit the first
+    hit of every band reaching hit_min as its anchor seed.
+
+    Everything before the sort is an elementwise unpack of the hit
+    payloads — no read-id or coordinate gathers.  use_bias (static) +
+    wprefix/a_starts enable the -b composition-weighted coverage
+    (block-absolute apos recovered per hit for the weight prefix; the
+    one hit-scale gather this path retains, -b only).
+
+    Returns (ar, br, arpos, brpos, score, comp, nseeds, total_seeds)
+    in READ-LOCAL coordinates; seeds_to_block_coords converts."""
+    n = ap_mp.shape[0]
+    a_mask = jnp.uint32((1 << a_rpos_bits) - 1)
+    b_mask = jnp.uint32((1 << b_rpos_bits) - 1)
+    ar = (ap_mp >> (1 + a_rpos_bits)).astype(jnp.int32)
+    arp = ((ap_mp >> 1) & a_mask).astype(jnp.int32)
+    br = (bp_mp >> (1 + b_rpos_bits)).astype(jnp.int32)
+    brp = ((bp_mp >> 1) & b_mask).astype(jnp.int32)
+    strand = ((ap_mp ^ bp_mp) & 1).astype(jnp.int32)
+    live = jnp.arange(n, dtype=jnp.int32) < nhits
+    if upper_only:
+        live &= (ar <= br) if include_self else (ar < br)
+    live &= ~(jnp.asarray(suppress_equal) & (ar == br))
+    rpb = max(a_rpos_bits, b_rpos_bits)
+    # fwd diag arpos - brpos (offset nonnegative); comp ANTI-diag
+    # arpos + brpos — both constant along an overlap line in the frame
+    # the extension uses, per (ar, br), with no read-length lookup
+    diag = jnp.where(strand == 1, arp + brp, arp - brp + (1 << rpb))
+    bucket = (diag >> band_shift).astype(jnp.int32)
+    bucket_bits = rpb + 2 - band_shift      # +1 headroom: bucket+1
+    dead_read = jnp.int32((1 << read_bits) - 1)
+    ar_k = jnp.where(live, ar, dead_read)
+    br_k = jnp.where(live, br, dead_read)
+    widths = (a_rpos_bits, bucket_bits, 1, read_bits, read_bits)
+    words = pack_fields((arp, bucket, strand, br_k, ar_k), widths)
+    assert len(words) <= 2, "band key exceeds 64 bits"
+    words_s, (brp_s,) = radix_sort_packed(words, (brp,), sum(widths))
+    arp_s = unpack_field(words_s, 0, a_rpos_bits)
+    off = a_rpos_bits + bucket_bits + 1
+    br_s = unpack_field(words_s, off, read_bits)
+    ar_s = unpack_field(words_s, off + read_bits, read_bits)
+    # band identity = key bits above the arpos field (fits 41 bits as
+    # lo/hi u32 halves; bucket sits wholly in the lo half, and bucket+1
+    # never carries past the bucket field thanks to its headroom bit)
+    if len(words_s) == 1:
+        B_lo = words_s[0] >> a_rpos_bits
+        B_hi = jnp.zeros_like(B_lo)
+    else:
+        B_lo = ((words_s[0] >> a_rpos_bits)
+                | (words_s[1] << (32 - a_rpos_bits)))
+        B_hi = words_s[1] >> a_rpos_bits
+    first = jnp.concatenate([jnp.ones((1,), bool),
+                             (B_lo[1:] != B_lo[:-1])
+                             | (B_hi[1:] != B_hi[:-1])])
+    prev_arp = jnp.concatenate([arp_s[:1], arp_s[:-1]])
+    if not use_bias:
+        cov = jnp.where(first, kmer,
+                        jnp.minimum(arp_s - prev_arp, kmer)
+                        ).astype(jnp.int32)
+        thresh = hit_min
+    else:
+        # -b: composition-weighted novel coverage over BLOCK-ABS apos
+        ab = a_starts[jnp.minimum(ar_s, a_starts.shape[0] - 1)] + arp_s
+        prev_ab = jnp.concatenate([ab[:1], ab[:-1]])
+        npos = wprefix.shape[0] - 1
+        hi_i = jnp.minimum(ab + kmer, npos)
+        lo_i = jnp.where(first, ab, jnp.maximum(prev_ab + kmer, ab))
+        lo_i = jnp.minimum(jnp.maximum(lo_i, 0), hi_i)
+        cov = (wprefix[hi_i] - wprefix[lo_i]).astype(jnp.int32)
+        thresh = hit_min * 256
+    cov = jnp.maximum(cov, 0)
+    if not use_bias:
+        # pure-scan segment sums (wrap-free: cov <= kmer per hit, so
+        # cum < 2^31 at hit_cap <= 2^27): cum at own segment's start-1
+        # via a forward cummax broadcast (cum is non-decreasing), cum
+        # at own last via a flipped cummin broadcast — replaces
+        # segment_sum_to_elements' two hit-scale gathers with scans
+        cum = jnp.cumsum(cov)
+        cum_prev = jnp.concatenate([jnp.zeros(1, cov.dtype), cum[:-1]])
+        base = jax.lax.cummax(jnp.where(first, cum_prev, 0))
+        is_last = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+        big = jnp.int32(0x7FFFFFFF)
+        cum_last = jnp.flip(jax.lax.cummin(jnp.flip(
+            jnp.where(is_last, cum, big))))
+        seg_sum = cum_last - base
+    else:
+        # -b weighted coverage can wrap int32; the gather-based form
+        # is wrap-exact (within-segment differences)
+        seg_sum = segment_sum_to_elements(cov, first)
+    # adjacent-band window = (previous band, this band): at a
+    # segment's FIRST element, the previous segment's sum and band id
+    # sit one element back — a free roll, no gather.  Every band with
+    # hits is scored by at least its own coverage, so no straddling
+    # window is missed (the window label is arbitrary; v2's
+    # double-bucket used (b-1, b) too).
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    p_lo = jnp.concatenate([jnp.full((1,), sentinel), B_lo[:-1]])
+    p_hi = jnp.concatenate([jnp.full((1,), sentinel), B_hi[:-1]])
+    p_sum = jnp.concatenate([jnp.zeros((1,), seg_sum.dtype),
+                             seg_sum[:-1]])
+    adj = (p_lo + 1 == B_lo) & (p_hi == B_hi)
+    score = seg_sum + jnp.where(adj, p_sum, 0)
+    good = (score >= thresh) & (ar_s != dead_read)
+    rep = first & good
+    comp, nseeds, total_seeds = compact_flagged(
+        rep, tuple(words_s) + (brp_s, score), out_cap=seed_cap, fill=0)
+    w_out, brp_out, score_out = comp[:-2], comp[-2], comp[-1]
+    keep = jnp.arange(seed_cap, dtype=jnp.int32) < nseeds
+    mark = lambda x: jnp.where(keep, x, -1)      # noqa: E731
+    out_arp = mark(unpack_field(w_out, 0, a_rpos_bits))
+    out_str = jnp.where(keep,
+                        unpack_field(w_out, a_rpos_bits + bucket_bits,
+                                     1), 0)
+    out_br = mark(unpack_field(w_out, off, read_bits))
+    out_ar = mark(unpack_field(w_out, off + read_bits, read_bits))
+    return (out_ar, out_br, out_arp, mark(brp_out),
+            jnp.where(keep, score_out, 0), out_str, nseeds, total_seeds)
+
+
+@partial(jax.jit, static_argnames=("kmer",))
+def seeds_to_block_coords(ar, br, arp, brp, comp, a_starts, b_starts,
+                          kmer: int):
+    """Convert read-local seed anchors to block coordinates (comp
+    seeds' bpos in the B read's rc frame, the extension convention):
+    seed_cap-scale gathers into the small starts tables."""
+    dead = ar < 0
+    arc = jnp.clip(ar, 0, a_starts.shape[0] - 2)
+    brc = jnp.clip(br, 0, b_starts.shape[0] - 2)
+    sap = a_starts[arc] + arp
+    blen = b_starts[brc + 1] - b_starts[brc]
+    sbp = jnp.where(comp == 1,
+                    b_starts[brc] + blen - brp - kmer,
+                    b_starts[brc] + brp)
+    return (jnp.where(dead, -1, sap).astype(jnp.int32),
+            jnp.where(dead, -1, sbp).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("a_rpos_bits", "b_rpos_bits",
+                                   "out_cap", "upper_only",
+                                   "include_self"))
+def compact_hits_packed(ap_mp, bp_mp, nhits, a_rpos_bits: int,
+                        b_rpos_bits: int, out_cap: int,
+                        upper_only: bool, suppress_equal=False,
+                        include_self: bool = False):
+    """Pair-filter + compact packed hits before the banding sort (the
+    sort scales with buffer size); read ids come from the payloads —
+    no gathers.  Returns (ap_mp, bp_mp, n, total)."""
+    n = ap_mp.shape[0]
+    ar = (ap_mp >> (1 + a_rpos_bits)).astype(jnp.int32)
+    br = (bp_mp >> (1 + b_rpos_bits)).astype(jnp.int32)
+    live = jnp.arange(n, dtype=jnp.int32) < nhits
+    if upper_only:
+        live &= (ar <= br) if include_self else (ar < br)
+    live &= ~(jnp.asarray(suppress_equal) & (ar == br))
+    (oa, ob), n_out, total = compact_flagged(
+        live, (ap_mp, bp_mp), out_cap=out_cap, fill=0xFFFFFFFF)
+    return oa, ob, n_out, total
+
+
+def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
+                             upper_only: bool = False,
+                             hit_cap: int = 1 << 21,
+                             seed_cap: int = 1 << 17, a_index=None,
+                             dev_arrays=None, raw_hint: int | None = None,
+                             self_pair: bool = False, bias_lut=None):
+    """Device-resident CANONICAL seeding: ONE index merge + ONE banding
+    sort yields seeds of BOTH orientations (comp bit per seed); comp
+    seeds carry bpos in per-read reverse-complement coordinates (the
+    blk_b_rc frame the extension's COMP pass uses).  For a self-block
+    comparison (self_pair=True) the merge collapses to the per-run
+    rank trick of match_count_self.
+
+    v3: the packed-payload path (read ids / local positions / strand
+    in the sort payload — no hit-scale coordinate gathers) when the
+    payload fits 32 bits, else the v2 legacy path.  a_index: optional
+    (tag, index) pair from canonical_index_dev — the A side is
+    identical across a block row, so sweep drivers build it once.
+    """
+    pa = packed_payload_host(blk_a)
+    pb = pa if (self_pair or blk_b is blk_a) else packed_payload_host(blk_b)
+    tag, idx = a_index if a_index is not None else (None, None)
+    if tag == "legacy" or (tag is None and (pa is None or pb is None)):
+        return _find_seeds_canonical_dev_legacy(
+            blk_a, blk_b, cfg, mask_a, mask_b, upper_only, hit_cap,
+            seed_cap, idx, dev_arrays, raw_hint, self_pair, bias_lut)
+    if dev_arrays is not None:
+        a_bases, a_rid, b_bases, b_rid = dev_arrays
+    else:
+        a_bases = jnp.asarray(blk_a.bases)
+        a_rid = jnp.asarray(blk_a.read_id)
+        b_bases = jnp.asarray(blk_b.bases)
+        b_rid = jnp.asarray(blk_b.read_id)
+    am = jnp.asarray(mask_a) if mask_a is not None else None
+    bm = jnp.asarray(mask_b) if mask_b is not None else None
+    if idx is None:
+        tag, idx = canonical_index_dev(a_bases, a_rid, blk_a, cfg.kmer,
+                                       am)
+    _, a_rid_bits, a_rpos_bits = tag
+    ac, amp = idx
+    t = cfg.max_kmer_count or 128
+    nb = b_bases.shape[0]
+    if self_pair:
+        bmp = amp
+        b_rid_bits, b_rpos_bits = a_rid_bits, a_rpos_bits
+        lo, cnt, cum, _total = match_count_self(ac, k=cfg.kmer,
+                                                max_count=t)
+        want_raw = min(raw_hint or nb // 2, hit_cap)
+    else:
+        mpb, b_rid_bits, b_rpos_bits = pb
+        bc, bmp = build_index_canonical_packed(
+            b_bases, b_rid, jnp.asarray(mpb), cfg.kmer, bm)
+        lo, cnt, cum, _total = match_count(ac, amp, bc, bmp, k=cfg.kmer,
+                                           max_count=t)
+        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    cap = _pow2_cap(want_raw, hit_cap)
+    ap_mp, bp_mp, nhits, total_hits = match_fill_packed(
+        amp, bmp, lo, cnt, cum, hit_cap=cap)
+    import numpy as np
+    a_starts_d = jnp.asarray(np.asarray(blk_a.starts, dtype=np.int32))
+    b_starts_d = a_starts_d if blk_b is blk_a \
+        else jnp.asarray(np.asarray(blk_b.starts, dtype=np.int32))
+    use_bias = bias_lut is not None
+    wprefix = _bias_prefix_dev(a_bases, bias_lut) if use_bias else None
+    ar, br, arp, brp, score, scomp, nseeds, total_seeds = \
+        diagonal_filter_packed(
+            ap_mp, bp_mp, nhits,
+            a_rid_bits=a_rid_bits, a_rpos_bits=a_rpos_bits,
+            b_rid_bits=b_rid_bits, b_rpos_bits=b_rpos_bits,
+            read_bits=quantize_bits(max(blk_a.nreads,
+                                        blk_b.nreads) + 1),
+            band_shift=cfg.band_shift, hit_min=cfg.hit_min,
+            kmer=cfg.kmer, seed_cap=seed_cap,
+            upper_only=bool(self_pair and upper_only),
+            include_self=bool(getattr(cfg, "identity", False)),
+            use_bias=use_bias, wprefix=wprefix,
+            a_starts=a_starts_d if use_bias else None)
+    sap, sbp = seeds_to_block_coords(ar, br, arp, brp, scomp,
+                                     a_starts_d, b_starts_d, cfg.kmer)
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": score, "comp": scomp, "nseeds": nseeds,
         "total_seeds": total_seeds, "total_hits": total_hits,
         "total_compact": total_hits,
         # overflow covers BOTH fixed buffers: truncated seeds silently

@@ -30,11 +30,11 @@ def _argsort(keys: np.ndarray) -> np.ndarray:
     return np.argsort(keys, kind="stable") if order is None else order
 
 
-def _canon_index(bases, read_id, k: int, mask):
+def _canon_codes(bases, read_id, k: int, mask):
+    """(codes, strand) via native C canon_kmers; numpy/JAX fallback."""
     from damar_tpu import native
     res = native.canon_kmers(bases, read_id, k, mask)
     if res is None:                      # no toolchain: numpy fallback
-        import jax
         from damar_tpu.ops.kmers import kmer_codes_canonical
         import jax.numpy as jnp
         c, s = kmer_codes_canonical(jnp.asarray(bases),
@@ -42,11 +42,30 @@ def _canon_index(bases, read_id, k: int, mask):
                                     jnp.asarray(mask)
                                     if mask is not None else None)
         res = np.asarray(c), np.asarray(s)
-    codes, strand = res
+    return res
+
+
+def _canon_index(bases, read_id, k: int, mask):
+    codes, strand = _canon_codes(bases, read_id, k, mask)
     pos2 = (np.arange(len(codes), dtype=np.int32) << 1) \
         | strand.astype(np.int32)
     order = _argsort(codes.astype(np.uint64))
     return codes[order], pos2[order]
+
+
+def canon_index_host(blk, k: int, mask=None):
+    """Tagged canonical index (host twin of seeding.canonical_index_dev):
+    ("packed", rid_bits, rpos_bits) with the u32 packed payload when it
+    fits, else ("legacy", ...) with the block-absolute pos2 payload."""
+    from damar_tpu.ops.seeding import packed_payload_host
+    p = packed_payload_host(blk)
+    if p is None:
+        return "legacy", _canon_index(blk.bases, blk.read_id, k, mask)
+    mp_base, rid_bits, rpos_bits = p
+    codes, strand = _canon_codes(blk.bases, blk.read_id, k, mask)
+    mp = mp_base | strand.astype(np.uint32)
+    order = _argsort(codes.astype(np.uint64))
+    return ("packed", rid_bits, rpos_bits), (codes[order], mp[order])
 
 
 def _run_firsts(codes: np.ndarray):
@@ -98,6 +117,122 @@ def _fill_hits(a_pos2, b_pos2, lo, c, cap: int):
     return ap2v, bp2v, nhits, total
 
 
+def _fill_hits_packed_np(a_mp, b_mp, lo, c, cap: int):
+    """Packed-payload twin of _fill_hits: same B-tuple-major
+    enumeration and cap truncation, payloads carried verbatim."""
+    total = int(c.sum())
+    nhits = min(total, cap)
+    if nhits == 0:
+        z = np.empty(0, np.uint32)
+        return z, z, 0, total
+    if total > cap:
+        cum = np.cumsum(c)
+        last = int(np.searchsorted(cum, cap, "left"))
+        c = c.copy()
+        c[last] = cap - (cum[last] - c[last])
+        c[last + 1:] = 0
+    idx = np.flatnonzero(c)
+    reps = c[idx]
+    bidx = np.repeat(idx, reps)
+    starts = np.cumsum(reps) - reps
+    off = np.arange(nhits, dtype=np.int64) - np.repeat(starts, reps)
+    return a_mp[lo[bidx] + off], b_mp[bidx], nhits, total
+
+
+def _band_filter_packed_np(ap_mp, bp_mp, a_rpos_bits, b_rpos_bits,
+                           nreads1, cfg, seed_cap: int,
+                           upper_only: bool, include_self: bool,
+                           wprefix=None, a_starts=None):
+    """Numpy replica of seeding.diagonal_filter_packed: single-bucket
+    banding over packed hits, two-pass stable sort == the packed
+    (ar, br, strand, bucket, arpos) key sort, per-band novel coverage,
+    score = cov(band) + cov(band+1) via band-key adjacency (key+1
+    never carries past the bucket field: it has a headroom bit).
+    Returns seed_cap-padded (ar, br, arp, brp, score, comp, nseeds,
+    total)."""
+    kmer, hit_min, band_shift = cfg.kmer, cfg.hit_min, cfg.band_shift
+    read_bits = quantize_bits(nreads1)
+    rpb = max(a_rpos_bits, b_rpos_bits)
+    bucket_bits = rpb + 2 - band_shift
+    n = len(ap_mp)
+    ar = (ap_mp >> np.uint32(1 + a_rpos_bits)).astype(np.int64)
+    arp = ((ap_mp >> np.uint32(1))
+           & np.uint32((1 << a_rpos_bits) - 1)).astype(np.int64)
+    br = (bp_mp >> np.uint32(1 + b_rpos_bits)).astype(np.int64)
+    brp = ((bp_mp >> np.uint32(1))
+           & np.uint32((1 << b_rpos_bits) - 1)).astype(np.int64)
+    strand = ((ap_mp ^ bp_mp) & np.uint32(1)).astype(np.int64)
+    live = np.ones(n, bool)
+    if upper_only:
+        live &= (ar <= br) if include_self else (ar < br)
+    if not live.all():
+        idx = np.flatnonzero(live)
+        ar, br, arp, brp = ar[idx], br[idx], arp[idx], brp[idx]
+        strand = strand[idx]
+        n = len(idx)
+    diag = np.where(strand == 1, arp + brp, arp - brp + (1 << rpb))
+    bucket = (diag >> band_shift).astype(np.int64)
+    if 2 * read_bits + 1 + bucket_bits > 64:
+        raise ValueError("band key exceeds 64 bits")
+    key2 = (((((ar << read_bits | br) << 1) | strand)
+             << bucket_bits) | bucket).astype(np.uint64)
+    if n == 0:
+        z = np.full(seed_cap, -1, np.int32)
+        z0 = np.zeros(seed_cap, np.int32)
+        return z, z, z, z, z0, z0, 0, 0
+    o1 = _argsort(arp.astype(np.uint64))
+    o2 = _argsort(key2[o1])
+    order = o1[o2]
+    key_s, arp_s = key2[order], arp[order]
+    m = n
+    first = np.empty(m, bool)
+    first[0] = True
+    first[1:] = key_s[1:] != key_s[:-1]
+    prev_ap = np.empty_like(arp_s)
+    prev_ap[0] = arp_s[0]
+    prev_ap[1:] = arp_s[:-1]
+    if wprefix is None:
+        cov = np.where(first, kmer, np.minimum(arp_s - prev_ap, kmer))
+        thresh = hit_min
+    else:
+        # -b: composition-weighted coverage over block-absolute apos
+        # (same u32-wrap formula as the device twin)
+        ab = a_starts[np.minimum(ar[order],
+                                 len(a_starts) - 1)] + arp_s
+        prev_ab = np.empty_like(ab)
+        prev_ab[0] = ab[0]
+        prev_ab[1:] = ab[:-1]
+        npos = len(wprefix) - 1
+        hi_i = np.minimum(ab + kmer, npos)
+        lo_i = np.where(first, ab, np.maximum(prev_ab + kmer, ab))
+        lo_i = np.minimum(np.maximum(lo_i, 0), hi_i)
+        cov = (wprefix[hi_i] - wprefix[lo_i]).astype(np.int32)
+        thresh = hit_min * 256
+    cov = np.maximum(cov, 0).astype(np.int64)
+    seg_idx = np.flatnonzero(first)
+    sums = np.add.reduceat(cov, seg_idx)
+    seg_key = key_s[seg_idx]
+    # adjacent-band window = (previous band, this band); keys here
+    # EXCLUDE arpos (two-pass sort), so adjacency is key-1 directly
+    score = sums.copy()
+    adj = seg_key[:-1] + 1 == seg_key[1:]
+    score[1:] += np.where(adj, sums[:-1], 0)
+    good = score >= thresh
+    rep_idx = seg_idx[good]
+    total_seeds = len(rep_idx)
+    nseeds = min(total_seeds, seed_cap)
+    rep_idx = rep_idx[:nseeds]
+    rep = order[rep_idx]
+
+    def out(vals, fill):
+        o = np.full(seed_cap, fill, np.int32)
+        o[:nseeds] = vals[:nseeds]
+        return o
+    return (out(ar[rep], -1), out(br[rep], -1), out(arp[rep], -1),
+            out(brp[rep], -1), out(score[good], 0),
+            out(strand[rep], 0), nseeds, total_seeds)
+
+
 def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
                               mask_b=None, upper_only: bool = False,
                               hit_cap: int = 1 << 21,
@@ -106,7 +241,131 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
                               self_pair: bool = False,
                               bias_lut=None) -> dict:
     """Drop-in for find_seeds_canonical_dev returning numpy arrays
-    (same dict contract; fetch_seeds consumes either)."""
+    (same dict contract; fetch_seeds consumes either).  Dispatches to
+    the v3 packed-payload path (exact twin of the device path) when
+    the payload fits 32 bits, else the v2 legacy path below.
+    a_index: optional (tag, index) pair from canon_index_host."""
+    from damar_tpu.ops.seeding import packed_payload_host
+    pa = packed_payload_host(blk_a)
+    pb = pa if (self_pair or blk_b is blk_a) \
+        else packed_payload_host(blk_b)
+    tag, idx = a_index if a_index is not None else (None, None)
+    if tag == "legacy" or (tag is None and (pa is None or pb is None)):
+        return _find_seeds_canonical_host_legacy(
+            blk_a, blk_b, cfg, mask_a, mask_b, upper_only, hit_cap,
+            seed_cap, idx, raw_hint, self_pair, bias_lut)
+    k = cfg.kmer
+    t = cfg.max_kmer_count or 128
+    inval = invalid_code(k)
+    ma = np.asarray(mask_a) if mask_a is not None else None
+    mb = np.asarray(mask_b) if mask_b is not None else None
+    if idx is None:
+        tag, idx = canon_index_host(blk_a, k, ma)
+    _, a_rid_bits, a_rpos_bits = tag
+    ac, amp = idx
+    nb = blk_b.bases.shape[0]
+    from damar_tpu import native
+    if self_pair:
+        bmp = amp
+        b_rid_bits, b_rpos_bits = a_rid_bits, a_rpos_bits
+        res = native.self_hit_counts(ac, inval, t)
+        if res is not None:
+            lo, c = res
+        else:
+            starts, cnt = _run_firsts(ac)
+            lo = starts
+            rank = np.arange(len(ac), dtype=np.int64) - starts
+            ok = (ac != np.uint32(inval)) & (cnt <= t)
+            c = np.where(ok, rank, 0)
+        want_raw = min(raw_hint or nb // 2, hit_cap)
+    else:
+        tagb, (bc, bmp) = canon_index_host(blk_b, k, mb)
+        _, b_rid_bits, b_rpos_bits = tagb
+        lo = np.searchsorted(ac, bc, "left").astype(np.int64)
+        hi = np.searchsorted(ac, bc, "right")
+        count_a = (hi - lo).astype(np.int64)
+        _, count_b = _run_firsts(bc)
+        ok = (bc != np.uint32(inval)) & (count_a <= t) & (count_b <= t)
+        c = np.where(ok, count_a, 0)
+        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    cap = _pow2_cap(want_raw, hit_cap)
+    fused = native.fill_hits_packed(amp, bmp, lo, c, cap)
+    if fused is not None:
+        ap_mp, bp_mp, nhits, total_hits = fused
+    else:
+        ap_mp, bp_mp, nhits, total_hits = _fill_hits_packed_np(
+            amp, bmp, lo, c, cap)
+
+    wprefix = None
+    a_starts64 = None
+    if bias_lut is not None:
+        b = np.asarray(blk_a.bases)
+        wv = np.where(b < 4, np.asarray(bias_lut, np.uint32)[
+            np.minimum(b, 3)], np.uint32(0)).astype(np.uint32)
+        wprefix = np.zeros(len(b) + 1, np.uint32)
+        np.cumsum(wv, out=wprefix[1:], dtype=np.uint32)
+        a_starts64 = np.asarray(blk_a.starts, np.int64)
+    up = bool(self_pair and upper_only)
+    inc = bool(getattr(cfg, "identity", False))
+    nreads1 = max(blk_a.nreads, blk_b.nreads) + 1
+    res = None if wprefix is not None else native.band_filter_packed(
+        ap_mp, bp_mp, a_rpos_bits=a_rpos_bits, b_rpos_bits=b_rpos_bits,
+        read_bits=quantize_bits(nreads1), band_shift=cfg.band_shift,
+        kmer=k, hit_min=cfg.hit_min, upper_only=up, include_self=inc,
+        seed_cap=seed_cap)
+    if res is not None:
+        s_ar, s_br, s_arp, s_brp, s_cov, s_comp, nseeds, total = res
+
+        def pad(v, fill):
+            o = np.full(seed_cap, fill, np.int32)
+            o[:nseeds] = v
+            return o
+        ar, br, arp, brp, cov, comp = (
+            pad(s_ar, -1), pad(s_br, -1), pad(s_arp, -1),
+            pad(s_brp, -1), pad(s_cov, 0), pad(s_comp, 0))
+        total_seeds = total
+    else:
+        ar, br, arp, brp, cov, comp, nseeds, total_seeds = \
+            _band_filter_packed_np(
+                ap_mp, bp_mp, a_rpos_bits, b_rpos_bits, nreads1, cfg,
+                seed_cap=seed_cap, upper_only=up, include_self=inc,
+                wprefix=wprefix, a_starts=a_starts64)
+    # read-local anchors -> block coordinates (comp bpos in the B
+    # read's rc frame) — same formulas as seeding.seeds_to_block_coords
+    a_starts = np.asarray(blk_a.starts, np.int64)
+    b_starts = np.asarray(blk_b.starts, np.int64)
+    dead = ar < 0
+    arc = np.clip(ar, 0, len(a_starts) - 2)
+    brc = np.clip(br, 0, len(b_starts) - 2)
+    sap = a_starts[arc] + arp
+    blen = b_starts[brc + 1] - b_starts[brc]
+    sbp = np.where(comp == 1, b_starts[brc] + blen - brp - k,
+                   b_starts[brc] + brp)
+    sap = np.where(dead, -1, sap).astype(np.int32)
+    sbp = np.where(dead, -1, sbp).astype(np.int32)
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": cov, "comp": comp,
+        "nseeds": np.int32(nseeds), "total_seeds": np.int32(total_seeds),
+        "total_hits": np.int32(total_hits),
+        "total_compact": np.int32(total_hits),
+        "overflow": np.bool_((total_hits > cap)
+                             | (total_seeds > seed_cap)),
+        "raw_cap": cap, "compact_cap": cap,
+    }
+
+
+def _find_seeds_canonical_host_legacy(blk_a, blk_b, cfg, mask_a=None,
+                                      mask_b=None,
+                                      upper_only: bool = False,
+                                      hit_cap: int = 1 << 21,
+                                      seed_cap: int = 1 << 17,
+                                      a_index=None,
+                                      raw_hint: int | None = None,
+                                      self_pair: bool = False,
+                                      bias_lut=None) -> dict:
+    """v2 host canonical seeding (block-absolute, double-bucket) —
+    twin of seeding._find_seeds_canonical_dev_legacy."""
     k = cfg.kmer
     t = cfg.max_kmer_count or 128
     inval = invalid_code(k)

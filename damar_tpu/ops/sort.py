@@ -257,6 +257,18 @@ def seg_starts_from_first(first):
     return jax.lax.cummax(jnp.where(first, idx, 0))
 
 
+def seg_last_from_first(first):
+    """Per-element index of its segment's LAST element, given run-break
+    flags — the reverse twin of seg_starts_from_first (one flipped
+    cummin, no gather)."""
+    n = first.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nxt = jnp.where(first, idx, n)
+    rev_min = jnp.flip(jax.lax.cummin(jnp.flip(
+        jnp.concatenate([nxt[1:], jnp.full((1,), n, jnp.int32)]))))
+    return rev_min - 1
+
+
 def segment_sum_to_elements(values, first):
     """For a sorted stream with run-break flags `first`, return
     per-element totals of their segment (what the pile tools get from
@@ -308,8 +320,10 @@ def merge_ranks(a_codes, b_codes, bits: int):
     code_s = key_s >> 1
     first = jnp.concatenate([jnp.ones((1,), bool),
                              code_s[1:] != code_s[:-1]])
-    starts = seg_starts_from_first(first)
-    lo_all = na_before[starts]          # a's with code < mine
+    # a's with code < mine = na_before at my segment start, broadcast
+    # to the segment by a cummax (na_before is non-decreasing) — a
+    # pure scan where na_before[seg_starts] is a hit-scale gather
+    lo_all = jax.lax.cummax(jnp.where(first, na_before, 0))
     cnt_all = na_before - lo_all        # for b: equal a's all precede it
     # extract the b rows: the stable 1-bit sort keeps them in sorted-b
     # order, so the [na:] suffix lines up with b_codes element-wise —

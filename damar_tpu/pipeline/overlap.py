@@ -890,16 +890,15 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         from damar_tpu.ops import seeding_host as sh
         am_np = np.asarray(mask_a) if mask_a is not None else None
         a_index = _cached_a_index(
-            blk_a, "host", cfg.kmer, am_np,
-            lambda: sh._canon_index(blk_a.bases, blk_a.read_id,
-                                    cfg.kmer, am_np))
+            blk_a, "host3", cfg.kmer, am_np,
+            lambda: sh.canon_index_host(blk_a, cfg.kmer, am_np))
         a_bases_d = blk_a.bases
 
         def run_seeding(kw):
             return sh.fetch_seeds_host(
                 sh.find_seeds_canonical_host(blk_a, blk_b, cfg, **kw))
     else:
-        from damar_tpu.ops.seeding import (build_index_canonical,
+        from damar_tpu.ops.seeding import (canonical_index_dev,
                                            find_seeds_canonical_dev)
         am = jnp.asarray(mask_a) if mask_a is not None else None
 
@@ -908,10 +907,11 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             # whole A row (cached together so they expire together)
             ab = jnp.asarray(blk_a.bases)
             rid = jnp.asarray(blk_a.read_id)
-            return ab, rid, build_index_canonical(ab, rid, cfg.kmer, am)
+            return ab, rid, canonical_index_dev(ab, rid, blk_a,
+                                                cfg.kmer, am)
 
         a_bases_d, a_rid_d, a_index = _cached_a_index(
-            blk_a, "dev", cfg.kmer, mask_a, _build_dev)
+            blk_a, "dev3", cfg.kmer, mask_a, _build_dev)
 
         def run_seeding(kw):
             kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d,

@@ -28,7 +28,7 @@ from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD, H_BBPOS,
                                    encode_trace_columns, n_segments)
 from damar_tpu.formats.oflags import (
     OVL_COMP, OVL_CONT, OVL_DISCARD, OVL_GAP, OVL_LOCAL, OVL_REPEAT,
-    OVL_STITCH)
+    OVL_STITCH, OVL_SYMDISCARD)
 from damar_tpu.formats.tracks import Track
 
 Q_NOCOV = 255  # quality value for uncovered segments
@@ -763,6 +763,76 @@ def filter_las(las: LasFile, rlen_of: dict[int, int],
         unique = olen - covered
         flags |= np.where((covered > 0) & (unique < cfg.anchor_min),
                           OVL_REPEAT | OVL_DISCARD, 0)
+
+    # ---- mirror symmetry (LAfilter's symmetric-discard contract,
+    # upstream MARVEL/scrub/LAfilter.c + lib/oflags.h OVL_SYMDISCARD
+    # ⟨VERIFY⟩): a record and its mirror must both survive or neither.
+    # Records are matched to their mirrors by a canonical pair key
+    # (reflected coordinates for COMP records); any discard propagates
+    # to the partner, which is marked OVL_SYMDISCARD.  The asymmetric
+    # rules above (A-span min_len/max_diff, the A-side unique-anchor
+    # repeat rule) become symmetric through this pass. ----
+    a64 = h[:, H_AREAD].astype(np.int64)
+    b64 = h[:, H_BREAD].astype(np.int64)
+    abp64, aep64 = abp.astype(np.int64), aep.astype(np.int64)
+    bbp64, bep64 = bbp.astype(np.int64), bep.astype(np.int64)
+    t_own = (a64, b64, abp64, aep64, bbp64, bep64)
+    m_abp = np.where(comp, blen - bep64, bbp64)
+    m_aep = np.where(comp, blen - bbp64, bep64)
+    m_bbp = np.where(comp, alen - aep64, abp64)
+    m_bep = np.where(comp, alen - abp64, aep64)
+    t_mir = (b64, a64, m_abp, m_aep, m_bbp, m_bep)
+    less = np.zeros(n, bool)
+    eq = np.ones(n, bool)
+    for x, y in zip(t_mir, t_own):
+        less |= eq & (x < y)
+        eq &= x == y
+    use_mir = less
+    kc = [np.where(use_mir, m, o) for o, m in zip(t_own, t_mir)]
+    kc.append(comp.astype(np.int64))
+    order = np.lexsort(tuple(reversed(kc)))
+    ks = [c[order] for c in kc]
+    same = np.ones(n, bool)
+    same[0] = False
+    for c in ks:
+        same[1:] &= c[1:] == c[:-1]
+    gid = np.cumsum(~same) - 1
+
+    if getattr(cfg, "filter_best_n", 0) and n:
+        # best-n per read end over live dovetails: rank by span desc,
+        # ties by diffs asc; a record is dropped only when BOTH its
+        # ends rank out (its own a-end here, its mirror's a-end via
+        # the pair group), keeping the selection mirror-symmetric
+        nb = int(cfg.filter_best_n)
+        live0 = (flags & OVL_DISCARD) == 0
+        is_dove = dove & live0
+        endk = ((h[:, H_AREAD].astype(np.int64) << 1)
+                | (a_r & b_l).astype(np.int64))
+        dd = h[:, H_DIFFS].astype(np.int64)
+        omax = int(olen.max()) + 1 if n else 1
+        eo = np.lexsort((dd, omax - olen, np.where(is_dove, endk, -1)))
+        ek = np.where(is_dove, endk, -1)[eo]
+        estart = np.concatenate([[0], np.nonzero(
+            ek[1:] != ek[:-1])[0] + 1])
+        erank = np.arange(n) - estart[np.cumsum(np.concatenate(
+            [[True], ek[1:] != ek[:-1]])) - 1]
+        cand = np.zeros(n, bool)
+        cand[eo] = (ek >= 0) & (erank >= nb)
+        # pair-AND: discard iff candidate on every end of the pair
+        cand_s = cand[order]
+        grp_min = np.minimum.reduceat(
+            cand_s.astype(np.int64), np.nonzero(~same)[0])
+        both = grp_min[gid].astype(bool) & cand_s
+        upd = order[both]
+        flags[upd] |= OVL_DISCARD | OVL_SYMDISCARD
+
+    if n:
+        disc_s = (flags[order] & OVL_DISCARD) != 0
+        grp_any = np.maximum.reduceat(
+            disc_s.astype(np.int64), np.nonzero(~same)[0])
+        prop = grp_any[gid].astype(bool) & ~disc_s
+        upd = order[prop]
+        flags[upd] |= OVL_DISCARD | OVL_SYMDISCARD
 
     hdr = h.copy()
     hdr[:, H_FLAGS] = flags.astype(np.uint32).view(np.int32)

@@ -59,21 +59,22 @@ def run_once(label):
     if host:
         from damar_tpu.ops import seeding_host as sh
         a_index = ov._cached_a_index(
-            blk, "host", cfg.kmer, None,
-            lambda: sh._canon_index(blk.bases, blk.read_id, cfg.kmer, None))
+            blk, "host3", cfg.kmer, None,
+            lambda: sh.canon_index_host(blk, cfg.kmer, None))
         a_bases_d = blk.bases
         def run_seeding(kw):
             return sh.fetch_seeds_host(
                 sh.find_seeds_canonical_host(blk, blk, cfg, **kw))
     else:
-        from damar_tpu.ops.seeding import (build_index_canonical,
+        from damar_tpu.ops.seeding import (canonical_index_dev,
                                            find_seeds_canonical_dev)
         def _build_dev():
             ab = jnp.asarray(blk.bases)
             rid = jnp.asarray(blk.read_id)
-            return ab, rid, build_index_canonical(ab, rid, cfg.kmer, None)
+            return ab, rid, canonical_index_dev(ab, rid, blk,
+                                                cfg.kmer, None)
         a_bases_d, a_rid_d, a_index = ov._cached_a_index(
-            blk, "dev", cfg.kmer, None, _build_dev)
+            blk, "dev3", cfg.kmer, None, _build_dev)
         def run_seeding(kw):
             kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d,
                                       jnp.asarray(blk.bases),

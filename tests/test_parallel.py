@@ -80,7 +80,8 @@ class TestRingOverlap:
                  for _ in range(16)]
         cap = 1 << 13
         blocks = [block_from_reads(reads[i::8], cap=cap) for i in range(8)]
-        bases, rid, starts = shard_blocks(blocks, mesh8)
+        bases, rid, starts, mpb = shard_blocks(blocks, mesh8)
+        assert mpb.shape == (8, cap) and mpb.dtype == np.uint32
         assert bases.shape == (8, cap)
         assert len(bases.sharding.device_set) == 8
 

@@ -263,3 +263,92 @@ class TestGapTrimClip:
             las, rlen, {0: (0, 0), 1: (0, 500), 2: (0, 500)})
         assert clipped.novl == 1
         assert clipped.overlaps[0].aread == 2
+
+
+class TestFilterSymmetry:
+    """LAfilter mirror-symmetry contract (upstream MARVEL
+    scrub/LAfilter.c OVL_SYMDISCARD ⟨VERIFY⟩): a record and its mirror
+    both survive or neither — asserted pair-by-pair on real overlap
+    output with an asymmetric rule provoked."""
+
+    def _las_and_lens(self):
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        from damar_tpu.formats.las import LasFile
+        g = make_genome(60_000, seed=71)
+        sim = sample_reads(g, coverage=10, mean_len=3000, err=0.12,
+                           seed=72)
+        blk = block_from_reads(sim.reads)
+        cfg = OverlapConfig()
+        la, lb, _ = overlap_block_pair(blk, blk, cfg, self_block=True,
+                                       emit_mirrors=True)
+        las = LasFile.concat([la, lb])
+        las.sort()
+        rlen = {i: len(r) for i, r in enumerate(sim.reads)}
+        return las, rlen
+
+    @staticmethod
+    def _pair_key(h, rlen):
+        import numpy as np
+        from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD,
+                                           H_BBPOS, H_BEPOS, H_BREAD,
+                                           H_FLAGS)
+        a, b = int(h[H_AREAD]), int(h[H_BREAD])
+        abp, aep = int(h[H_ABPOS]), int(h[H_AEPOS])
+        bbp, bep = int(h[H_BBPOS]), int(h[H_BEPOS])
+        comp = bool(h[H_FLAGS] & OVL_COMP)
+        al, bl = rlen[a], rlen[b]
+        own = (a, b, abp, aep, bbp, bep)
+        if comp:
+            mir = (b, a, bl - bep, bl - bbp, al - aep, al - abp)
+        else:
+            mir = (b, a, bbp, bep, abp, aep)
+        return (min(own, mir), comp)
+
+    def test_repeat_rule_discards_are_mirror_consistent(self):
+        import numpy as np
+        from damar_tpu.formats.las import H_AREAD, H_FLAGS
+        from damar_tpu.formats.oflags import OVL_SYMDISCARD
+        las, rlen = self._las_and_lens()
+        # repeat intervals on a FEW reads only: the A-side unique-
+        # anchor rule then fires asymmetrically by construction
+        rep = {i: np.array([0, rlen[i]], np.int32) for i in
+               list(rlen)[:5]}
+        cfg = ScrubConfig(anchor_min=10**9)  # every covered rec fails
+        out = scrub.filter_las(las, rlen, cfg, rep)
+        h = out.columns.headers
+        state = {}
+        n_sym = 0
+        for row in h:
+            k = self._pair_key(row, rlen)
+            d = bool(row[H_FLAGS] & OVL_DISCARD)
+            if int(row[H_FLAGS]) & OVL_SYMDISCARD:
+                n_sym += 1
+                assert d, "SYMDISCARD without DISCARD"
+            if k in state:
+                assert state[k] == d, f"asymmetric discard at {k}"
+            else:
+                state[k] = d
+        assert n_sym > 0, "no propagated discards despite asymmetric rule"
+        assert any(state.values()), "repeat rule discarded nothing"
+        assert not all(state.values()), "everything discarded"
+
+    def test_best_n_per_end_caps_dovetails(self):
+        import numpy as np
+        from damar_tpu.formats.las import H_FLAGS
+        las, rlen = self._las_and_lens()
+        base = scrub.filter_las(las, rlen, ScrubConfig())
+        capped = scrub.filter_las(las, rlen, ScrubConfig(filter_best_n=2))
+
+        def kept(f):
+            h = f.columns.headers
+            return int(((h[:, H_FLAGS] & OVL_DISCARD) == 0).sum())
+        assert kept(capped) < kept(base), "best-n removed nothing"
+        # mirror consistency after best-n
+        state = {}
+        for row in capped.columns.headers:
+            k = self._pair_key(row, rlen)
+            d = bool(row[H_FLAGS] & OVL_DISCARD)
+            if k in state:
+                assert state[k] == d, f"asymmetric best-n at {k}"
+            else:
+                state[k] = d
