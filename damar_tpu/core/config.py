@@ -103,6 +103,11 @@ class TourConfig:
     polish_rounds: int = 3       # staggered consensus rounds (3rd round
                                  # recovers columns the first two split
                                  # at window boundaries)
+    corrector_rounds: int = 2    # read-correction passes; pass 2 votes
+                                 # with pass-1-corrected covers — at
+                                 # 4-5x sampling troughs one pass
+                                 # leaves covers' correlated errors in
+                                 # charge of the contig consensus
 
 
 @dataclass(frozen=True)

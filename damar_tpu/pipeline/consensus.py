@@ -372,7 +372,8 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                   seq_of, window: int = 500, margin: int = 80,
                   band: int = 96, min_cov: int = 2,
                   return_map: bool = False, reject: float = 0.45,
-                  template_prior: bool = False):
+                  template_prior: bool = False,
+                  stats: dict | None = None):
     """Polish a toured contig with its own reads.
 
     layout: [(read, dir, contig_start)] from touring.tour_layout —
@@ -401,12 +402,23 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
     # through ONE native aligner call instead of ~coverage calls — the
     # per-call ctypes overhead dominated the whole polish phase.
     enter: list[list] = [[] for _ in range(max(nwin, 1))]
+    # MIN_PART: smallest partial-window template span worth a vote —
+    # below it the banded alignment anchors poorly and the cover
+    # mostly votes its own errors
+    MIN_PART = 120
     for li, (read, d, start) in enumerate(layout):
-        w_first = max(0, -(-start // window))
+        # FLOOR, not ceil: a read starting mid-window enters at that
+        # window and votes the PARTIAL template it covers (offset
+        # votes).  At tour closures many reads start within a window
+        # or two — the old ceil-entry discarded 1-2 of the 2-4 covers
+        # available exactly where coverage is thinnest.
+        w_first = max(0, start // window)
         if w_first >= nwin:      # placement past the contig (e.g. a
             continue             # +length wrap copy): no window, and
                                  # no seq_of() materialization either
         # state: [s(lazy), cursor, first, read, dir, layout idx]
+        # cursor = read position corresponding to contig w0 (negative
+        # while the read starts inside the window)
         enter[w_first].append([None, w_first * window - start,
                                True, read, d, li])
     active: list[list] = []
@@ -423,8 +435,10 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
         active.sort(key=lambda st: st[5])
         w0 = w * window
         w1 = min(w0 + window, n)
+        wlen = w1 - w0
         tmpl = contig[w0:w1]
-        live: list[tuple] = []          # (state, lo, hi, mg)
+        live: list[tuple] = []     # (state, lo, hi, mg, ioff, tl)
+        keep: list[list] = []      # walk on without voting this window
         for st in active:
             s, cursor, first = st[0], st[1], st[2]
             # the first window of a read must absorb the FULL
@@ -433,32 +447,52 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
             # later windows only intra-window drift
             mg = margin + (min(600, max(200, len(s) // 8))
                            if first else 0)
-            lo = max(0, cursor - mg)
-            hi = min(len(s), cursor + (w1 - w0) + mg)
-            if hi - lo < (w1 - w0):      # read ends inside the window
-                continue                 # (drops from active below)
-            live.append((st, lo, hi, mg))
-        # align: non-first covers share band max(band, margin+16) ->
-        # one batched call; first covers have per-read margins
+            ioff = max(0, -cursor)        # partial entry offset
+            tl = wlen - ioff              # template span to cover
+            if tl < MIN_PART:             # sliver entry: advance the
+                st[1] = cursor + wlen     # linear cursor, vote next
+                keep.append(st)           # window with full margin
+                continue
+            rem = len(s) - (cursor + ioff)
+            lo = max(0, cursor + ioff - mg)
+            partial_exit = rem < tl + mg
+            if partial_exit:
+                # read ends inside the window: vote the confident
+                # prefix (its estimated span minus the drift margin)
+                tl = min(tl, rem - mg)
+                if tl < MIN_PART:
+                    continue              # exhausted (drops below)
+                hi = len(s)
+            else:
+                hi = min(len(s), cursor + wlen + mg)
+            live.append((st, lo, hi, mg, ioff, tl, partial_exit))
+        # align: non-first full-window covers share band
+        # max(band, margin+16) -> one batched call; first/partial
+        # covers have per-read margins and template slices
         results: dict[int, tuple] = {}
-        steady = [(k, it) for k, it in enumerate(live) if not it[0][2]]
+        steady = [(k, it) for k, it in enumerate(live)
+                  if not it[0][2] and it[4] == 0 and it[5] == wlen]
         if steady:
             aligned = _align_ops_batch(
                 tmpl, [it[0][0][it[1]:it[2]] for _, it in steady],
                 band=max(band, margin + 16))
             for (k, _), r in zip(steady, aligned):
                 results[k] = r
-        for k, (st, lo, hi, mg) in enumerate(live):
+        for k, (st, lo, hi, mg, ioff, tl, _px) in enumerate(live):
             if k not in results:
-                results[k] = _align_ops(tmpl, st[0][lo:hi],
+                results[k] = _align_ops(tmpl[ioff:ioff + tl],
+                                        st[0][lo:hi],
                                         band=max(band, mg + 16))
         if live and votes[w] is None:
             votes[w], ivs[w] = _new_votes(w1 - w0)
         items = []
-        for k, (st, lo, hi, mg) in enumerate(live):
+        nxt_active: list[list] = keep
+        for k, (st, lo, hi, mg, ioff, tl, partial_exit) in \
+                enumerate(live):
             s, cursor = st[0], st[1]
             c = s[lo:hi]
             ops, j0 = results[k]
+            tsub = tmpl[ioff:ioff + tl]
             # cover outlier rejection: a misplaced/wrong-strand read
             # (full_layout places by ONE overlap record) aligns at
             # near-random cost and poisons every vote it touches —
@@ -470,24 +504,35 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                 i_ix = np.cumsum(ca) - ca
                 j_ix = j0 + np.cumsum(cb) - cb
                 m0 = ops == 0
-                nmatch = int((tmpl[np.minimum(i_ix[m0], len(tmpl) - 1)]
+                nmatch = int((tsub[np.minimum(i_ix[m0], len(tsub) - 1)]
                               == c[np.minimum(j_ix[m0],
                                               len(c) - 1)]).sum())
-                if len(ops) - nmatch > reject * len(tmpl):
+                if len(ops) - nmatch > reject * len(tsub):
                     ops = ops[:0]            # walk on, vote nothing
-            items.append((ops, j0, c))
+                    if stats is not None:
+                        stats.setdefault("rej", []).append(
+                            (w, st[3], int(nmatch)))
+                elif stats is not None:
+                    stats.setdefault("cov", []).append(
+                        (w, st[3], ioff, tl, len(ops) - nmatch))
+            items.append((ops, j0, c, ioff))
             ncov[w] += 1
+            if partial_exit:
+                continue          # tail voted; read is exhausted
             nb = int((ops != 1).sum())        # cover chars consumed
             nxt = lo + (j0 + nb if len(ops)
-                        else cursor + (w1 - w0) - lo)
-            ref = cursor + (w1 - w0)
+                        else cursor + wlen - lo)
+            ref = cursor + wlen
             if abs(nxt - ref) > mg:      # distrust a wild alignment
                 nxt = ref
             st[1] = nxt
             st[2] = False
+            nxt_active.append(st)
         if items:
             _vote_ops_multi(votes[w], ivs[w], items)
-        active = [it[0] for it in live]
+        # restore layout order after the keep/live split
+        nxt_active.sort(key=lambda st: st[5])
+        active = nxt_active
     parts: list[np.ndarray] = []
     for w in range(nwin):
         w0 = w * window
@@ -500,6 +545,8 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                                           int(ncov[w]), min_cov,
                                           template_prior=template_prior))
     out = np.concatenate(parts) if parts else contig
+    if stats is not None:
+        stats["ncov"] = ncov
     if not return_map:
         return out
     new_start = np.zeros(nwin + 1, np.int64)
@@ -623,22 +670,39 @@ def polish_rounds(contig: np.ndarray, layout: list[tuple[int, int, int]],
                   seq_of, circular: bool = False, window: int = 500,
                   margin: int = 80, band: int = 96, min_cov: int = 2,
                   rounds: int = 2,
-                  junctions: list[int] | None = None) -> np.ndarray:
+                  junctions: list[int] | None = None,
+                  seq_of_raw=None) -> np.ndarray:
     """Iterated consensus with staggered window grids (each round
     re-anchors against the previous draft; the shifted boundaries
     re-call the columns earlier rounds split across windows).
-    Circular contigs polish with seam-wrapped layouts."""
+    Circular contigs polish with seam-wrapped layouts.
+
+    seq_of_raw: when given, the FINAL round votes with these (raw,
+    uncorrected) covers instead of seq_of.  Corrected covers at a
+    low-coverage locus are CORRELATED — each was consensus-voted from
+    the same few reads, so they agree on their mistakes and the contig
+    consensus can never outvote them (measured: a 4-5x sampling trough
+    pinned ~2 kb at ~92-95%% identity through every round, covers
+    costing 1-2%% against a template 5%% wrong vs truth).  Raw reads'
+    errors are independent; with the template prior holding settled
+    columns, a raw-majority final pass breaks the shared errors."""
     cur = contig
     lay_base = layout
     w = window
     for r in range(rounds):
         lay = _wrap_layout(lay_base, len(cur)) if circular else lay_base
+        final_raw = seq_of_raw is not None and r == rounds - 1
         # later rounds anchor against a converged (~1% error) draft:
-        # true covers cost ~the read error, so the outlier bar drops
-        cur, cmap = polish_contig(cur, lay, seq_of, window=w,
+        # true covers cost ~the read error, so the outlier bar drops —
+        # except the raw final pass, whose covers cost the raw error
+        cur, cmap = polish_contig(cur, lay,
+                                  seq_of_raw if final_raw else seq_of,
+                                  window=w,
                                   margin=margin, band=band,
                                   min_cov=min_cov, return_map=True,
-                                  reject=0.45 if r == 0 else 0.35)
+                                  reject=0.45 if (r == 0 or final_raw)
+                                  else 0.35,
+                                  template_prior=r > 0)
         lay_base = remap_layout(lay_base, cmap, w)
         if junctions:
             nwin_m = len(cmap) - 1
@@ -682,15 +746,23 @@ def polish_rounds(contig: np.ndarray, layout: list[tuple[int, int, int]],
 
 
 def _correct_one(template: np.ndarray, pile: list, seqs_of, rlen: int,
-                 ts: int, window: int, band: int, min_cov: int
-                 ) -> np.ndarray:
+                 ts: int, window: int, band: int, min_cov: int,
+                 coord_of=None, rlen_of=None, return_map: bool = False):
     """Consensus-correct one read given its pile rows
     [(bread, comp, abpos, aepos, bbpos, cum_bspans)].
 
     PARTIAL covers participate too (aligned against the sub-template
     they span, votes offset accordingly): thin piles — exactly the
     reads that need correction most — rarely have alignments spanning
-    a whole window, and a full-span-only rule leaves them raw."""
+    a whole window, and a full-span-only rule leaves them raw.
+
+    coord_of(bread) -> (raw_bounds, corr_bounds) | None: when the
+    covers come from an EARLIER correction pass, the pile's trace
+    coordinates still index the RAW b read — the window-boundary map
+    translates each slice into corrected coordinates (the alignment
+    band absorbs the within-window interpolation error).
+    return_map: also return this read's window-boundary map, feeding
+    the next pass."""
     parts = []
     for w0 in range(0, rlen, window):
         w1 = min(w0 + window, rlen)
@@ -710,6 +782,21 @@ def _correct_one(template: np.ndarray, pile: list, seqs_of, rlen: int,
             hi = bbpos + int(cum[min(max(0, seg_hi - s0),
                                      len(cum) - 1)])
             b = seqs_of(bread, bool(comp))
+            mp = coord_of(bread) if coord_of is not None else None
+            if mp is not None:
+                # oriented raw [lo,hi) -> forward raw -> forward
+                # corrected -> oriented corrected, +slack for the
+                # interpolation error (absorbed by the band)
+                raw_b, cor_b = mp
+                rl_raw = rlen_of[bread]
+                flo, fhi = ((rl_raw - hi, rl_raw - lo) if comp
+                            else (lo, hi))
+                nlo = float(np.interp(flo, raw_b, cor_b))
+                nhi = float(np.interp(fhi, raw_b, cor_b))
+                if comp:
+                    nlo, nhi = len(b) - nhi, len(b) - nlo
+                lo = max(0, int(nlo) - 24)
+                hi = min(len(b), int(nhi) + 24)
             c = b[lo:hi]
             if not len(c):
                 continue
@@ -728,7 +815,14 @@ def _correct_one(template: np.ndarray, pile: list, seqs_of, rlen: int,
             _vote_ops_multi(votes, ins_votes, items)
         parts.append(_consensus_calls(template[w0:w1], votes,
                                       ins_votes, n_cov, min_cov))
-    return np.concatenate(parts) if parts else template
+    out = np.concatenate(parts) if parts else template
+    if not return_map:
+        return out
+    nwin = len(parts)
+    raw_b = np.minimum(np.arange(nwin + 1) * window, rlen)
+    cor_b = np.zeros(nwin + 1, np.int64)
+    np.cumsum([len(p) for p in parts], out=cor_b[1:])
+    return out, (raw_b.astype(np.float64), cor_b.astype(np.float64))
 
 
 def polish_read(aread: int, las, seqs_of, rlen: int, window: int = 500,
@@ -750,7 +844,7 @@ def polish_read(aread: int, las, seqs_of, rlen: int, window: int = 500,
 
 def correct_reads(las, seqs_of, rlen_of: dict[int, int],
                   reads: list[int] | None = None, window: int = 500,
-                  band: int = 96, min_cov: int = 2
+                  band: int = 96, min_cov: int = 2, rounds: int = 1
                   ) -> dict[int, np.ndarray]:
     """Batched read correction from piles (MARVEL corrector/ + msa/
     equivalent — upstream-path citation, mount empty): every read is
@@ -759,6 +853,16 @@ def correct_reads(las, seqs_of, rlen_of: dict[int, int],
     whose raw coverage dips to 4-6x then still vote cleanly — thin
     windows were the measured identity floor of polishing with raw
     reads.
+
+    rounds > 1 iterates: pass n corrects each read against the PASS
+    n-1 CORRECTED covers (template stays the raw read, so the pile's
+    a-side trace coordinates stay valid; b-side slices translate
+    through each cover's window-boundary map).  At thin loci — 4-5x
+    sampling troughs, where every cover's own pile is those same few
+    reads — one pass leaves the covers at 4-10%% residual error and
+    the contig consensus converges to their CORRELATED mistakes;
+    voting with once-corrected (~1-2%%) covers breaks the floor
+    (measured: do.py closure region 92%% -> 99%%+).
 
     Columnar pile construction: ONE pass over the las groups rows by
     aread (no per-record objects)."""
@@ -802,9 +906,32 @@ def correct_reads(las, seqs_of, rlen_of: dict[int, int],
     targets = sorted(piles) if reads is None else \
         [r for r in reads if r in piles]
     out: dict[int, np.ndarray] = {}
-    for a in targets:
-        out[a] = _correct_one(seqs_of(a, False), piles[a], seqs_of,
-                              rlen_of[a], ts, window, band, min_cov)
+    maps: dict[int, tuple] = {}
+    for rnd in range(max(rounds, 1)):
+        last = rnd == max(rounds, 1) - 1
+        if rnd == 0:
+            sof, cof = seqs_of, None
+        else:
+            prev_out, prev_maps = dict(out), dict(maps)
+            from damar_tpu.formats.fasta import revcomp as _rc
+
+            def sof(i, comp, _po=prev_out):
+                s = _po.get(i)
+                if s is None:
+                    return seqs_of(i, comp)
+                return _rc(s) if comp else s
+
+            def cof(i, _pm=prev_maps):
+                return _pm.get(i)
+        for a in targets:
+            r = _correct_one(seqs_of(a, False), piles[a], sof,
+                             rlen_of[a], ts, window, band, min_cov,
+                             coord_of=cof, rlen_of=rlen_of,
+                             return_map=not last)
+            if last:
+                out[a] = r
+            else:
+                out[a], maps[a] = r
     return out
 
 

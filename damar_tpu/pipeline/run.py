@@ -243,7 +243,8 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
         scr_path = os.path.join(workdir, "FIX.scrubbed.las")
         pile_las = lasmod.read_las(scr_path) \
             if os.path.exists(scr_path) else filt
-        corrected = correct_reads(pile_las, seqs_of_trimmed, trlen)
+        corrected = correct_reads(pile_las, seqs_of_trimmed, trlen,
+                                  rounds=cfg.tour.corrector_rounds)
 
         def seqs_of_pol(i, comp):
             s = corrected.get(i)
@@ -261,7 +262,8 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
             out.append(polish_rounds(c, lay, seqs_of_pol,
                                      circular=t.circular,
                                      rounds=cfg.tour.polish_rounds,
-                                     junctions=juncs))
+                                     junctions=juncs,
+                                     seq_of_raw=seqs_of_trimmed))
         # polished contigs expose duplicate repeat-branch walks
         contigs, tours = dedupe_contained_contigs(out, tours)
     contig_path = os.path.join(workdir, "CONTIGS.fasta")
