@@ -2,16 +2,21 @@
 lineage's QV codec (SURVEY.md §2.1, upstream db/QV.c — upstream-path
 citation, reference mount empty).
 
-The reference arithmetic-codes five per-read streams derived from a
-PacBio alignment model (deletion QV, deletion char, insertion QV,
-merge QV, substitution QV).  This build stores the same five streams
-but entropy-codes them with zlib: functionally equivalent storage and
-API, NOT byte-compatible with QV.c's coder (the CLR assembly pipeline
-never consumes QVs — quality is derived from piles by LAq — so the
-codec is an interop nicety, and plain FASTQ qualities land in the
-insertion-QV stream).
+The reference codes five per-read streams derived from a PacBio
+alignment model (deletion QV, deletion char, insertion QV, merge QV,
+substitution QV) with per-stream Huffman schemes built from DB-wide
+sampling plus run-length coding of the dominant deletion-QV symbol.
+This build WRITES the same scheme family via formats.qv_huff (DQH1
+layout: canonical-Huffman tables in the header, delQV RLE) and still
+READS the round-1 zlib container (DQV1).  Byte-compatibility with
+QV.c's exact bit layout is unverifiable while the reference mount is
+empty — qv_huff documents its layout precisely so golden_diff.py can
+reconcile the day the mount appears.  The CLR assembly pipeline never
+consumes QVs (quality is derived from piles by LAq), so the codec is
+an interchange surface; plain FASTQ qualities land in the
+insertion-QV stream.
 
-File layout (.{root}.qvs):
+Legacy DQV1 layout (.{root}.qvs):
   int32 magic 'DQV1'; int32 nreads;
   per read: int32 rlen; 5 x (int32 comp_len; bytes zlib-stream)
   (empty streams have comp_len 0)
@@ -37,27 +42,22 @@ def qvs_path(db_path: str) -> str:
 
 def write_qvs(db_path: str, reads_streams: list[dict]) -> None:
     """reads_streams[i]: dict stream-name -> uint8 array (may be
-    missing/empty); plain FASTQ qualities go under 'ins_qv'."""
+    missing/empty); plain FASTQ qualities go under 'ins_qv'.  Written
+    in the QV.c-family Huffman layout (formats.qv_huff)."""
+    from damar_tpu.formats.qv_huff import encode_qvs
     with open(qvs_path(db_path), "wb") as f:
-        f.write(np.int32(MAGIC).tobytes())
-        f.write(np.int32(len(reads_streams)).tobytes())
-        for st in reads_streams:
-            rlen = max((len(v) for v in st.values()), default=0)
-            f.write(np.int32(rlen).tobytes())
-            for name in STREAMS:
-                v = st.get(name)
-                if v is None or len(v) == 0:
-                    f.write(np.int32(0).tobytes())
-                    continue
-                blob = zlib.compress(
-                    np.asarray(v, dtype=np.uint8).tobytes(), 6)
-                f.write(np.int32(len(blob)).tobytes())
-                f.write(blob)
+        f.write(encode_qvs(reads_streams))
 
 
 def read_qvs(db_path: str) -> list[dict]:
     raw = open(qvs_path(db_path), "rb").read()
-    pos = 0
+    magic = int(np.frombuffer(raw, "<i4", 1, 0)[0])
+    if magic != MAGIC:
+        from damar_tpu.formats.qv_huff import MAGIC as HMAGIC, decode_qvs
+        if magic == HMAGIC:
+            return decode_qvs(raw)
+        raise ValueError("not a .qvs file (unknown magic)")
+    pos = 4
 
     def i32():
         nonlocal pos
@@ -65,8 +65,6 @@ def read_qvs(db_path: str) -> list[dict]:
         pos += 4
         return v
 
-    if i32() != MAGIC:
-        raise ValueError("not a DQV1 .qvs file")
     n = i32()
     out = []
     for _ in range(n):

@@ -25,6 +25,7 @@ Read ids in emitted .las records are ABSOLUTE untrimmed DB read ids
 """
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -928,6 +929,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
               self_pair=self_block)
     if size_hints and size_hints.get("raw"):
         kw["raw_hint"] = (size_hints["raw"] * 5) // 4
+    t_ph = time.time()
     seeds = run_seeding(kw)
     # overflow retries grow whichever fixed buffer saturated: the raw
     # hit buffer (up to hit_cap) and/or the seed buffer (up to 4x the
@@ -950,8 +952,10 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         size_hints["raw"] = max(seeds["total_hits"],
                                 size_hints.get("raw", 0) // 2)
     seeds = dedupe_anchor_seeds(seeds)
+    stats["t_seed"] = round(time.time() - t_ph, 3)
     stats["seeds"] += seeds["nseeds"]
     by_comp = split_seeds_by_comp(seeds)
+    t_ph = time.time()
     ext_parts: list[dict] = []
     pends = []
     for comp in (False, True):
@@ -965,6 +969,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         stats["extents"] += exts["n"]
         exts["comp"] = comp
         ext_parts.append(exts)
+    stats["t_extend"] = round(time.time() - t_ph, 3)
+    t_ph = time.time()
     # dedupe within each orientation (comp partitions the groups)
     kept_parts = [dedupe_extents(p, cfg.min_len,
                                  max_err=1.0 - cfg.err)
@@ -972,11 +978,14 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     for kp, p in zip(kept_parts, ext_parts):
         kp["comp"] = p["comp"]
     stats["kept"] = sum(p["n"] for p in kept_parts)
+    t_dde = time.time()
     las_a, las_b = las_from_extents(blk_a, blk_b, kept_parts, cfg,
                                     emit_mirrors=emit_mirrors,
                                     stats=stats, a_bases_d=a_bases_d,
                                     blk_b_rc=blk_b_rc,
                                     blk_a_rc=blk_a_rc)
+    stats["t_dedupe"] = round(t_dde - t_ph, 3)
+    stats["t_trace"] = round(time.time() - t_dde, 3)
     return las_a, las_b, stats
 
 
@@ -1164,17 +1173,56 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             out.append((pend, chunk))
         return out
 
+    t0 = time.time()
     if groups:
         units = {k: np.concatenate([g[k] for g in groups])
                  for k in UKEYS}
         pending = launch_stream(units)
     else:
         pending = []
-    all_res = _trace_harvest_all([p[0] for p in pending], cfg)
+    stats["t_trace_launch"] = round(time.time() - t0, 3)
     retries: list = []
-    for (pend, chunk), res in zip(pending, all_res):
-        if res is not None:
-            emit(chunk, res, retry_sink=retries)
+    # pipelined harvest: fetch launch-groups in slices and hand each
+    # slice to a worker thread that finishes + encodes it while the
+    # NEXT slice is still in flight on the device link — the fetch
+    # (tunnel transfer) and the host encode are the two serial tails
+    # of the trace phase, and they overlap almost entirely.  A single
+    # worker preserves emission order (cols_* appends must stay in
+    # batch order); only the worker touches the sinks.
+    t0 = time.time()
+    if len(pending) > 8:
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        t_emit = [0.0]
+
+        def _drain():
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                te = time.time()
+                for (pend, chunk), res in item:
+                    if res is not None:
+                        emit(chunk, res, retry_sink=retries)
+                t_emit[0] += time.time() - te
+
+        th = threading.Thread(target=_drain, daemon=True)
+        th.start()
+        GS = max(4, len(pending) // 6)
+        for lo in range(0, len(pending), GS):
+            grp = pending[lo:lo + GS]
+            res = _trace_harvest_all([p[0] for p in grp], cfg)
+            q.put(list(zip(grp, res)))
+        q.put(None)
+        th.join()
+        stats["t_trace_emit_thread"] = round(t_emit[0], 3)
+    else:
+        all_res = _trace_harvest_all([p[0] for p in pending], cfg)
+        for (pend, chunk), res in zip(pending, all_res):
+            if res is not None:
+                emit(chunk, res, retry_sink=retries)
+    stats["t_trace_harvest_emit"] = round(time.time() - t0, 3)
 
     # extents the default trace band could not force through get
     # retried with progressively wider kernels: first the 64-diagonal

@@ -139,3 +139,76 @@ class TestMultiRoundRepmask:
         jobs = plan_block_pairs("E", 6)
         s = render_script(jobs, db_root="E", nblocks=6)
         assert "rep" in s and "daligner" in s
+
+
+class TestQVHuffman:
+    """The DQH1 Huffman codec (QV.c coding family — upstream
+    DAZZ_DB/db/QV.c ⟨VERIFY⟩): per-stream canonical Huffman + delQV
+    RLE, encode -> decode bit-exact."""
+
+    def test_full_five_stream_roundtrip(self, rng):
+        from damar_tpu.formats.qv_huff import encode_qvs, decode_qvs
+        reads = []
+        for i in range(6):
+            n = int(rng.integers(50, 400))
+            # delQV: heavily modal (RLE target) like real PacBio delQVs
+            dq = np.where(rng.random(n) < 0.8, 22,
+                          rng.integers(0, 45, n)).astype(np.uint8)
+            reads.append({
+                "del_qv": dq,
+                "del_char": rng.integers(97, 123, n).astype(np.uint8),
+                "ins_qv": rng.integers(0, 45, n).astype(np.uint8),
+                "mrg_qv": rng.integers(0, 45, n).astype(np.uint8),
+                "sub_qv": rng.integers(0, 45, n).astype(np.uint8)})
+        blob = encode_qvs(reads)
+        back = decode_qvs(blob)
+        assert len(back) == len(reads)
+        for a, b in zip(reads, back):
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        # the modal delQV must compress well below raw size
+        raw = sum(sum(len(v) for v in st.values()) for st in reads)
+        assert len(blob) < raw
+
+    def test_missing_and_empty_streams(self, rng):
+        from damar_tpu.formats.qv_huff import encode_qvs, decode_qvs
+        reads = [{"ins_qv": rng.integers(0, 40, 100).astype(np.uint8)},
+                 {"ins_qv": np.zeros(0, np.uint8)},
+                 {"ins_qv": rng.integers(0, 40, 77).astype(np.uint8),
+                  "sub_qv": rng.integers(0, 10, 77).astype(np.uint8)}]
+        back = decode_qvs(encode_qvs(reads))
+        np.testing.assert_array_equal(back[0]["ins_qv"],
+                                      reads[0]["ins_qv"])
+        assert len(back[1].get("ins_qv", [])) == 0
+        np.testing.assert_array_equal(back[2]["sub_qv"],
+                                      reads[2]["sub_qv"])
+        assert "del_qv" not in back[0]
+
+    def test_single_symbol_stream(self):
+        from damar_tpu.formats.qv_huff import encode_qvs, decode_qvs
+        reads = [{"ins_qv": np.full(300, 7, np.uint8)}]
+        back = decode_qvs(encode_qvs(reads))
+        np.testing.assert_array_equal(back[0]["ins_qv"],
+                                      reads[0]["ins_qv"])
+
+    def test_qvs_file_dispatches_on_magic(self, tmp_path, rng):
+        # write_qvs now emits DQH1; read_qvs reads it AND legacy DQV1
+        streams = [{"ins_qv": rng.integers(0, 40, 120).astype(np.uint8),
+                    "del_qv": np.where(rng.random(120) < 0.7, 9,
+                                       rng.integers(0, 30, 120)
+                                       ).astype(np.uint8),
+                    "del_char": rng.integers(97, 101, 120).astype(np.uint8),
+                    "mrg_qv": rng.integers(0, 30, 120).astype(np.uint8),
+                    "sub_qv": rng.integers(0, 30, 120).astype(np.uint8)}
+                   for _ in range(3)]
+        dbp = str(tmp_path / "H.db")
+        open(dbp, "w").write("files =         0\n")
+        qv.write_qvs(dbp, streams)
+        raw = open(qv.qvs_path(dbp), "rb").read()
+        from damar_tpu.formats.qv_huff import MAGIC as HMAGIC
+        assert int(np.frombuffer(raw, "<u4", 1, 0)[0]) == HMAGIC
+        back = qv.read_qvs(dbp)
+        for a, b in zip(streams, back):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
