@@ -453,18 +453,20 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                 st[1] = cursor + wlen     # linear cursor, vote next
                 keep.append(st)           # window with full margin
                 continue
-            rem = len(s) - (cursor + ioff)
             lo = max(0, cursor + ioff - mg)
-            partial_exit = rem < tl + mg
+            hi = min(len(s), cursor + wlen + mg)
+            # full cover exactly when the pre-partial walk kept the
+            # read live (slice holds a window's worth of chars, with
+            # the margin slack counted — original condition)
+            partial_exit = hi - lo < tl
             if partial_exit:
                 # read ends inside the window: vote the confident
                 # prefix (its estimated span minus the drift margin)
+                rem = len(s) - (cursor + ioff)
                 tl = min(tl, rem - mg)
                 if tl < MIN_PART:
                     continue              # exhausted (drops below)
                 hi = len(s)
-            else:
-                hi = min(len(s), cursor + wlen + mg)
             live.append((st, lo, hi, mg, ioff, tl, partial_exit))
         # align: non-first full-window covers share band
         # max(band, margin+16) -> one batched call; first/partial

@@ -222,3 +222,48 @@ class TestConsensusTwins:
         obj = LasFile(both.tspace, overlaps=list(both.overlaps))
         l2 = full_layout(lay, obj, rlen)
         assert sorted(l1) == sorted(l2) and len(l1) > len(lay)
+
+
+class TestPartialWindowCovers:
+    """Round-3: reads starting or ending mid-window vote the partial
+    template span they cover (offset votes) instead of being dropped
+    until / after their full windows."""
+
+    def test_mid_window_start_votes(self, rng):
+        truth = rng.integers(0, 4, 1000).astype(np.uint8)
+        # template: corrupt ONLY the second half of window 0
+        # (positions 250..500) so fixing it requires votes there
+        contig = truth.copy()
+        contig[300:480] = mutate(truth[300:480], 0.30, rng,
+                         ins_frac=0.0, del_frac=0.0)
+        # covers: three reads starting INSIDE window 0 at 250 (would
+        # enter at window 1 under ceil-entry and never vote w0), plus
+        # one spanning read so windows have >= min_cov
+        reads = {0: truth[250:1000].copy(),
+                 1: truth[250:1000].copy(),
+                 2: truth[250:1000].copy(),
+                 3: truth[0:1000].copy()}
+        layout = [(3, 0, 0), (0, 0, 250), (1, 0, 250), (2, 0, 250)]
+        polished = polish_contig(contig, layout,
+                                 lambda i, d: reads[i],
+                                 window=500, margin=80, band=96)
+        e_before = lev(contig[250:500], truth[250:500])
+        e_after = lev(polished[250:500], truth[250:500])
+        assert e_after <= e_before // 4, (e_before, e_after)
+
+    def test_mid_window_end_votes(self, rng):
+        truth = rng.integers(0, 4, 1000).astype(np.uint8)
+        contig = truth.copy()
+        contig[520:680] = mutate(truth[520:680], 0.30, rng,
+                         ins_frac=0.0, del_frac=0.0)
+        # covers end at 700 (mid window 1): their tails must vote
+        # window 1's prefix
+        reads = {0: truth[0:700].copy(), 1: truth[0:700].copy(),
+                 2: truth[0:700].copy(), 3: truth[0:1000].copy()}
+        layout = [(3, 0, 0), (0, 0, 0), (1, 0, 0), (2, 0, 0)]
+        polished = polish_contig(contig, layout,
+                                 lambda i, d: reads[i],
+                                 window=500, margin=80, band=96)
+        e_before = lev(contig[500:680], truth[500:680])
+        e_after = lev(polished[500:680], truth[500:680])
+        assert e_after <= e_before // 4, (e_before, e_after)
