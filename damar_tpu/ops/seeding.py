@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from damar_tpu.ops.kmers import invalid_code, kmer_codes
 from damar_tpu.ops.sort import (compact_flagged, merge_ranks,
@@ -989,18 +990,27 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         b_rid_bits, b_rpos_bits = a_rid_bits, a_rpos_bits
         lo, cnt, cum, _total = match_count_self(ac, k=cfg.kmer,
                                                 max_count=t)
-        want_raw = min(raw_hint or nb // 2, hit_cap)
     else:
         mpb, b_rid_bits, b_rpos_bits = pb
         bc, bmp = build_index_canonical_packed(
             b_bases, b_rid, jnp.asarray(mpb), cfg.kmer, bm)
         lo, cnt, cum, _total = match_count(ac, amp, bc, bmp, k=cfg.kmer,
                                            max_count=t)
-        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    if raw_hint is None:
+        # the count phase knows the EXACT total before anything is
+        # materialized: one scalar sync sizes the buffer right and no
+        # grow-retry can happen (fill + banding cost scale with the
+        # BUFFER; a wrong static guess pays a full re-run).  Sweep
+        # drivers pass raw_hint to skip the sync (hits are similar
+        # between pairs of one dataset).  The host twin sizes from the
+        # same number, so caps — and truncation behavior — stay
+        # bit-identical across twins.
+        want_raw = min(int(np.asarray(_total)), hit_cap)
+    else:
+        want_raw = min(raw_hint, hit_cap)
     cap = _pow2_cap(want_raw, hit_cap)
     ap_mp, bp_mp, nhits, total_hits = match_fill_packed(
         amp, bmp, lo, cnt, cum, hit_cap=cap)
-    import numpy as np
     a_starts_d = jnp.asarray(np.asarray(blk_a.starts, dtype=np.int32))
     b_starts_d = a_starts_d if blk_b is blk_a \
         else jnp.asarray(np.asarray(blk_b.starts, dtype=np.int32))

@@ -277,7 +277,6 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
             rank = np.arange(len(ac), dtype=np.int64) - starts
             ok = (ac != np.uint32(inval)) & (cnt <= t)
             c = np.where(ok, rank, 0)
-        want_raw = min(raw_hint or nb // 2, hit_cap)
     else:
         tagb, (bc, bmp) = canon_index_host(blk_b, k, mb)
         _, b_rid_bits, b_rpos_bits = tagb
@@ -287,7 +286,10 @@ def find_seeds_canonical_host(blk_a, blk_b, cfg, mask_a=None,
         _, count_b = _run_firsts(bc)
         ok = (bc != np.uint32(inval)) & (count_a <= t) & (count_b <= t)
         c = np.where(ok, count_a, 0)
-        want_raw = min(raw_hint or 2 * nb, hit_cap)
+    # exact sizing when no hint (same rule as the device twin, so the
+    # caps — and any truncation — stay bit-identical across twins)
+    want_raw = min(raw_hint if raw_hint is not None
+                   else int(c.sum(dtype=np.int64)), hit_cap)
     cap = _pow2_cap(want_raw, hit_cap)
     fused = native.fill_hits_packed(amp, bmp, lo, c, cap)
     if fused is not None:

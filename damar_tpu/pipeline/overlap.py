@@ -941,7 +941,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             or (seeds["total_seeds"] > kw["seed_cap"]
                 and kw["seed_cap"] < seed_cap_max)):
         if seeds["total_hits"] > seeds["raw_cap"]:
-            kw = dict(kw, raw_hint=2 * seeds["total_hits"])
+            # total_hits is EXACT (count phase) — no need to double
+            kw = dict(kw, raw_hint=seeds["total_hits"])
         if seeds["total_seeds"] > kw["seed_cap"]:
             sc = kw["seed_cap"]
             while sc < min(2 * seeds["total_seeds"], seed_cap_max):
