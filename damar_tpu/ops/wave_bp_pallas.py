@@ -324,14 +324,17 @@ def _to_rows(x, S, L):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "reverse", "R", "max_rows", "diff_cost", "xdrop", "L"))
+    "reverse", "R", "max_rows", "diff_cost", "xdrop", "L", "packed"))
 def extend_wave_bp_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
                       reverse: bool = False, R: int = 128,
                       max_rows: int = 65536, diff_cost: int = 5,
                       xdrop: int = 60, dirs=None, L: int = 128,
-                      W: int = 128, SB: int = 256):
+                      W: int = 128, SB: int = 256,
+                      packed: bool = False):
     """Pallas drop-in for ops.wave_bp.extend_wave_bp (same returns,
-    bit-identical outputs)."""
+    bit-identical outputs).  packed=True: a_bases/b_bases are already
+    _pack_bases words (callers cache the block-scale pack — repacking
+    a 67M-base block inside every launch costs ~0.1 s on chip)."""
     rv = reverse if dirs is None else dirs
     S0 = aorigin.shape[0]
     SBLK = 8 * L
@@ -342,8 +345,8 @@ def extend_wave_bp_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
         alim, blim = pad(alim), pad(blim)
         if not isinstance(rv, bool):
             rv = jnp.pad(rv, (0, S - S0))
-    a_words = _pack_bases(a_bases)
-    b_words = _pack_bases(b_bases)
+    a_words = a_bases if packed else _pack_bases(a_bases)
+    b_words = b_bases if packed else _pack_bases(b_bases)
 
     VP0, VN0, Db0 = _vinit_words((S // L, L))
     zt = jnp.zeros((S // L, L), jnp.int32)
@@ -463,13 +466,14 @@ def _trace_chunk_kernel(sc_ref, aT_ref, bT_ref, VP_ref, VN_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tspace", "max_segs",
-                                             "L", "W", "SB"))
+                                             "L", "W", "SB", "packed"))
 def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
                      alim, blim, tspace: int = 100,
                      max_segs: int = 660, L: int = 128,
-                     W: int = 128, SB: int = 256):
+                     W: int = 128, SB: int = 256,
+                     packed: bool = False):
     """Pallas drop-in for ops.wave_bp.trace_wave_bp (same returns,
-    bit-identical outputs)."""
+    bit-identical outputs).  packed: see extend_wave_bp_pl."""
     S0 = abpos.shape[0]
     SBLK = 8 * L
     S = -(-S0 // SBLK) * SBLK
@@ -478,8 +482,8 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
         astart, bstart = pad(astart), pad(bstart)
         abpos, bbpos = pad(abpos), pad(bbpos)
         alim, blim = pad(alim), pad(blim)
-    a_words = _pack_bases(a_bases)
-    b_words = _pack_bases(b_bases)
+    a_words = a_bases if packed else _pack_bases(a_bases)
+    b_words = b_bases if packed else _pack_bases(b_bases)
     aorigin = astart + abpos
     borigin = bstart + bbpos
     rows_idx = jnp.arange(S)
@@ -537,3 +541,7 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
 
     st = jax.lax.while_loop(cond, body, state)
     return st["trace"][:S0], st["nseg"][:S0], st["dsum"][:S0]
+
+
+extend_wave_bp_pl.takes_packed = True
+trace_wave_bp_pl.takes_packed = True

@@ -117,6 +117,51 @@ def _cached_a_index(blk: ReadBlock, kind: str, k: int, mask, builder):
     return idx
 
 
+def _rc_cached(blk: ReadBlock) -> ReadBlock:
+    """Per-read reverse-complement of a block, memoized on the block.
+    Sweep drivers and the bench call overlap_block_pair many times on
+    the same blocks; the rc copy is a block-scale host gather and (on
+    the device path) a block-scale upload — both must happen once per
+    block, not once per call."""
+    rc = blk.cache.get("rc_block")
+    if rc is None:
+        rc = revcomp_block(blk)
+        blk.cache["rc_block"] = rc
+    return rc
+
+
+def _dev_arr(blk: ReadBlock, name: str):
+    """Upload-once device residency for a block array (bases/read_id).
+
+    jnp.asarray re-uploads a host array on EVERY call; over the
+    tunneled chip a 200 MB read_id upload costs seconds, and the
+    overlap driver used to pay it per block pair (measured: 15 s of
+    the 50 Mbp bench's 55 s wall was re-uploads).  The device buffer
+    lives exactly as long as the block object."""
+    d = blk.cache.setdefault("dev_arrs", {})
+    arr = d.get(name)
+    if arr is None:
+        arr = jnp.asarray(getattr(blk, name))
+        d[name] = arr
+    return arr
+
+
+def _takes_packed(fn) -> bool:
+    return getattr(getattr(fn, "func", fn), "takes_packed", False)
+
+
+def _packed_words_of(blk: ReadBlock):
+    """Block bases as device-resident _pack_bases words, memoized —
+    the bp Pallas kernels repack the whole block per launch otherwise."""
+    d = blk.cache.setdefault("dev_arrs", {})
+    w = d.get("words")
+    if w is None:
+        from damar_tpu.ops.wave_pallas import _pack_bases
+        w = jax.jit(_pack_bases)(_dev_arr(blk, "bases"))
+        d["words"] = w
+    return w
+
+
 def empty_extents() -> dict:
     out = {k: np.zeros(0, np.int32) for k in EXT_KEYS}
     out["n"] = 0
@@ -288,6 +333,10 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
 
     kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
               diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
+    if not host and _takes_packed(ext_fn):
+        a_bases = _packed_words_of(blk_a)
+        b_bases = _packed_words_of(blk_b)
+        kw["packed"] = True
     arr = (lambda x: x) if host else jnp.asarray
     # launch every batch before harvesting any: dispatch is async, so
     # the device queue stays full (host kernels run synchronously)
@@ -605,13 +654,23 @@ def _trace_launch(a_bases, b_bases, a_starts, b_starts, coords: dict,
         max_segs *= 2
     max_segs = min(max_segs, cap_segs)
     trace_fn = kernel if kernel is not None else _kernels(cfg)[1]
+    # (bases, packed-words) pool pairs: kernels that accept the packed
+    # form skip the per-launch block-scale repack
+    kw_packed = {}
+    if isinstance(a_bases, tuple):
+        if _takes_packed(trace_fn) and a_bases[1] is not None:
+            a_bases = b_bases = a_bases[1]
+            kw_packed["packed"] = True
+        else:
+            a_bases = b_bases = a_bases[0]
     tr, nseg, dsum = trace_fn(
         a_bases, b_bases,
         jnp.asarray(astart.astype(np.int32)),
         jnp.asarray(bstart.astype(np.int32)),
         jnp.asarray(abp), jnp.asarray(bbp),
         jnp.asarray(aep - abp), jnp.asarray(bep - bbp),
-        tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs)
+        tspace=cfg.tspace, W=cfg.band_width, max_segs=max_segs,
+        **kw_packed)
     total_cap = _round_slice(int(expect.sum()), 2048)
     if isinstance(tr, np.ndarray):            # host trace kernel
         packed = _pack_trace_np(tr, expect, total_cap)
@@ -872,8 +931,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     pair's fixed device buffers (fill + banding-sort cost scales with
     buffer size); the overflow retry keeps undersized guesses correct.
     """
-    blk_b_rc = revcomp_block(blk_b)
-    blk_a_rc = revcomp_block(blk_a) if emit_mirrors else None
+    blk_b_rc = _rc_cached(blk_b)
+    blk_a_rc = _rc_cached(blk_a) if emit_mirrors else None
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
     host = _host_compute_enabled()
@@ -915,9 +974,14 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             blk_a, "dev3", cfg.kmer, mask_a, _build_dev)
 
         def run_seeding(kw):
-            kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d,
-                                      jnp.asarray(blk_b.bases),
-                                      jnp.asarray(blk_b.read_id)))
+            # self pairs never touch the B arrays (match_count_self
+            # runs on the A index alone) — skip the upload entirely
+            if self_block or blk_b is blk_a:
+                bb_d, br_d = a_bases_d, a_rid_d
+            else:
+                bb_d = _dev_arr(blk_b, "bases")
+                br_d = _dev_arr(blk_b, "read_id")
+            kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d, bb_d, br_d))
             return fetch_seeds(find_seeds_canonical_dev(
                 blk_a, blk_b, cfg, **kw))
     if bias_lut is not None:
@@ -964,7 +1028,7 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         pends.append((comp, extend_seeds_launch(
             blk_a, bb, by_comp[comp], cfg, comp,
             dev_bases=None if host
-            else (a_bases_d, jnp.asarray(bb.bases)))))
+            else (a_bases_d, _dev_arr(bb, "bases")))))
     for comp, pend in pends:
         exts = extend_seeds_harvest(pend)
         stats["extents"] += exts["n"]
@@ -1007,9 +1071,9 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
         stats = {}
     stats.setdefault("dropped_trace", 0)
     if blk_b_rc is None:
-        blk_b_rc = revcomp_block(blk_b)
+        blk_b_rc = _rc_cached(blk_b)
     if emit_mirrors and blk_a_rc is None:
-        blk_a_rc = blk_b_rc if blk_a is blk_b else revcomp_block(blk_a)
+        blk_a_rc = blk_b_rc if blk_a is blk_b else _rc_cached(blk_a)
     host = getattr(_kernels(cfg)[1], "host_kernel", False)
     sa = blk_a.starts.astype(np.int64)
     sb = blk_b.starts.astype(np.int64)
@@ -1041,11 +1105,27 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
     if host:
         cat = np.concatenate(uniq) if len(uniq) > 1 else uniq[0]
     else:
-        dev = {id(blk_a.bases): a_bases_d}
-        parts_d = [dev.get(id(u)) if dev.get(id(u)) is not None
-                   else jnp.asarray(u) for u in uniq]
-        cat = jnp.concatenate(parts_d) if len(parts_d) > 1 \
-            else parts_d[0]
+        # the concatenated oriented pool is block-pair-invariant:
+        # memoize it on blk_a (strong refs to the source arrays keep
+        # the id() key valid) together with its packed-word form —
+        # rebuilding re-concatenated ~134 MB on device per call, and
+        # the bp kernels would repack it per LAUNCH
+        pkey = tuple(id(u) for u in uniq)
+        ent = blk_a.cache.get("trace_pool")
+        if ent is not None and ent[0] == pkey:
+            cat = ent[2]
+            cat_words = ent[3]
+        else:
+            dev = {id(blk_a.bases): a_bases_d}
+            parts_d = [dev.get(id(u)) if dev.get(id(u)) is not None
+                       else jnp.asarray(u) for u in uniq]
+            cat = jnp.concatenate(parts_d) if len(parts_d) > 1 \
+                else parts_d[0]
+            from damar_tpu.ops.wave_pallas import _pack_bases
+            cat_words = jax.jit(_pack_bases)(cat)
+            blk_a.cache["trace_pool"] = (pkey, list(uniq), cat,
+                                         cat_words)
+        cat = (cat, cat_words)
 
     def units_of(kept: dict, mirrored: bool) -> dict:
         """Per-record trace-unit arrays for one (part, role) group:

@@ -77,8 +77,7 @@ def run_once(label):
             blk, "dev3", cfg.kmer, None, _build_dev)
         def run_seeding(kw):
             kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d,
-                                      jnp.asarray(blk.bases),
-                                      jnp.asarray(blk.read_id)))
+                                      a_bases_d, a_rid_d))
             return ov.fetch_seeds(find_seeds_canonical_dev(blk, blk, cfg, **kw))
     kw = dict(mask_a=None, mask_b=None, upper_only=True,
               hit_cap=_arg("--hit-cap", 1 << 22),
@@ -106,7 +105,8 @@ def run_once(label):
         bb = blk_b_rc if comp else blk
         pends.append((comp, ov.extend_seeds_launch(
             blk, bb, by_comp[comp], cfg, comp,
-            dev_bases=None if host else (a_bases_d, jnp.asarray(bb.bases)))))
+            dev_bases=None if host
+            else (a_bases_d, ov._dev_arr(bb, "bases")))))
     ext_parts = []
     for comp, pend in pends:
         exts = ov.extend_seeds_harvest(pend)
