@@ -108,6 +108,13 @@ class TourConfig:
                                  # 4-5x sampling troughs one pass
                                  # leaves covers' correlated errors in
                                  # charge of the contig consensus
+    finish_raw_rounds: int = 4   # raw-read recruitment finishing
+                                 # rounds (racon-style remap of the
+                                 # ORIGINAL reads onto the polished
+                                 # draft + MSA-called votes); restores
+                                 # the coverage that patch/trim
+                                 # truncation removes at thin loci
+                                 # (0 = off)
 
 
 @dataclass(frozen=True)

@@ -293,6 +293,225 @@ def _consensus_calls(template: np.ndarray, votes: np.ndarray,
     return np.concatenate(parts) if len(parts) > 1 else emit.copy()
 
 
+def _msa_window_calls(template: np.ndarray, items: list,
+                      prior: int = 0) -> np.ndarray:
+    """Expanded-column MSA consensus of one window — the msa/-grade
+    upgrade of _consensus_calls (upstream MARVEL msa/, upstream-path
+    citation, mount empty): covers' insertions become REAL columns
+    that every spanning cover votes on (gap or base), so indel
+    evidence accumulates per position instead of splitting across
+    byte-exact insertion variants; deletions are explicit gap votes.
+
+    items: [(ops, j0, c, ioff)] exactly as _vote_ops_multi takes.
+    prior > 0: the template votes `prior` at its own columns (base)
+    and nothing at insertion columns; ties break toward bases over
+    gap (argmax order), matching the harness that validated this on
+    the do.py 4-5x trough.  Fully vectorized (np.add.at) — the
+    per-op Python walk was 50x slower at window scale."""
+    m = len(template)
+    live = [(o, j, c, io) for o, j, c, io in
+            ((it[0], it[1], it[2], it[3] if len(it) > 3 else 0)
+             for it in items) if len(o)]
+    if not live:
+        return template.copy()
+    sep = np.array([3], np.uint8)
+    cat = np.concatenate([x for ops, _, _, _ in live
+                          for x in (ops, sep)])
+    lens = np.array([len(ops) + 1 for ops, _, _, _ in live])
+    starts = np.cumsum(lens) - lens
+    ends = starts + lens - 1                   # separator positions
+    cov_id = np.repeat(np.arange(len(live)), lens)
+    consume_a = (cat == 0) | (cat == 1)
+    consume_b = (cat == 0) | (cat == 2)
+    cum_a = np.cumsum(consume_a) - consume_a
+    cum_b = np.cumsum(consume_b) - consume_b
+    c_lens = np.array([len(c) for _, _, c, _ in live])
+    c_offs = np.cumsum(c_lens) - c_lens
+    j0s = np.array([j0 for _, j0, _, _ in live])
+    ioffs = np.array([io for _, _, _, io in live])
+    i_arr = cum_a - cum_a[starts][cov_id] + ioffs[cov_id]
+    j_arr = cum_b - cum_b[starts][cov_id] + (j0s + c_offs)[cov_id]
+    c_cat = np.concatenate([c for _, _, c, _ in live])
+    pos = np.arange(len(cat))
+    ins = cat == 2
+    run_start = ins & ~np.concatenate([[False], ins[:-1]])
+    last_start = np.maximum.accumulate(np.where(run_start, pos, -1))
+    q_arr = np.where(ins, pos - last_start, 0)
+    ins_i = np.clip(i_arr[ins], 0, m)
+    ins_q = q_arr[ins]
+    ins_max = np.zeros(m + 1, np.int64)
+    if ins_i.size:
+        np.maximum.at(ins_max, ins_i, ins_q + 1)
+    col_of_t = np.cumsum(ins_max + 1) - 1      # column of template pos
+    ncols = int(col_of_t[m])
+    votes = np.zeros((ncols + 1, 5), np.int32)
+    # per-cover span gap-fill: a cover votes gap everywhere it aligns
+    # THROUGH, including other covers' insertion columns
+    t1s = ioffs + (cum_a[ends] - cum_a[starts])
+    c0s = col_of_t[np.clip(ioffs, 0, m)]
+    c1s = col_of_t[np.clip(t1s, 0, m)]
+    gfill = np.zeros(ncols + 2, np.int64)
+    np.add.at(gfill, np.minimum(c0s, ncols), 1)
+    np.add.at(gfill, np.minimum(c1s, ncols), -1)
+    votes[:ncols, 4] = np.cumsum(gfill)[:ncols]
+    # op votes replace the gap default at their columns (only inside
+    # the op's own cover span — leading/trailing insertions outside
+    # it must not drive the shared gap count negative)
+    c0_op = c0s[cov_id]
+    c1_op = c1s[cov_id]
+    m0 = cat == 0
+    if m0.any():
+        cm = col_of_t[np.clip(i_arr[m0], 0, m)]
+        base = c_cat[np.clip(j_arr[m0], 0, len(c_cat) - 1)]
+        np.add.at(votes, (cm, base), 1)
+        inside = (cm >= c0_op[m0]) & (cm < c1_op[m0])
+        np.add.at(votes[:, 4], cm[inside], -1)
+    if ins_i.size:
+        ci = col_of_t[ins_i] - ins_max[ins_i] + ins_q
+        ci = np.clip(ci, 0, ncols)
+        basei = c_cat[np.clip(j_arr[ins], 0, len(c_cat) - 1)]
+        np.add.at(votes, (ci, basei), 1)
+        inside = (ci >= c0_op[ins]) & (ci < c1_op[ins])
+        np.add.at(votes[:, 4], ci[inside], -1)
+    votes = np.maximum(votes[:ncols], 0)
+    tcols = col_of_t[:m]
+    pri = np.zeros((ncols, 5), np.int32)
+    if prior:
+        pri[:, 4] = prior
+        pri[tcols, 4] = 0
+        pri[tcols, np.minimum(template, 3)] = prior
+    tot = votes.sum(axis=1)
+    calls = np.argmax(votes + pri, axis=1)
+    tdef = np.full(ncols, 4, np.int64)
+    tdef[tcols] = np.minimum(template, 3)
+    calls = np.where(tot == 0, tdef, calls)
+    out = calls[calls != 4].astype(np.uint8)
+    return out
+
+
+def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
+                   k: int = 16, min_hits: int = 15, bin_: int = 64
+                   ) -> list[tuple[int, int, int]]:
+    """Place every read on a polished draft by exact-k-mer modal
+    diagonal voting — no .las needed (the racon-style remap).  The
+    patch/trim/filter phases TRUNCATE reads exactly where coverage is
+    thin (unpatchable segments are cut), so the .las-derived polish
+    layout under-covers sampling troughs; recruiting the ORIGINAL
+    reads restores that evidence.  At ~1% draft error a 13%-error
+    read still lands a clean 16-mer every ~9 bp, so the modal
+    diagonal is unambiguous.  Deterministic: first-occurrence k-mer
+    index, stable read order, median offset."""
+    L = len(contig)
+    if L < k + bin_:
+        return []
+    ck = _kmer_ints(contig, k)
+    order = np.argsort(ck, kind="stable")
+    ck_sorted = ck[order]
+    # first contig position of each distinct k-mer (positions of equal
+    # keys are adjacent after the sort; take the min within each run)
+    uniq_mask = np.concatenate([[True], ck_sorted[1:] != ck_sorted[:-1]])
+    run_id = np.cumsum(uniq_mask) - 1
+    nk = int(run_id[-1]) + 1 if len(run_id) else 0
+    first_pos = np.full(nk, L, np.int64)
+    np.minimum.at(first_pos, run_id, order)
+    keys = ck_sorted[uniq_mask]
+    layout = []
+    for r in range(nreads):
+        best = None
+        for d in (0, 1):
+            s = seq_of(r, d)
+            if len(s) < k + bin_:
+                continue
+            sk = _kmer_ints(np.asarray(s, np.uint8), k)
+            loc = np.searchsorted(keys, sk)
+            loc_c = np.minimum(loc, len(keys) - 1)
+            hit = keys[loc_c] == sk
+            if int(hit.sum()) < min_hits:
+                continue
+            offs = (first_pos[loc_c[hit]]
+                    - np.nonzero(hit)[0]) % L
+            hist = np.bincount(offs // bin_, minlength=L // bin_ + 2)
+            b = int(hist.argmax())
+            cnt = int(hist[max(b - 1, 0):b + 2].sum())
+            if cnt < min_hits:
+                continue
+            sel = offs[np.abs(offs // bin_ - b) <= 1]
+            start = int(np.median(sel))
+            if best is None or cnt > best[0]:
+                best = (cnt, d, start)
+        if best is not None:
+            cnt, d, start = best
+            if start > L // 2:
+                start -= L          # near-seam: negative placement
+            layout.append((r, d, start))
+    layout.sort(key=lambda x: x[2])
+    return layout
+
+
+def _kmer_ints(codes: np.ndarray, k: int) -> np.ndarray:
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.int64)
+    out = np.zeros(n, np.int64)
+    c64 = codes.astype(np.int64)
+    for j in range(k):
+        out = out * 4 + c64[j:j + n]
+    return out
+
+
+def finish_polish_raw(contig: np.ndarray, nreads: int, seq_of,
+                      circular: bool = False, window: int = 500,
+                      margin: int = 80, band: int = 96,
+                      min_cov: int = 2, rounds: int = 4) -> np.ndarray:
+    """Raw-read finishing polish: recruit the ORIGINAL (pre-patch)
+    reads onto the polished draft and run MSA-called vote rounds.
+
+    Measured motivation (do.py 4-5x trough, full diagnosis in round-3
+    notes): the .las polish layout is built from patched+trimmed
+    reads, which the scrub phases truncate exactly where coverage is
+    thin, and the corrected covers there carry correlated errors —
+    template-prior voting reaches a fixed point ~97% local identity.
+    Recruiting raw reads restores the truncated evidence, the first
+    no-prior rounds rebuild the region by plain majority, and the MSA
+    caller accumulates indel votes per column (do.py 99.731% ->
+    99.78%).  Rounds 3+ restore the template prior so settled columns
+    cannot regress."""
+    cur = contig
+    if not len(cur) or rounds <= 0:
+        return cur
+    lay = recruit_layout(cur, nreads, seq_of)
+    if not lay:
+        return cur
+    wins = [window, max(window - 80, 120), max(window - 160, 120)]
+
+    def caller(tmpl, items, n_cov, template_prior):
+        return _msa_window_calls(tmpl, items,
+                                 prior=1 if template_prior else 0)
+
+    for it in range(rounds):
+        w_ = wins[it % len(wins)]
+        lay2 = _wrap_layout(lay, len(cur)) if circular else lay
+        cur, cmap = polish_contig(cur, lay2, seq_of, window=w_,
+                                  margin=margin, band=band,
+                                  min_cov=min_cov, return_map=True,
+                                  reject=0.45,
+                                  template_prior=it >= 2,
+                                  caller=caller)
+        lay = remap_layout(lay, cmap, w_)
+        if circular:
+            n0 = len(cur)
+            cur = _close_circular(cur)
+            if len(cur) != n0:
+                L2 = len(cur)
+                lay = [(rd, d, s if s < L2 else s - L2)
+                       for rd, d, s in lay]
+            if it < rounds - 1:
+                sh = max(1, len(cur) // 3)
+                cur = np.roll(cur, sh)
+                lay = [(rd, d, s + sh) for rd, d, s in lay]
+    return cur
+
+
 def consensus_window(template: np.ndarray, covers: list[np.ndarray],
                      band: int = 64, min_cov: int = 2) -> np.ndarray:
     """Majority-vote consensus of sequences aligned to one template
@@ -373,7 +592,7 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
                   band: int = 96, min_cov: int = 2,
                   return_map: bool = False, reject: float = 0.45,
                   template_prior: bool = False,
-                  stats: dict | None = None):
+                  stats: dict | None = None, caller=None):
     """Polish a toured contig with its own reads.
 
     layout: [(read, dir, contig_start)] from touring.tour_layout —
@@ -390,11 +609,16 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
     return_map: also return new_start [nwin+1], the polished-contig
     coordinate of each input window boundary — callers remap layout
     starts with it to iterate polishing on the updated draft.
+    caller: optional window-call override caller(template, items,
+    n_cov, template_prior) -> consensus (e.g. _msa_window_calls);
+    per-window cover items are retained and handed to it in place of
+    the _vote_ops_multi/_consensus_calls pair.
     """
     n = len(contig)
     nwin = -(-n // window) if n else 0
     votes: list = [None] * nwin
     ivs: list = [None] * nwin
+    wit: list = [None] * nwin
     ncov = np.zeros(nwin, np.int64)
     # WINDOW-MAJOR walk (same chained-cursor semantics as the original
     # read-major loop, same per-window cover order = layout order):
@@ -531,7 +755,10 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
             st[2] = False
             nxt_active.append(st)
         if items:
-            _vote_ops_multi(votes[w], ivs[w], items)
+            if caller is not None:
+                wit[w] = items
+            else:
+                _vote_ops_multi(votes[w], ivs[w], items)
         # restore layout order after the keep/live split
         nxt_active.sort(key=lambda st: st[5])
         active = nxt_active
@@ -542,6 +769,10 @@ def polish_contig(contig: np.ndarray, layout: list[tuple[int, int, int]],
         tmpl = contig[w0:w1]
         if votes[w] is None:
             parts.append(tmpl.copy())
+        elif caller is not None:
+            parts.append(tmpl.copy() if int(ncov[w]) < min_cov
+                         else caller(tmpl, wit[w] or [], int(ncov[w]),
+                                     template_prior))
         else:
             parts.append(_consensus_calls(tmpl, votes[w], ivs[w],
                                           int(ncov[w]), min_cov,

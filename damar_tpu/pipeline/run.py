@@ -266,6 +266,17 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
                                      seq_of_raw=seqs_of_trimmed))
         # polished contigs expose duplicate repeat-branch walks
         contigs, tours = dedupe_contained_contigs(out, tours)
+        if cfg.tour.finish_raw_rounds > 0:
+            # raw-read finishing pass: the .las layout above is built
+            # from patched+trimmed reads, which scrubbing truncates
+            # exactly where coverage is thin; recruiting the ORIGINAL
+            # reads restores that evidence (measured: do.py sampling
+            # trough 99.73 -> 99.78)
+            from damar_tpu.pipeline.consensus import finish_polish_raw
+            contigs = [finish_polish_raw(
+                c, db.ureads, seqs_of_raw, circular=t.circular,
+                rounds=cfg.tour.finish_raw_rounds)
+                for c, t in zip(contigs, tours)]
     contig_path = os.path.join(workdir, "CONTIGS.fasta")
     write_fasta(contig_path,
                 [f"contig_{k} len={len(c)} reads={t.nreads()} "

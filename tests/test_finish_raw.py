@@ -1,0 +1,105 @@
+"""Raw-read recruitment finishing pass (consensus.finish_polish_raw)
+and the MSA window caller (consensus._msa_window_calls)."""
+import numpy as np
+import pytest
+
+from damar_tpu.pipeline.consensus import (_align_ops, _msa_window_calls,
+                                          finish_polish_raw,
+                                          recruit_layout)
+from damar_tpu.utils.sim import make_genome, mutate, sample_reads
+
+
+def _items_for(template, covers, band=96):
+    out = []
+    for c in covers:
+        ops, j0 = _align_ops(template, c, band)
+        out.append((ops, j0, c, 0))
+    return out
+
+
+class TestMsaWindowCalls:
+    def test_unanimous_covers_override_template_errors(self):
+        rng = np.random.default_rng(0)
+        truth = rng.integers(0, 4, 300).astype(np.uint8)
+        tmpl = truth.copy()
+        tmpl[50] = (tmpl[50] + 1) % 4          # substitution
+        tmpl = np.delete(tmpl, 120)            # missing base
+        tmpl = np.insert(tmpl, 200, 2)         # extra base
+        covers = [truth.copy() for _ in range(4)]
+        out = _msa_window_calls(tmpl, _items_for(tmpl, covers))
+        assert np.array_equal(out, truth)
+
+    def test_insertion_votes_accumulate_per_column(self):
+        # covers agree a 3-base block is missing from the template;
+        # each cover also carries its own noise elsewhere, so their
+        # full insertion STRINGS differ — per-column votes still
+        # recover the block (the _consensus_calls byte-exact rule
+        # would need identical strings)
+        rng = np.random.default_rng(1)
+        truth = rng.integers(0, 4, 240).astype(np.uint8)
+        tmpl = np.delete(truth, slice(100, 103))
+        covers = []
+        for s in range(5):
+            c = truth.copy()
+            p = 30 + 37 * s                    # noise far from the gap
+            c[p] = (c[p] + 1) % 4
+            covers.append(c)
+        out = _msa_window_calls(tmpl, _items_for(tmpl, covers))
+        assert np.array_equal(out, truth)
+
+    def test_template_prior_holds_thin_columns(self):
+        truth = np.arange(200, dtype=np.uint8) % 4
+        tmpl = truth.copy()
+        # one noisy cover must not flip settled columns under prior
+        c = truth.copy()
+        c[77] = (c[77] + 2) % 4
+        out = _msa_window_calls(tmpl, _items_for(tmpl, [c]), prior=1)
+        assert np.array_equal(out, truth)
+
+    def test_empty_items_keep_template(self):
+        tmpl = np.array([0, 1, 2, 3], np.uint8)
+        out = _msa_window_calls(tmpl, [])
+        assert np.array_equal(out, tmpl)
+
+
+class TestRecruitAndFinish:
+    @pytest.fixture(scope="class")
+    def sim(self):
+        g = make_genome(40_000, seed=19)
+        return g, sample_reads(g, coverage=10, mean_len=4000,
+                               err=0.12, seed=20)
+
+    def test_recruit_layout_places_reads_on_truth(self, sim):
+        g, s = sim
+        def seq_of(r, d):
+            x = np.asarray(s.reads[r], np.uint8)
+            return (3 - x)[::-1] if d else x
+        lay = recruit_layout(g.astype(np.uint8), len(s.reads), seq_of)
+        placed = {r: (d, st) for r, d, st in lay}
+        assert len(placed) >= 0.9 * len(s.reads)
+        ok = 0
+        for r, (d, st) in placed.items():
+            # stored strand-1 reads are rc(genome span): genome-forward
+            # orientation means d == strand
+            if d != int(s.strand[r]):
+                continue
+            exp = int(s.start[r])
+            if min(abs(st - exp), abs(st + len(g) - exp),
+                   abs(st - len(g) - exp)) < 150:
+                ok += 1
+        assert ok >= 0.85 * len(placed)
+
+    def test_finish_polish_raw_improves_corrupt_draft(self, sim):
+        g, s = sim
+        rng = np.random.default_rng(3)
+        draft = g.astype(np.uint8).copy()
+        pos = rng.choice(len(draft), 900, replace=False)
+        draft[pos] = (draft[pos] + rng.integers(1, 4, 900)) % 4
+        def seq_of(r, d):
+            x = np.asarray(s.reads[r], np.uint8)
+            return (3 - x)[::-1] if d else x
+        out = finish_polish_raw(draft, len(s.reads), seq_of,
+                                circular=True, rounds=2)
+        from damar_tpu.utils.sim import kmer_hit_rate
+        assert kmer_hit_rate(g, out) > kmer_hit_rate(g, draft) + 0.1
+        assert abs(len(out) - len(g)) < 200
