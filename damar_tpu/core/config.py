@@ -48,6 +48,13 @@ class OverlapConfig:
                                 # "wide" (lane-per-diagonal; use_pallas
                                 # picks Pallas vs pure-JAX)
     bp_chunk: int = 64          # bp extension rows between recenters
+    ext_phase1_rows: int = 192  # two-phase device extension: run ALL
+                                # units this deep first (most false
+                                # seeds X-drop within 1-2 chunks),
+                                # then re-run only the still-active
+                                # survivors at full depth — identical
+                                # outputs, ~3-5x less padded DP work
+                                # (0 = single-phase)
     # (slope: true alignments at <=30% pair error gain ~1-5*eps/2 > 0
     #  per antidiagonal; random sequence (~0.48 edit rate) loses, so
     #  extension halts at overlap ends without a hard rule)

@@ -172,14 +172,19 @@ def _window_planes(b_tile_T, p0, blim):
 
 
 @partial(jax.jit, static_argnames=("reverse", "R", "max_rows",
-                                   "diff_cost", "xdrop", "W", "SB"))
+                                   "diff_cost", "xdrop", "W", "SB",
+                                   "with_active"))
 def extend_wave_bp(a_bases, b_bases, aorigin, borigin, alim, blim,
                    reverse: bool = False, R: int = 128,
                    max_rows: int = 65536, diff_cost: int = 5,
                    xdrop: int = 60, dirs=None, W: int = 128,
-                   SB: int = 256):
+                   SB: int = 256, with_active: bool = False):
     """Bit-parallel drop-in for ops.wave.extend_wave (same returns:
-    best_va, best_vb, best_d, best_score)."""
+    best_va, best_vb, best_d, best_score).  with_active: also return
+    the final active mask — True means the unit hit max_rows while
+    still extending, so a deeper re-run can produce a different
+    (better) result; False means the result is final (X-drop death or
+    read-end).  Drives the two-phase extension launch."""
     rv = reverse if dirs is None else dirs
     S = aorigin.shape[0]
     a_words = _pack_bases(a_bases)
@@ -291,8 +296,9 @@ def extend_wave_bp(a_bases, b_bases, aorigin, borigin, alim, blim,
     none = bs <= 0
     zed = jnp.zeros_like(bs)
     d = jnp.where(none, zed, (bva + bvb - bs) // diff_cost)
-    return (jnp.where(none, zed, bva), jnp.where(none, zed, bvb),
-            d, jnp.where(none, zed, bs))
+    out = (jnp.where(none, zed, bva), jnp.where(none, zed, bvb),
+           d, jnp.where(none, zed, bs))
+    return out + (st["active"],) if with_active else out
 
 
 @partial(jax.jit, static_argnames=("tspace", "max_segs", "W",
@@ -415,3 +421,6 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
 
     st = jax.lax.while_loop(cond, body, state)
     return st["trace"], st["nseg"], st["dsum"]
+
+
+extend_wave_bp.supports_active = True

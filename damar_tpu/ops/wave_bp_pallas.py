@@ -324,17 +324,20 @@ def _to_rows(x, S, L):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "reverse", "R", "max_rows", "diff_cost", "xdrop", "L", "packed"))
+    "reverse", "R", "max_rows", "diff_cost", "xdrop", "L", "packed",
+    "with_active"))
 def extend_wave_bp_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
                       reverse: bool = False, R: int = 128,
                       max_rows: int = 65536, diff_cost: int = 5,
                       xdrop: int = 60, dirs=None, L: int = 128,
                       W: int = 128, SB: int = 256,
-                      packed: bool = False):
+                      packed: bool = False, with_active: bool = False):
     """Pallas drop-in for ops.wave_bp.extend_wave_bp (same returns,
     bit-identical outputs).  packed=True: a_bases/b_bases are already
     _pack_bases words (callers cache the block-scale pack — repacking
-    a 67M-base block inside every launch costs ~0.1 s on chip)."""
+    a 67M-base block inside every launch costs ~0.1 s on chip).
+    with_active: also return the final active mask (see
+    wave_bp.extend_wave_bp) for the two-phase launch."""
     rv = reverse if dirs is None else dirs
     S0 = aorigin.shape[0]
     SBLK = 8 * L
@@ -388,8 +391,9 @@ def extend_wave_bp_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
     none = bs <= 0
     zed = jnp.zeros_like(bs)
     d = jnp.where(none, zed, (bva + bvb - bs) // diff_cost)
-    return (jnp.where(none, zed, bva), jnp.where(none, zed, bvb),
-            d, jnp.where(none, zed, bs))
+    out = (jnp.where(none, zed, bva), jnp.where(none, zed, bvb),
+           d, jnp.where(none, zed, bs))
+    return out + (flat(st["active"]) != 0,) if with_active else out
 
 
 def _to_tiles_inv(x, S):
@@ -545,3 +549,4 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
 
 extend_wave_bp_pl.takes_packed = True
 trace_wave_bp_pl.takes_packed = True
+extend_wave_bp_pl.supports_active = True

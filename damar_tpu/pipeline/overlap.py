@@ -150,6 +150,10 @@ def _takes_packed(fn) -> bool:
     return getattr(getattr(fn, "func", fn), "takes_packed", False)
 
 
+def _supports_active(fn) -> bool:
+    return getattr(getattr(fn, "func", fn), "supports_active", False)
+
+
 def _packed_words_of(blk: ReadBlock):
     """Block bases as device-resident _pack_bases words, memoized —
     the bp Pallas kernels repack the whole block per launch otherwise."""
@@ -379,33 +383,75 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
         b_bases = _packed_words_of(blk_b)
         kw["packed"] = True
     arr = (lambda x: x) if host else jnp.asarray
+
+    def launch(sel_order, sel_bound, batches, kw_extra):
+        out = []
+        for lo, m, w in batches:
+            sel = sel_order[lo:lo + m]
+            res = ext_fn(
+                a_bases, b_bases,
+                arr(_pad(u_ao[sel], w, 0)),
+                arr(_pad(u_bo[sel], w, 0)),
+                arr(_pad(u_alim[sel], w, 0)),
+                arr(_pad(u_blim[sel], w, 0)),
+                dirs=arr(np.pad(u_rev[sel], (0, w - m))),
+                **dict(kw, **kw_extra))
+            out.append(res)
+        return out
+
+    def stack(results):
+        xp = np if host else jnp
+        return xp.concatenate(
+            [xp.stack([r[0][:], r[1][:], r[2][:]]) for r in results],
+            axis=1)
+
+    P1 = getattr(cfg, "ext_phase1_rows", 0)
+    two_phase = (not host and P1 > 0 and _supports_active(ext_fn)
+                 and kw["max_rows"] > P1)
     if host:
         batches = [(lo, min(S, 2 * n - lo), S)
                    for lo in range(0, 2 * n, S)]
+    elif two_phase:
+        # phase 1: shallow uniform launches over ALL units — most
+        # false seeds die by X-drop within a chunk or two, so running
+        # every unit to its length bound wastes the batch on its
+        # longest member; the active mask marks the survivors that
+        # genuinely need depth
+        batches = _area_batches(np.minimum(bound[order], P1),
+                                cfg.bp_chunk, max(S, 1 << 16),
+                                AREA_CHUNKS_DEV)
     else:
         batches = _area_batches(bound[order], cfg.bp_chunk,
                                 max(S, 1 << 16), AREA_CHUNKS_DEV)
     # launch every batch before harvesting any: dispatch is async, so
     # the device queue stays full (host kernels run synchronously)
-    results = []
-    for lo, m, w in batches:
-        sel = order[lo:lo + m]
-        r_va, r_vb, r_d, _ = ext_fn(
-            a_bases, b_bases,
-            arr(_pad(u_ao[sel], w, 0)),
-            arr(_pad(u_bo[sel], w, 0)),
-            arr(_pad(u_alim[sel], w, 0)),
-            arr(_pad(u_blim[sel], w, 0)),
-            dirs=arr(np.pad(u_rev[sel], (0, w - m))), **kw)
-        results.append((m, r_va, r_vb, r_d))
-    # single device-side concat of all batch results (fetched once)
-    xp = np if host else jnp
-    stacked = xp.concatenate(
-        [xp.stack([r_va[:], r_vb[:], r_d[:]]) for m, r_va, r_vb, r_d
-         in results], axis=1)
+    kw1 = dict(max_rows=P1, with_active=True) if two_phase else {}
+    results = launch(order, bound, batches, kw1)
+    stacked = stack(results)
+    p2 = None
+    if two_phase:
+        # ONE mask fetch, then re-run only still-active units at full
+        # depth (a deterministic re-run from row 0 — dead units'
+        # phase-1 results are already final, so outputs are identical
+        # to a single full-depth pass)
+        act = np.asarray(jnp.concatenate([r[4] for r in results]))
+        act_units = np.zeros(2 * n, bool)
+        off = 0
+        for (lo, m, w), r in zip(batches, results):
+            act_units[order[lo:lo + m]] = act[off:off + m]
+            off += w
+        surv = np.nonzero(act_units)[0]
+        if len(surv):
+            order2 = surv[np.argsort(bound[surv],
+                                     kind="stable")].astype(np.int64)
+            batches2 = _area_batches(bound[order2], cfg.bp_chunk,
+                                     max(S, 1 << 16), AREA_CHUNKS_DEV)
+            p2 = dict(order=order2, batches=batches2,
+                      stacked=stack(launch(order2, bound, batches2,
+                                           {})))
     return dict(stacked=stacked, order=order, n=n, batches=batches,
                 comp=comp, ar=ar_all, br=br_all, ap=ap_all, bp=bp_all,
-                a0=a0, b0=b0)
+                a0=a0, b0=b0, p2=p2)
 
 
 def extend_seeds_harvest(pend: dict | None) -> dict:
@@ -427,6 +473,17 @@ def extend_seeds_harvest(pend: dict | None) -> dict:
     va = res[0][inv]
     vb = res[1][inv]
     vd = res[2][inv]
+    if pend.get("p2") is not None:
+        # two-phase: overwrite survivors with their full-depth results
+        p2 = pend["p2"]
+        res2 = np.asarray(p2["stacked"])
+        off = 0
+        for lo, m, w in p2["batches"]:
+            sel = p2["order"][lo:lo + m]
+            va[sel] = res2[0][off:off + m]
+            vb[sel] = res2[1][off:off + m]
+            vd[sel] = res2[2][off:off + m]
+            off += w
     ap_l = (pend["ap"] - pend["a0"]).astype(np.int64)  # read-local
     bp_l = (pend["bp"] - pend["b0"]).astype(np.int64)
     abp = ap_l - va[n:]
