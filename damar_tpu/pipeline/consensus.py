@@ -390,7 +390,8 @@ def _msa_window_calls(template: np.ndarray, items: list,
 
 
 def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
-                   k: int = 16, min_hits: int = 15, bin_: int = 64
+                   k: int = 16, min_hits: int = 15, bin_: int = 64,
+                   circular: bool = False
                    ) -> list[tuple[int, int, int]]:
     """Place every read on a polished draft by exact-k-mer modal
     diagonal voting — no .las needed (the racon-style remap).  The
@@ -400,7 +401,14 @@ def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
     reads restores that evidence.  At ~1% draft error a 13%-error
     read still lands a clean 16-mer every ~9 bp, so the modal
     diagonal is unambiguous.  Deterministic: first-occurrence k-mer
-    index, stable read order, median offset."""
+    index, stable read order, median offset.
+
+    circular: offsets live on the mod-L ring and near-seam placements
+    go negative (so a seam-spanning read covers contiguously).  On
+    LINEAR contigs offsets are plain integers — wrapping there threw
+    every second-half read to a bogus negative placement (round-3
+    advisor finding: 55/55 second-half reads misplaced, second half
+    left at draft error)."""
     L = len(contig)
     if L < k + bin_:
         return []
@@ -428,20 +436,25 @@ def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
             hit = keys[loc_c] == sk
             if int(hit.sum()) < min_hits:
                 continue
-            offs = (first_pos[loc_c[hit]]
-                    - np.nonzero(hit)[0]) % L
-            hist = np.bincount(offs // bin_, minlength=L // bin_ + 2)
+            offs = first_pos[loc_c[hit]] - np.nonzero(hit)[0]
+            if circular:
+                offs = offs % L
+            # linear: offsets can be slightly negative (read overhangs
+            # the left end); bias the histogram, not the offsets
+            bias = 0 if circular else len(s)
+            hist = np.bincount((offs + bias) // bin_,
+                               minlength=(L + bias) // bin_ + 2)
             b = int(hist.argmax())
             cnt = int(hist[max(b - 1, 0):b + 2].sum())
             if cnt < min_hits:
                 continue
-            sel = offs[np.abs(offs // bin_ - b) <= 1]
+            sel = offs[np.abs((offs + bias) // bin_ - b) <= 1]
             start = int(np.median(sel))
             if best is None or cnt > best[0]:
                 best = (cnt, d, start)
         if best is not None:
             cnt, d, start = best
-            if start > L // 2:
+            if circular and start > L // 2:
                 start -= L          # near-seam: negative placement
             layout.append((r, d, start))
     layout.sort(key=lambda x: x[2])
@@ -479,7 +492,7 @@ def finish_polish_raw(contig: np.ndarray, nreads: int, seq_of,
     cur = contig
     if not len(cur) or rounds <= 0:
         return cur
-    lay = recruit_layout(cur, nreads, seq_of)
+    lay = recruit_layout(cur, nreads, seq_of, circular=circular)
     if not lay:
         return cur
     wins = [window, max(window - 80, 120), max(window - 160, 120)]

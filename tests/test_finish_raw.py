@@ -74,7 +74,8 @@ class TestRecruitAndFinish:
         def seq_of(r, d):
             x = np.asarray(s.reads[r], np.uint8)
             return (3 - x)[::-1] if d else x
-        lay = recruit_layout(g.astype(np.uint8), len(s.reads), seq_of)
+        lay = recruit_layout(g.astype(np.uint8), len(s.reads), seq_of,
+                             circular=True)
         placed = {r: (d, st) for r, d, st in lay}
         assert len(placed) >= 0.9 * len(s.reads)
         ok = 0
@@ -102,4 +103,37 @@ class TestRecruitAndFinish:
                                 circular=True, rounds=2)
         from damar_tpu.utils.sim import kmer_hit_rate
         assert kmer_hit_rate(g, out) > kmer_hit_rate(g, draft) + 0.1
+        assert abs(len(out) - len(g)) < 200
+
+    def test_finish_polish_raw_linear_improves_both_halves(self):
+        # round-3 advisor (high): the unconditional seam wrap threw
+        # every second-half read of a LINEAR contig to a negative
+        # placement, leaving the second half at draft error.  Sample
+        # reads WITHOUT circular wrap and check both halves improve.
+        g = make_genome(40_000, seed=23)
+        s = sample_reads(g, coverage=10, mean_len=4000, err=0.12,
+                         seed=24, circular=False)
+        rng = np.random.default_rng(5)
+        draft = g.astype(np.uint8).copy()
+        pos = rng.choice(len(draft), 900, replace=False)
+        draft[pos] = (draft[pos] + rng.integers(1, 4, 900)) % 4
+
+        def seq_of(r, d):
+            x = np.asarray(s.reads[r], np.uint8)
+            return (3 - x)[::-1] if d else x
+
+        lay = recruit_layout(draft, len(s.reads), seq_of)
+        starts = np.array([st for _, _, st in lay])
+        # placements must be sane linear coordinates, not wrapped
+        assert (starts > -5000).all()
+        assert (starts[starts > len(g) // 2] < len(g)).all()
+        out = finish_polish_raw(draft, len(s.reads), seq_of,
+                                circular=False, rounds=2)
+        from damar_tpu.utils.sim import kmer_hit_rate
+        h = len(out) // 2
+        gh = len(g) // 2
+        assert kmer_hit_rate(g[:gh], out[:h]) > \
+            kmer_hit_rate(g[:gh], draft[:gh]) + 0.1
+        assert kmer_hit_rate(g[gh:], out[h:]) > \
+            kmer_hit_rate(g[gh:], draft[gh:]) + 0.1
         assert abs(len(out) - len(g)) < 200
