@@ -34,14 +34,48 @@ REF_CPU_GBP_S = 0.050  # provisional: daligner-class socket, aligned Gbp/s
 # the CPU fallback masquerade as the chip's state.
 LAST_GOOD_TPU = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_last_tpu.json")
+# append-only on-chip measurement log (one JSON line per successful
+# on-chip run, full or --quick, stamped with the git commit): the
+# round-3 regression (seeding v3, 0.0173 -> 0.0105) went unnoticed for
+# days because nothing recorded per-commit chip numbers
+BENCH_HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_history.jsonl")
 
 
-def _persist_tpu_line(line: str) -> None:
+def _git_head() -> str:
+    try:
+        import subprocess
+        r = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                           capture_output=True, timeout=10,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        return r.stdout.decode().strip() if r.returncode == 0 else "?"
+    except Exception:
+        return "?"
+
+
+def _append_history(rec: dict) -> None:
+    try:
+        rec = dict(rec)
+        rec["commit"] = _git_head()
+        with open(BENCH_HISTORY, "a") as f:
+            json.dump(rec, f)
+            f.write("\n")
+    except Exception as e:
+        print(f"# WARNING: could not append bench history: {e}",
+              file=sys.stderr)
+
+
+def _persist_tpu_line(line: str, quick: bool = False) -> None:
     try:
         rec = json.loads(line)
         rec["provenance"] = "measured-on-TPU"
         rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime())
+        _append_history(rec)
+        if quick:
+            # quick lines are regression canaries, not the round's
+            # primary metric: never overwrite the full-config artifact
+            return
         with open(LAST_GOOD_TPU, "w") as f:
             json.dump(rec, f)
             f.write("\n")
@@ -62,6 +96,8 @@ def _load_last_good_tpu() -> dict | None:
 # reads — a real chip cannot be filled by the small config; VERDICT r1
 # item 2).  The large config is the primary metric on the device path.
 GENOME = 100_000
+GENOME_QUICK = 500_000     # --quick: ~10 Mbp of reads, big enough to
+                           # surface device-path regressions in ~1 min
 GENOME_LARGE = 2_500_000
 COVERAGE = 20.0
 MEAN_LEN = 6_000
@@ -96,9 +132,13 @@ def _try_tpu_subprocess(budget_s: float = 2400.0) -> bool:
     are done.  On timeout/failure the caller falls back to CPU.
     """
     import subprocess
+    quick = "--quick" in sys.argv
     inner = [sys.executable, __file__, "--inner"]
     if "--profile" in sys.argv:
         inner.append("--profile")
+    if quick:
+        inner.append("--quick")
+        budget_s = min(budget_s, 900.0)
     try:
         r = subprocess.run(inner, capture_output=True,
                            timeout=budget_s)
@@ -110,7 +150,7 @@ def _try_tpu_subprocess(budget_s: float = 2400.0) -> bool:
     sys.stderr.write(r.stderr.decode(errors="replace"))
     out = r.stdout.decode(errors="replace").strip().splitlines()
     if r.returncode == 0 and out and out[-1].startswith("{"):
-        _persist_tpu_line(out[-1])
+        _persist_tpu_line(out[-1], quick=quick)
         print(out[-1])
         return True
     print("# WARNING: TPU bench subprocess failed "
@@ -215,6 +255,30 @@ def main() -> None:
 
     if profile_dir:
         import jax
+    if "--quick" in sys.argv:
+        # regression canary: one mid-size config, ~1 min on chip.
+        # Run after every device-path commit; appended to
+        # .bench_history.jsonl (never overwrites the primary artifact)
+        gbp_s = run_config(GENOME_QUICK, 1 << 25, 1 << 19, warmups=1,
+                           rounds=2, label="quick-10Mbp")
+        print(json.dumps({
+            "metric": "overlap_aligned_throughput",
+            "value": round(gbp_s, 6),
+            "unit": "Gbp-aligned/s/chip",
+            "vs_baseline": round(gbp_s / REF_CPU_GBP_S, 3),
+            "config": "quick-10Mbp",
+            "provenance": "cpu-fallback" if tpu_wedged else
+                          ("cpu-requested" if on_cpu
+                           else "measured-on-TPU"),
+        }))
+        if on_cpu:
+            _append_history({
+                "metric": "overlap_aligned_throughput",
+                "value": round(gbp_s, 6),
+                "config": "quick-10Mbp", "provenance": "cpu",
+                "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                             time.gmtime())})
+        return
     small = run_config(GENOME, 1 << 22, 1 << 17, warmups=2, rounds=3,
                        label="small-2Mbp")
     if on_cpu:
