@@ -409,21 +409,56 @@ def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
     every second-half read to a bogus negative placement (round-3
     advisor finding: 55/55 second-half reads misplaced, second half
     left at draft error)."""
-    L = len(contig)
-    if L < k + bin_:
-        return []
-    ck = _kmer_ints(contig, k)
-    order = np.argsort(ck, kind="stable")
-    ck_sorted = ck[order]
-    # first contig position of each distinct k-mer (positions of equal
-    # keys are adjacent after the sort; take the min within each run)
+    out = recruit_layout_multi([contig], nreads, seq_of, k=k,
+                               min_hits=min_hits, bin_=bin_,
+                               circulars=[circular])
+    return out[0]
+
+
+def recruit_layout_multi(contigs: list[np.ndarray], nreads: int,
+                         seq_of, k: int = 16, min_hits: int = 15,
+                         bin_: int = 64,
+                         circulars: list[bool] | None = None
+                         ) -> list[list[tuple[int, int, int]]]:
+    """Global recruitment over ALL contigs at once: each read is
+    scanned ONCE (one k-mer build + one searchsorted per orientation
+    against a combined index) and assigned to the single contig where
+    it lands the most hits — O(nreads) instead of the per-contig
+    O(ncontigs * nreads), and a read sharing a repeat across contigs
+    votes on its best placement only (round-3 advisor).  Returns one
+    layout per contig.  For a single contig the result is identical
+    to the historical recruit_layout."""
+    if circulars is None:
+        circulars = [False] * len(contigs)
+    nc = len(contigs)
+    layouts: list[list[tuple[int, int, int]]] = [[] for _ in range(nc)]
+    # combined coordinate space: contig c occupies
+    # [cstart[c], cstart[c] + L_c)
+    cstart = np.zeros(nc + 1, np.int64)
+    for c, ct in enumerate(contigs):
+        cstart[c + 1] = cstart[c] + len(ct)
+    keys_parts, pos_parts = [], []
+    for c, ct in enumerate(contigs):
+        L = len(ct)
+        if L < k + bin_:
+            continue
+        ck = _kmer_ints(ct, k)
+        keys_parts.append(ck)
+        pos_parts.append(np.arange(len(ck), dtype=np.int64)
+                         + cstart[c])
+    if not keys_parts:
+        return layouts
+    allk = np.concatenate(keys_parts)
+    allp = np.concatenate(pos_parts)
+    order = np.lexsort((allp, allk))       # ties -> smallest position
+    ck_sorted = allk[order]
+    pos_sorted = allp[order]
+    # first GLOBAL position of each distinct k-mer (deterministic:
+    # smallest combined coordinate — for one contig, exactly the old
+    # first-occurrence rule)
     uniq_mask = np.concatenate([[True], ck_sorted[1:] != ck_sorted[:-1]])
-    run_id = np.cumsum(uniq_mask) - 1
-    nk = int(run_id[-1]) + 1 if len(run_id) else 0
-    first_pos = np.full(nk, L, np.int64)
-    np.minimum.at(first_pos, run_id, order)
     keys = ck_sorted[uniq_mask]
-    layout = []
+    first_pos = pos_sorted[uniq_mask]
     for r in range(nreads):
         best = None
         for d in (0, 1):
@@ -436,12 +471,20 @@ def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
             hit = keys[loc_c] == sk
             if int(hit.sum()) < min_hits:
                 continue
-            offs = first_pos[loc_c[hit]] - np.nonzero(hit)[0]
-            if circular:
+            gp = first_pos[loc_c[hit]]
+            rp = np.nonzero(hit)[0]
+            # candidate contig: the one holding the most hits
+            # (deterministic argmax -> lowest id on ties)
+            cid = np.searchsorted(cstart, gp, side="right") - 1
+            c = int(np.bincount(cid, minlength=nc).argmax())
+            inc = cid == c
+            L = len(contigs[c])
+            offs = (gp[inc] - cstart[c]) - rp[inc]
+            if circulars[c]:
                 offs = offs % L
             # linear: offsets can be slightly negative (read overhangs
             # the left end); bias the histogram, not the offsets
-            bias = 0 if circular else len(s)
+            bias = 0 if circulars[c] else len(s)
             hist = np.bincount((offs + bias) // bin_,
                                minlength=(L + bias) // bin_ + 2)
             b = int(hist.argmax())
@@ -451,14 +494,15 @@ def recruit_layout(contig: np.ndarray, nreads: int, seq_of,
             sel = offs[np.abs((offs + bias) // bin_ - b) <= 1]
             start = int(np.median(sel))
             if best is None or cnt > best[0]:
-                best = (cnt, d, start)
+                best = (cnt, c, d, start)
         if best is not None:
-            cnt, d, start = best
-            if circular and start > L // 2:
-                start -= L          # near-seam: negative placement
-            layout.append((r, d, start))
-    layout.sort(key=lambda x: x[2])
-    return layout
+            cnt, c, d, start = best
+            if circulars[c] and start > len(contigs[c]) // 2:
+                start -= len(contigs[c])   # near-seam: negative
+            layouts[c].append((r, d, start))
+    for lay in layouts:
+        lay.sort(key=lambda x: x[2])
+    return layouts
 
 
 def _kmer_ints(codes: np.ndarray, k: int) -> np.ndarray:
@@ -493,6 +537,32 @@ def finish_polish_raw(contig: np.ndarray, nreads: int, seq_of,
     if not len(cur) or rounds <= 0:
         return cur
     lay = recruit_layout(cur, nreads, seq_of, circular=circular)
+    return _finish_rounds(cur, lay, seq_of, circular, window, margin,
+                          band, min_cov, rounds)
+
+
+def finish_polish_raw_multi(contigs: list[np.ndarray],
+                            circulars: list[bool], nreads: int,
+                            seq_of, window: int = 500,
+                            margin: int = 80, band: int = 96,
+                            min_cov: int = 2, rounds: int = 4
+                            ) -> list[np.ndarray]:
+    """finish_polish_raw over a whole assembly: ONE global recruitment
+    pass assigns each read to its best contig (see
+    recruit_layout_multi), then the per-contig vote rounds run on
+    disjoint read sets — multi-contig assemblies cost one read scan,
+    not ncontigs."""
+    if rounds <= 0 or not contigs:
+        return list(contigs)
+    lays = recruit_layout_multi(contigs, nreads, seq_of,
+                                circulars=circulars)
+    return [_finish_rounds(c, lay, seq_of, circ, window, margin,
+                           band, min_cov, rounds)
+            for c, circ, lay in zip(contigs, circulars, lays)]
+
+
+def _finish_rounds(cur, lay, seq_of, circular, window, margin, band,
+                   min_cov, rounds):
     if not lay:
         return cur
     wins = [window, max(window - 80, 120), max(window - 160, 120)]

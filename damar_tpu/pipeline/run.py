@@ -272,11 +272,11 @@ def run_pipeline(fasta: str, workdir: str, cfg: PipelineConfig | None = None,
             # exactly where coverage is thin; recruiting the ORIGINAL
             # reads restores that evidence (measured: do.py sampling
             # trough 99.73 -> 99.78)
-            from damar_tpu.pipeline.consensus import finish_polish_raw
-            contigs = [finish_polish_raw(
-                c, db.ureads, seqs_of_raw, circular=t.circular,
-                rounds=cfg.tour.finish_raw_rounds)
-                for c, t in zip(contigs, tours)]
+            from damar_tpu.pipeline.consensus import \
+                finish_polish_raw_multi
+            contigs = finish_polish_raw_multi(
+                contigs, [t.circular for t in tours], db.ureads,
+                seqs_of_raw, rounds=cfg.tour.finish_raw_rounds)
     contig_path = os.path.join(workdir, "CONTIGS.fasta")
     write_fasta(contig_path,
                 [f"contig_{k} len={len(c)} reads={t.nreads()} "

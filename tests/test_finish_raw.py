@@ -5,7 +5,8 @@ import pytest
 
 from damar_tpu.pipeline.consensus import (_align_ops, _msa_window_calls,
                                           finish_polish_raw,
-                                          recruit_layout)
+                                          recruit_layout,
+                                          recruit_layout_multi)
 from damar_tpu.utils.sim import make_genome, mutate, sample_reads
 
 
@@ -104,6 +105,51 @@ class TestRecruitAndFinish:
         from damar_tpu.utils.sim import kmer_hit_rate
         assert kmer_hit_rate(g, out) > kmer_hit_rate(g, draft) + 0.1
         assert abs(len(out) - len(g)) < 200
+
+    def test_recruit_multi_assigns_reads_to_their_contig(self):
+        # two unrelated contigs; each read must land on its own (one
+        # global scan, best-contig assignment — round-3 advisor)
+        g1 = make_genome(30_000, seed=31)
+        g2 = make_genome(30_000, seed=32)
+        s1 = sample_reads(g1, coverage=6, mean_len=4000, err=0.10,
+                          seed=33, circular=False)
+        s2 = sample_reads(g2, coverage=6, mean_len=4000, err=0.10,
+                          seed=34, circular=False)
+        reads = list(s1.reads) + list(s2.reads)
+
+        def seq_of(r, d):
+            x = np.asarray(reads[r], np.uint8)
+            return (3 - x)[::-1] if d else x
+
+        lays = recruit_layout_multi(
+            [g1.astype(np.uint8), g2.astype(np.uint8)], len(reads),
+            seq_of, circulars=[False, False])
+        n1 = len(s1.reads)
+        on1 = {r for r, _, _ in lays[0]}
+        on2 = {r for r, _, _ in lays[1]}
+        assert not (on1 & on2)
+        # ≥90% of each set recruited, and none crosses contigs
+        assert len(on1 & set(range(n1))) >= 0.9 * n1
+        assert len(on2 & set(range(n1, len(reads)))) \
+            >= 0.9 * len(s2.reads)
+        assert not any(r >= n1 for r in on1)
+        assert not any(r < n1 for r in on2)
+
+    def test_recruit_multi_single_matches_recruit_layout(self):
+        g = make_genome(20_000, seed=41)
+        s = sample_reads(g, coverage=5, mean_len=3000, err=0.12,
+                         seed=42)
+
+        def seq_of(r, d):
+            x = np.asarray(s.reads[r], np.uint8)
+            return (3 - x)[::-1] if d else x
+
+        single = recruit_layout(g.astype(np.uint8), len(s.reads),
+                                seq_of, circular=True)
+        multi = recruit_layout_multi([g.astype(np.uint8)],
+                                     len(s.reads), seq_of,
+                                     circulars=[True])[0]
+        assert single == multi
 
     def test_finish_polish_raw_linear_improves_both_halves(self):
         # round-3 advisor (high): the unconditional seam wrap threw
