@@ -428,30 +428,50 @@ def extend_seeds_launch(blk_a: ReadBlock, blk_b: ReadBlock,
     kw1 = dict(max_rows=P1, with_active=True) if two_phase else {}
     results = launch(order, bound, batches, kw1)
     stacked = stack(results)
-    p2 = None
-    if two_phase:
-        # ONE mask fetch, then re-run only still-active units at full
-        # depth (a deterministic re-run from row 0 — dead units'
-        # phase-1 results are already final, so outputs are identical
-        # to a single full-depth pass)
-        act = np.asarray(jnp.concatenate([r[4] for r in results]))
-        act_units = np.zeros(2 * n, bool)
-        off = 0
-        for (lo, m, w), r in zip(batches, results):
-            act_units[order[lo:lo + m]] = act[off:off + m]
-            off += w
-        surv = np.nonzero(act_units)[0]
-        if len(surv):
-            order2 = surv[np.argsort(bound[surv],
-                                     kind="stable")].astype(np.int64)
-            batches2 = _area_batches(bound[order2], cfg.bp_chunk,
-                                     max(S, 1 << 16), AREA_CHUNKS_DEV)
-            p2 = dict(order=order2, batches=batches2,
-                      stacked=stack(launch(order2, bound, batches2,
-                                           {})))
-    return dict(stacked=stacked, order=order, n=n, batches=batches,
+    pend = dict(stacked=stacked, order=order, n=n, batches=batches,
                 comp=comp, ar=ar_all, br=br_all, ap=ap_all, bp=bp_all,
-                a0=a0, b0=b0, p2=p2)
+                a0=a0, b0=b0, p2=None)
+    if two_phase:
+        # the phase-1 active-mask fetch is a device sync: defer it (and
+        # the phase-2 dispatch) so callers can put BOTH orientations'
+        # phase-1 launches in flight first (round-3 advisor: fetching
+        # here serialized the two comp pipelines)
+        pend["p2_pending"] = dict(
+            results=results, launch=launch, stack=stack, bound=bound,
+            S=S, bp_chunk=cfg.bp_chunk)
+    return pend
+
+
+def extend_seeds_dispatch_p2(pend: dict | None) -> None:
+    """Fetch the phase-1 active mask and dispatch the full-depth
+    phase-2 launches for surviving units (a deterministic re-run from
+    row 0 — dead units' phase-1 results are already final, so outputs
+    are identical to a single full-depth pass).  Idempotent; called by
+    extend_seeds_harvest if the caller didn't."""
+    if pend is None:
+        return
+    pp = pend.pop("p2_pending", None)
+    if pp is None:
+        return
+    results, launch, stack = pp["results"], pp["launch"], pp["stack"]
+    bound = pp["bound"]
+    n = pend["n"]
+    act = np.asarray(jnp.concatenate([r[4] for r in results]))
+    act_units = np.zeros(2 * n, bool)
+    off = 0
+    for (lo, m, w), r in zip(pend["batches"], results):
+        act_units[pend["order"][lo:lo + m]] = act[off:off + m]
+        off += w
+    surv = np.nonzero(act_units)[0]
+    if len(surv):
+        order2 = surv[np.argsort(bound[surv],
+                                 kind="stable")].astype(np.int64)
+        batches2 = _area_batches(bound[order2], pp["bp_chunk"],
+                                 max(pp["S"], 1 << 16),
+                                 AREA_CHUNKS_DEV)
+        pend["p2"] = dict(order=order2, batches=batches2,
+                          stacked=stack(launch(order2, bound,
+                                               batches2, {})))
 
 
 def extend_seeds_harvest(pend: dict | None) -> dict:
@@ -459,6 +479,7 @@ def extend_seeds_harvest(pend: dict | None) -> dict:
     columnar per-seed extents (rows with empty spans dropped)."""
     if pend is None:
         return empty_extents()
+    extend_seeds_dispatch_p2(pend)
     n = pend["n"]
     res = np.asarray(pend["stacked"])          # [3, sum(widths)]
     # undo batch padding: batch (lo, m, w) covered order[lo:lo+m] at
@@ -1135,6 +1156,11 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
             blk_a, bb, by_comp[comp], cfg, comp,
             dev_bases=None if host
             else (a_bases_d, _dev_arr(bb, "bases")))))
+    # both orientations' phase-1 launches are now in flight; the
+    # phase-2 dispatch (which syncs on the phase-1 mask) comes next so
+    # neither comp's pipeline stalls behind the other's harvest
+    for _, pend in pends:
+        extend_seeds_dispatch_p2(pend)
     for comp, pend in pends:
         exts = extend_seeds_harvest(pend)
         stats["extents"] += exts["n"]
