@@ -146,6 +146,25 @@ def _dev_arr(blk: ReadBlock, name: str):
     return arr
 
 
+def release_device_buffers(blk: ReadBlock) -> None:
+    """Drop a block's cached DEVICE buffers (bases/read_id uploads,
+    packed words, trace pool — and the same on its cached rc twin).
+    The residency caches pin HBM for as long as the block object
+    lives; sweep drivers over many blocks must bound how many blocks
+    stay resident (round-3 advisor: a 200 Mbp block pins ~1.3 GB).
+    Host-side caches (rc bases, host indexes) are kept — re-uploading
+    is cheap next to recomputing them."""
+    blk.cache.pop("dev_arrs", None)
+    blk.cache.pop("trace_pool", None)
+    ent = blk.cache.get("a_index")
+    if ent is not None and ent[0][0] == "dev3":
+        blk.cache.pop("a_index", None)
+    rc = blk.cache.get("rc_block")
+    if rc is not None:
+        rc.cache.pop("dev_arrs", None)
+        rc.cache.pop("trace_pool", None)
+
+
 def _takes_packed(fn) -> bool:
     return getattr(getattr(fn, "func", fn), "takes_packed", False)
 

@@ -319,9 +319,32 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
         return blocks[i], masks.get(i)
 
     from damar_tpu.parallel.distributed import host_pair_slice
+    from damar_tpu.pipeline.overlap import release_device_buffers
     pairs = host_pair_slice(n, nhosts, host_id)
     size_hints: dict = {}
     prev_a = None
+    # bound device-buffer residency: uploads (bases/read_id/packed
+    # words/rc) pin ~6.5 bytes of HBM per base per block — an LRU over
+    # B blocks keeps at most max_resident blocks' buffers alive
+    # (round-3 advisor; the A block is pinned separately for its row)
+    max_resident = int(os.environ.get("DAMAR_RESIDENT_BLOCKS", "8"))
+    lru: list[int] = []
+
+    def touch(idx: int, a_block: int):
+        if idx in lru:
+            lru.remove(idx)
+        lru.append(idx)
+        while len(lru) > max_resident:
+            # oldest entry that is not the active A row
+            for q, victim in enumerate(lru):
+                if victim != a_block:
+                    lru.pop(q)
+                    if victim in blocks:
+                        release_device_buffers(blocks[victim])
+                    break
+            else:
+                break
+
     for i, j in pairs:
             # the A-side index memo (overlap._cached_a_index) lives for
             # the block's whole B row; drop it when the row advances so
@@ -338,6 +361,8 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
             t0 = time.time()
             blk_a, mask_a = get_block(i)
             blk_b, mask_b = get_block(j)
+            touch(i, i)
+            touch(j, i)
             la, lb, st = overlap_block_pair(
                 blk_a, blk_b, cfg, self_block=(i == j),
                 mask_a=mask_a, mask_b=mask_b, size_hints=size_hints)
