@@ -1077,6 +1077,26 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     pair's fixed device buffers (fill + banding-sort cost scales with
     buffer size); the overflow retry keeps undersized guesses correct.
     """
+    state = overlap_pair_device(
+        blk_a, blk_b, cfg, self_block, mask_a=mask_a, mask_b=mask_b,
+        hit_cap=hit_cap, seed_cap=seed_cap, emit_mirrors=emit_mirrors,
+        size_hints=size_hints)
+    return overlap_pair_emit(state)
+
+
+def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
+                        cfg: OverlapConfig, self_block: bool,
+                        mask_a=None, mask_b=None,
+                        hit_cap: int = 1 << 21,
+                        seed_cap: int = 1 << 17,
+                        emit_mirrors: bool = True,
+                        size_hints: dict | None = None) -> dict:
+    """The DEVICE phases of a block pair: seeding -> extension ->
+    extent dedupe.  Returns a state dict for overlap_pair_emit, which
+    runs the trace + .las emission.  The split lets a pipelined sweep
+    run pass N's trace/emit on the HOST (bit-identical C kernels)
+    while the device seeds/extends pass N+1 (see
+    overlap_pairs_pipelined)."""
     blk_b_rc = _rc_cached(blk_b)
     blk_a_rc = _rc_cached(blk_a) if emit_mirrors else None
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
@@ -1194,13 +1214,33 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
     for kp, p in zip(kept_parts, ext_parts):
         kp["comp"] = p["comp"]
     stats["kept"] = sum(p["n"] for p in kept_parts)
+    stats["t_dedupe"] = round(time.time() - t_ph, 3)
+    return dict(blk_a=blk_a, blk_b=blk_b, kept_parts=kept_parts,
+                cfg=cfg, emit_mirrors=emit_mirrors, stats=stats,
+                a_bases_d=a_bases_d, blk_b_rc=blk_b_rc,
+                blk_a_rc=blk_a_rc)
+
+
+def overlap_pair_emit(state: dict, trace_host: bool = False
+                      ) -> tuple[LasFile, LasFile, dict]:
+    """Trace + .las emission for an overlap_pair_device state.
+
+    trace_host: force the native C trace kernels (bit-identical
+    replicas of the device kernels) regardless of backend — the
+    pipelined sweep uses this to run pass N's trace on host cores
+    while the chip works on pass N+1."""
+    stats = state["stats"]
+    kernel = None
+    if trace_host:
+        from damar_tpu import native
+        if native.available():
+            kernel = _native_bp_trace
     t_dde = time.time()
-    las_a, las_b = las_from_extents(blk_a, blk_b, kept_parts, cfg,
-                                    emit_mirrors=emit_mirrors,
-                                    stats=stats, a_bases_d=a_bases_d,
-                                    blk_b_rc=blk_b_rc,
-                                    blk_a_rc=blk_a_rc)
-    stats["t_dedupe"] = round(t_dde - t_ph, 3)
+    las_a, las_b = las_from_extents(
+        state["blk_a"], state["blk_b"], state["kept_parts"],
+        state["cfg"], emit_mirrors=state["emit_mirrors"], stats=stats,
+        a_bases_d=state["a_bases_d"], blk_b_rc=state["blk_b_rc"],
+        blk_a_rc=state["blk_a_rc"], trace_kernel=kernel)
     stats["t_trace"] = round(time.time() - t_dde, 3)
     return las_a, las_b, stats
 
@@ -1208,8 +1248,8 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
 def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
                      kept_parts: list[dict], cfg: OverlapConfig,
                      emit_mirrors: bool = True, stats: dict | None = None,
-                     a_bases_d=None, blk_b_rc=None, blk_a_rc=None
-                     ) -> tuple[LasFile, LasFile]:
+                     a_bases_d=None, blk_b_rc=None, blk_a_rc=None,
+                     trace_kernel=None) -> tuple[LasFile, LasFile]:
     """Trace pass + columnar .las assembly for deduped extents.
 
     kept_parts: columnar extent dicts (aread/bread LOCAL ids, .las
@@ -1225,7 +1265,9 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
         blk_b_rc = _rc_cached(blk_b)
     if emit_mirrors and blk_a_rc is None:
         blk_a_rc = blk_b_rc if blk_a is blk_b else _rc_cached(blk_a)
-    host = getattr(_kernels(cfg)[1], "host_kernel", False)
+    default_trace = (trace_kernel if trace_kernel is not None
+                     else _kernels(cfg)[1])
+    host = getattr(default_trace, "host_kernel", False)
     sa = blk_a.starts.astype(np.int64)
     sb = blk_b.starts.astype(np.int64)
     alen = blk_a.rlen.astype(np.int32)
@@ -1400,6 +1442,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             batches = _area_batches(spans[order], cfg.tspace,
                                     max(S, 1 << 16), AREA_CHUNKS_DEV)
         out = []
+        kern = kernel if kernel is not None else trace_kernel
         for lo, mb, w in batches:
             sel = order[lo:lo + mb]
             m = min(w, _round_slice(len(sel), 1024))
@@ -1410,7 +1453,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
                 buf[:len(sel)] = units[k][sel]
                 chunk[k] = buf
             pend = _trace_launch(cat, cat, None, None, chunk, cfg,
-                                 kernel=kernel)
+                                 kernel=kern)
             out.append((pend, chunk))
         return out
 
@@ -1487,12 +1530,17 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
         # DAMAR_BP settings take the same retry route and stay
         # byte-identical.
         from damar_tpu import native
-        if jax.default_backend() == "cpu" and native.available():
+        if (host or jax.default_backend() == "cpu") \
+                and native.available():
             still: list = []
             retry_round(retries, _native_bp64_trace, still)
             retries = still
     if retries:
-        retry_round(retries, _wide_trace_kernel(cfg), None)
+        from damar_tpu import native
+        wide_k = (_native_wide_trace
+                  if host and native.available()
+                  else _wide_trace_kernel(cfg))
+        retry_round(retries, wide_k, None)
 
     ca = LasColumns.concat(cols_a)
     cb = LasColumns.concat(cols_b)
@@ -1516,3 +1564,59 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
     las_b = LasFile(tspace=cfg.tspace, columns=cb)
     las_b.sort()
     return las_a, las_b
+
+
+def overlap_pairs_pipelined(jobs, cfg: OverlapConfig,
+                            trace_host: bool = True):
+    """Heterogeneous pipelined sweep over block pairs.
+
+    The chip's strengths are the seeding sort/scan pipeline and the
+    lockstep extension; the trace phase is random-access bound (it
+    re-fetches drifting per-seed character windows every tspace rows)
+    and measured device-loop/transfer-bound on the tunneled chip.  The
+    native C trace kernels are bit-identical replicas of the device
+    kernels, so a sweep can run pass N's trace + .las encode on HOST
+    cores while the device seeds/extends pass N+1 — production sweeps
+    process thousands of block pairs, and in steady state the whole
+    trace/emit wall hides behind the next pair's device phases.
+    (ctypes releases the GIL during the C calls, so the worker thread
+    genuinely overlaps the main thread's device dispatch.)
+
+    jobs: iterable of dicts with blk_a, blk_b, self_block and optional
+    overlap_pair_device kwargs, plus an optional "tag" passed through.
+    Yields (tag, las_a, las_b, stats) in submission order.
+    trace_host is ignored (emission runs inline) when the native
+    library is unavailable or the backend is already the CPU.
+    """
+    import concurrent.futures as cf
+    from damar_tpu import native
+    do_host = (trace_host and native.available()
+               and jax.default_backend() != "cpu"
+               and not _host_compute_enabled())
+    if not do_host:
+        for job in jobs:
+            job = dict(job)
+            tag = job.pop("tag", None)
+            state = overlap_pair_device(
+                job.pop("blk_a"), job.pop("blk_b"), cfg,
+                job.pop("self_block"), **job)
+            yield (tag,) + overlap_pair_emit(state)
+        return
+    ex = cf.ThreadPoolExecutor(max_workers=1)
+    try:
+        pending = None
+        for job in jobs:
+            job = dict(job)
+            tag = job.pop("tag", None)
+            state = overlap_pair_device(
+                job.pop("blk_a"), job.pop("blk_b"), cfg,
+                job.pop("self_block"), **job)
+            if pending is not None:
+                ptag, fut = pending
+                yield (ptag,) + fut.result()
+            pending = (tag, ex.submit(overlap_pair_emit, state, True))
+        if pending is not None:
+            ptag, fut = pending
+            yield (ptag,) + fut.result()
+    finally:
+        ex.shutdown(wait=False)

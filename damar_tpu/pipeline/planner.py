@@ -285,7 +285,7 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
     from damar_tpu.core.blocks import block_from_db
     from damar_tpu.formats import dazzdb, las as lasmod, tracks
     from damar_tpu.ops.kmers import mask_vector_from_track
-    from damar_tpu.pipeline.overlap import overlap_block_pair
+    from damar_tpu.pipeline.overlap import overlap_block_pair  # noqa: F401 (API re-export for callers)
 
     db = dazzdb.DazzDB.open(db_path)
     d, root = os.path.split(dazzdb.stub_path(db_path))
@@ -345,7 +345,11 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
             else:
                 break
 
-    for i, j in pairs:
+    from damar_tpu.pipeline.overlap import overlap_pairs_pipelined
+
+    def job_iter():
+        nonlocal prev_a
+        for i, j in pairs:
             # the A-side index memo (overlap._cached_a_index) lives for
             # the block's whole B row; drop it when the row advances so
             # at most one block's index stays resident
@@ -358,28 +362,35 @@ def run_overlap_plan(db_path: str, cfg, las_dir: str = None,
             if manifest.is_done(name) and os.path.exists(out_a):
                 stats["skipped"] += 1
                 continue
-            t0 = time.time()
             blk_a, mask_a = get_block(i)
             blk_b, mask_b = get_block(j)
             touch(i, i)
             touch(j, i)
-            la, lb, st = overlap_block_pair(
-                blk_a, blk_b, cfg, self_block=(i == j),
-                mask_a=mask_a, mask_b=mask_b, size_hints=size_hints)
-            lasmod.write_las(out_a, la)
-            if i != j:
-                lasmod.write_las(out_b, lb)
-            else:
-                # self pair: mirrors belong to the same block pile set
-                both = lasmod.LasFile.concat([la, lb])
-                both.sort()
-                lasmod.write_las(out_a, both)
-            manifest.mark(name, novl=la.novl, wall=round(time.time() - t0, 2))
-            stats["pairs"] += 1
-            stats["overlaps"] += la.novl
-            if verbose:
-                print(f"# {name}: {la.novl} overlaps "
-                      f"({time.time() - t0:.1f}s) {st}")
+            yield dict(tag=(i, j, name, out_a, out_b, time.time()),
+                       blk_a=blk_a, blk_b=blk_b, self_block=(i == j),
+                       mask_a=mask_a, mask_b=mask_b,
+                       size_hints=size_hints)
+
+    # pipelined sweep: on a device backend, pair N's trace + .las
+    # encode runs on host cores (bit-identical C kernels) while the
+    # chip seeds/extends pair N+1; on the CPU backend this degrades to
+    # the plain sequential loop
+    for tag, la, lb, st in overlap_pairs_pipelined(job_iter(), cfg):
+        i, j, name, out_a, out_b, t0 = tag
+        lasmod.write_las(out_a, la)
+        if i != j:
+            lasmod.write_las(out_b, lb)
+        else:
+            # self pair: mirrors belong to the same block pile set
+            both = lasmod.LasFile.concat([la, lb])
+            both.sort()
+            lasmod.write_las(out_a, both)
+        manifest.mark(name, novl=la.novl, wall=round(time.time() - t0, 2))
+        stats["pairs"] += 1
+        stats["overlaps"] += la.novl
+        if verbose:
+            print(f"# {name}: {la.novl} overlaps "
+                  f"({time.time() - t0:.1f}s) {st}")
     # merge per A-block — only once EVERY pair touching the block is
     # done (multi-host runs reach this point per host; the manifest on
     # the shared filesystem is the rendezvous, like the reference)

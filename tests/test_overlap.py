@@ -197,3 +197,49 @@ class TestBiasedComposition:
         true1 = {p for p in f1 if sim.true_overlap(*p, 1500)}
         assert len(true1) >= 0.97 * len(true0), \
             f"bias lost true overlaps: {len(true1)}/{len(true0)}"
+
+
+class TestPipelinedSweep:
+    def test_host_trace_emit_matches_device_path(self, small_sim,
+                                                 tmp_path):
+        # overlap_pair_emit(trace_host=True) must produce byte-equal
+        # .las to the default path (the C trace kernels are
+        # bit-identical replicas) — the pipelined sweep depends on it
+        from damar_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        from damar_tpu.pipeline.overlap import (overlap_pair_device,
+                                                overlap_pair_emit)
+        blk = block_from_reads(small_sim.reads)
+        ref_a, ref_b, _ = overlap_block_pair(
+            blk, blk, CFG, self_block=True,
+            hit_cap=1 << 20, seed_cap=1 << 15)
+        state = overlap_pair_device(blk, blk, CFG, self_block=True,
+                                    hit_cap=1 << 20, seed_cap=1 << 15)
+        las_a, las_b, _ = overlap_pair_emit(state, trace_host=True)
+        pa, pb = tmp_path / "a.las", tmp_path / "b.las"
+        ra, rb = tmp_path / "ra.las", tmp_path / "rb.las"
+        write_las(str(pa), las_a)
+        write_las(str(pb), las_b)
+        write_las(str(ra), ref_a)
+        write_las(str(rb), ref_b)
+        assert pa.read_bytes() == ra.read_bytes()
+        assert pb.read_bytes() == rb.read_bytes()
+
+    def test_pipelined_generator_matches_sequential(self, small_sim,
+                                                    tmp_path):
+        from damar_tpu.pipeline.overlap import overlap_pairs_pipelined
+        blk = block_from_reads(small_sim.reads)
+        jobs = [dict(tag=k, blk_a=blk, blk_b=blk, self_block=True,
+                     hit_cap=1 << 20, seed_cap=1 << 15)
+                for k in range(2)]
+        outs = list(overlap_pairs_pipelined(jobs, CFG))
+        assert [t for t, *_ in outs] == [0, 1]
+        ref_a, _, _ = overlap_block_pair(
+            blk, blk, CFG, self_block=True,
+            hit_cap=1 << 20, seed_cap=1 << 15)
+        for _, la, _, _ in outs:
+            p, r = tmp_path / "p.las", tmp_path / "r.las"
+            write_las(str(p), la)
+            write_las(str(r), ref_a)
+            assert p.read_bytes() == r.read_bytes()
