@@ -566,10 +566,29 @@ def _finish_rounds(cur, lay, seq_of, circular, window, margin, band,
     if not lay:
         return cur
     wins = [window, max(window - 80, 120), max(window - 160, 120)]
+    import os
+    poa_thin = int(os.environ.get("DAMAR_POA_THIN", "0"))
+    msa_iter = int(os.environ.get("DAMAR_MSA_ITER", "0"))
 
     def caller(tmpl, items, n_cov, template_prior):
-        return _msa_window_calls(tmpl, items,
-                                 prior=1 if template_prior else 0)
+        if poa_thin and 2 <= len(items) <= poa_thin \
+                and not template_prior:
+            from damar_tpu.pipeline.poa import poa_consensus
+            return poa_consensus(tmpl, [it[2] for it in items])
+        out = _msa_window_calls(tmpl, items,
+                                prior=1 if template_prior else 0)
+        if msa_iter and 2 <= len(items) <= msa_iter \
+                and not template_prior and len(out):
+            # realign covers to the first call and re-vote: breaks the
+            # original template's frame bias for indel columns
+            items2 = []
+            for it in items:
+                c = it[2]
+                if len(c):
+                    ops, j0 = _align_ops(out, c, 96)
+                    items2.append((ops, j0, c, 0))
+            out = _msa_window_calls(out, items2, prior=0)
+        return out
 
     for it in range(rounds):
         w_ = wins[it % len(wins)]
