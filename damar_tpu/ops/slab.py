@@ -71,7 +71,7 @@ def fill_slab(pool_words, ws, W: int, BS: int = 1024):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((BS, W), lambda g, ws: (g, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.SemaphoreType.DMA],
