@@ -485,7 +485,6 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
     # las.sort() makes row order immaterial.  The per-pair Python loop
     # was the dominant host glue at 32+ blocks (VERDICT r3 weak #5).
     kept_rows: dict[tuple[int, int], np.ndarray] = {}
-    max_kept = 1
     ii, jj, rr = np.nonzero(exts[:, :, :, 0] >= 0)
     if len(ii):
         rows = exts[ii, jj, rr].astype(np.int32)
@@ -518,7 +517,6 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                 for s, e in zip(starts, ends):
                     p = int(pair[s])
                     kept_rows[(p // n, p % n)] = kr_all[s:e]
-                    max_kept = max(max_kept, e - s)
         else:
             # id fields exceed the packed widths: per-pair fallback
             for i in range(n):
@@ -548,34 +546,55 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                     if parts:
                         kr = np.concatenate(parts)
                         kept_rows[(i, j)] = kr
-                        max_kept = max(max_kept, len(kr))
 
     # ---- mesh trace sweep over the deduped extents ----
     if max_segs is None:
         longest = max(int(b.rlen.max()) if b.nreads else 0
                       for b in blocks)
         max_segs = max(8, longest // cfg.tspace + 2)
-    cap2 = 1
-    while cap2 < max_kept:
-        cap2 *= 2
     padded = _pad_blocks(blocks, D)
     k = len(padded) // D
     sharded = [shard_blocks(padded[r * D:(r + 1) * D], mesh, axis)
                for r in range(k)]
     sh = NamedSharding(mesh, P(axis))
-    tfn = ring_trace_step(cfg, axis, D, cap2, max_segs)
-    tmapped = jax.jit(jax.shard_map(
-        tfn, mesh=mesh,
-        in_specs=(P(axis),) * 6,
-        out_specs=(P(axis), P(axis), P(axis)),
-        check_vma=False))
+    # per-super-pair record capacity: a sparse super-pair's trace
+    # sweep rotates tensors sized to ITS own densest pair, not the
+    # global maximum (pow2 buckets keep the jit shape count small)
+    tmapped_cache: dict[int, object] = {}
+
+    def tmapped_for(cap2: int):
+        fn = tmapped_cache.get(cap2)
+        if fn is None:
+            tfn = ring_trace_step(cfg, axis, D, cap2, max_segs)
+            fn = jax.jit(jax.shard_map(
+                tfn, mesh=mesh,
+                in_specs=(P(axis),) * 6,
+                out_specs=(P(axis), P(axis), P(axis)),
+                check_vma=False))
+            tmapped_cache[cap2] = fn
+        return fn
+
     traces: dict[tuple[int, int], tuple] = {}
     for ra in range(k):
         a_sh = sharded[ra]
         for rb in range(k):
             b_sh = sharded[rb]
+            sup_max = 0
+            for d in range(D):
+                i = ra * D + d
+                if i >= n:
+                    continue
+                for j in range(D):
+                    bblk = rb * D + ((d - j) % D)
+                    if bblk < n and (i, bblk) in kept_rows:
+                        sup_max = max(sup_max,
+                                      len(kept_rows[(i, bblk)]))
+            if sup_max == 0:
+                continue
+            cap2 = 1
+            while cap2 < sup_max:
+                cap2 *= 2
             ext_in = np.full((D, D, cap2, EXT_COLS), -1, np.int32)
-            any_rows = False
             for d in range(D):
                 i = ra * D + d
                 if i >= n:
@@ -587,10 +606,7 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                     kr = kept_rows.get((i, bblk))
                     if kr is not None:
                         ext_in[d, j, :len(kr)] = kr
-                        any_rows = True
-            if not any_rows:
-                continue
-            tr, ns, ds = tmapped(
+            tr, ns, ds = tmapped_for(cap2)(
                 a_sh[0], a_sh[2], b_sh[0], b_sh[1], b_sh[2],
                 jax.device_put(ext_in, sh))
             tr = np.asarray(tr)

@@ -1,0 +1,95 @@
+"""32-block virtual-mesh sweep: host-glue share of wall (VERDICT r3
+item 6 'done' criterion: host glue < 10% of wall at 32 blocks).
+
+Runs the full distributed sweep (extend ring sweeps + columnar host
+dedupe + trace ring sweeps + host validate/emit) over 32 small blocks
+on an 8-device virtual CPU mesh and reports the wall split between
+mesh programs (device) and the host glue (dedupe, tensor assembly,
+validation, .las encode).
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python scripts/probe_mesh32.py [--blocks 32]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS",
+                      "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from damar_tpu.core.blocks import block_from_reads  # noqa: E402
+from damar_tpu.core.config import OverlapConfig  # noqa: E402
+from damar_tpu.parallel import distributed as D  # noqa: E402
+from damar_tpu.utils.sim import make_genome, sample_reads  # noqa: E402
+
+
+def _arg(name, default, cast=int):
+    return cast(sys.argv[sys.argv.index(name) + 1]) \
+        if name in sys.argv else default
+
+
+NB = _arg("--blocks", 32)
+g = make_genome(60_000 * NB // 4, seed=11)
+sim = sample_reads(g, coverage=6.0, mean_len=3000, err=0.12, seed=12)
+order = np.argsort([len(r) for r in sim.reads])
+per = len(sim.reads) // NB
+cap = max(len(r) for r in sim.reads) * per + 64
+blocks = []
+for b in range(NB):
+    rs = [sim.reads[i] for i in
+          sorted(order[b * per:(b + 1) * per])]
+    blocks.append(block_from_reads(rs, cap=cap))
+cfg = OverlapConfig(min_len=400)
+print(f"# {NB} blocks, {sum(b.nreads for b in blocks)} reads, "
+      f"{sum(int(b.starts[-1]) for b in blocks)} bp, "
+      f"{len(jax.devices())} devices", file=sys.stderr)
+
+# instrument: wrap the mesh-program entry points to accumulate device
+# wall (everything else inside the sweep is host glue)
+t_dev = [0.0]
+orig_jit = jax.jit
+
+
+def timing_jit(fn, **kw):
+    j = orig_jit(fn, **kw)
+
+    def wrapper(*a, **k):
+        t0 = time.time()
+        out = j(*a, **k)
+        out = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, out)
+        t_dev[0] += time.time() - t0
+        return out
+    return wrapper
+
+
+for rnd in range(2):                     # round 2 = compile-warm
+    t_dev[0] = 0.0
+    jax.jit = timing_jit
+    try:
+        t0 = time.time()
+        las_list, counts, total = D.distributed_overlap_las(
+            blocks, cfg, seed_cap=1 << 15, hit_cap=1 << 20)
+        wall = time.time() - t0
+    finally:
+        jax.jit = orig_jit
+    glue = wall - t_dev[0]
+    novl = sum(l.novl for l in las_list)
+    print(f"# round {rnd}: wall {wall:.1f}s, mesh programs "
+          f"{t_dev[0]:.1f}s, host glue {glue:.1f}s "
+          f"({glue / wall * 100:.1f}%), {novl} records",
+          file=sys.stderr)
+print(f"# host glue share (warm): {glue / wall * 100:.1f}% "
+      f"({'PASS' if glue / wall < 0.10 else 'MISS'} <10% bar)",
+      file=sys.stderr)
