@@ -80,8 +80,11 @@ def run_once(label):
                                       a_bases_d, a_rid_d))
             return ov.fetch_seeds(find_seeds_canonical_dev(blk, blk, cfg, **kw))
     kw = dict(mask_a=None, mask_b=None, upper_only=True,
-              hit_cap=_arg("--hit-cap", 1 << 22),
-              seed_cap=_arg("--seed-cap", 1 << 17), a_index=a_index,
+              hit_cap=_arg("--hit-cap",
+                           1 << 27 if GENOME > 1_000_000 else 1 << 22),
+              seed_cap=_arg("--seed-cap",
+                            1 << 21 if GENOME > 1_000_000 else 1 << 17),
+              a_index=a_index,
               self_pair=True)
     if hints.get("raw"):
         kw["raw_hint"] = (hints["raw"] * 5) // 4
