@@ -323,7 +323,6 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
     aorigin = astart + abpos
     borigin = bstart + bbpos
     lanew = jnp.arange(BW, dtype=jnp.int32)[None, :]
-    rows_idx = jnp.arange(S)
 
     def seg_rows_of(done):
         a = abpos + done
@@ -334,13 +333,9 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
     z = jnp.zeros(S, jnp.int32)
     state = dict(VP=VP0, VN=VN0, Db=Db0,
                  vbb=jnp.full(S, 1 - CTR, jnp.int32),
-                 done=z, nseg=z, prev_vb=z, dsum=z,
-                 trace=jnp.zeros((S, max_segs, 2), jnp.int32))
+                 done=z, nseg=z, prev_vb=z, dsum=z)
 
-    def cond(st):
-        return jnp.any(st["done"] < alim)
-
-    def body(st):
+    def body(st, _):
         live = st["done"] < alim
         seg_rows = jnp.where(live, seg_rows_of(st["done"]), 0)
         v0b = st["vbb"] - 1
@@ -397,11 +392,6 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
         d_com = jnp.take_along_axis(Dw, j_com[:, None], 1)[:, 0]
         d_com = jnp.where(d_com >= INF, alim + blim, d_com)
         bspan = vb_com - st["prev_vb"]
-        ns = jnp.minimum(st["nseg"], max_segs - 1)
-        cur = st["trace"][rows_idx, ns]
-        pair = jnp.stack([d_com, bspan], axis=1)
-        newv = jnp.where(live[:, None], pair, cur)
-        trace = st["trace"].at[rows_idx, ns].set(newv)
 
         # reset band at the committed column: fresh V-init, each
         # segment's DP restarts from zero (greedy chaining)
@@ -410,17 +400,24 @@ def trace_wave_bp(a_bases, b_bases, astart, bstart, abpos, bbpos,
         VP = (VPr & gu) | (VP & ~gu)
         VN = (VNr & gu) | (VN & ~gu)
         Db = jnp.where(live, Dbr, Db)
+        # per-segment commits are SCAN OUTPUTS, not a scatter into a
+        # carried [S, max_segs, 2] buffer: seeds march lockstep (a
+        # live seed's k-th iteration IS its k-th segment), so stacking
+        # (d_com, bspan) per step and masking dead lanes reproduces
+        # the old buffer exactly — without a buffer-sized scatter in
+        # the loop carry (the device-loop cost of the trace phase)
+        out = (jnp.where(live, d_com, 0), jnp.where(live, bspan, 0))
         return dict(
             VP=VP, VN=VN, Db=Db,
             vbb=jnp.where(live, vb_com - CTR + 1, st["vbb"]),
             done=st["done"] + seg_rows,
             nseg=jnp.where(live, st["nseg"] + 1, st["nseg"]),
             prev_vb=jnp.where(live, vb_com, st["prev_vb"]),
-            dsum=jnp.where(live, st["dsum"] + d_com, st["dsum"]),
-            trace=trace)
+            dsum=jnp.where(live, st["dsum"] + d_com, st["dsum"])), out
 
-    st = jax.lax.while_loop(cond, body, state)
-    return st["trace"], st["nseg"], st["dsum"]
+    st, (ds, bs) = jax.lax.scan(body, state, None, length=max_segs)
+    trace = jnp.stack([ds, bs], axis=-1).transpose(1, 0, 2)
+    return trace, st["nseg"], st["dsum"]
 
 
 extend_wave_bp.supports_active = True

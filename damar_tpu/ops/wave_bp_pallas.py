@@ -490,7 +490,6 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
     b_words = b_bases if packed else _pack_bases(b_bases)
     aorigin = astart + abpos
     borigin = bstart + bbpos
-    rows_idx = jnp.arange(S)
 
     def seg_rows_of(done):
         a = abpos + done
@@ -501,17 +500,13 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
     z = jnp.zeros(S, jnp.int32)
     state = dict(VP=VP0, VN=VN0, Db=Db0,
                  vbb=jnp.full((S // L, L), 1 - CTR, jnp.int32),
-                 done=z, nseg=z, prev_vb=z, dsum=z,
-                 trace=jnp.zeros((S, max_segs, 2), jnp.int32))
+                 done=z, nseg=z, prev_vb=z, dsum=z)
     kernel = functools.partial(_trace_chunk_kernel, TS=tspace)
     alim_t = _to_tiles(alim.astype(jnp.int32), S, L)
     blim_t = _to_tiles(blim.astype(jnp.int32), S, L)
     tt = lambda x: _to_tiles(x, S, L)
 
-    def cond(st):
-        return jnp.any(st["done"] < alim)
-
-    def body(st):
+    def body(st, _):
         live = st["done"] < alim
         seg_rows = jnp.where(live, seg_rows_of(st["done"]), 0)
         vbb_f = st["vbb"].reshape(S)
@@ -530,21 +525,21 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
         d_com = d_com_t.reshape(S)
         vb_com = vb_com_t.reshape(S)
         bspan = vb_com - st["prev_vb"]
-        ns = jnp.minimum(st["nseg"], max_segs - 1)
-        cur = st["trace"][rows_idx, ns]
-        pair = jnp.stack([d_com, bspan], axis=1)
-        newv = jnp.where(live[:, None], pair, cur)
-        trace = st["trace"].at[rows_idx, ns].set(newv)
+        # commits are stacked scan outputs (lockstep: a live seed's
+        # k-th iteration is its k-th segment) — carrying a
+        # [S, max_segs, 2] buffer through the loop made every
+        # iteration pay a buffer-scale scatter (see wave_bp twin)
+        out = (jnp.where(live, d_com, 0), jnp.where(live, bspan, 0))
         return dict(
             VP=VP, VN=VN, Db=Db, vbb=vbb,
             done=st["done"] + seg_rows,
             nseg=jnp.where(live, st["nseg"] + 1, st["nseg"]),
             prev_vb=jnp.where(live, vb_com, st["prev_vb"]),
-            dsum=jnp.where(live, st["dsum"] + d_com, st["dsum"]),
-            trace=trace)
+            dsum=jnp.where(live, st["dsum"] + d_com, st["dsum"])), out
 
-    st = jax.lax.while_loop(cond, body, state)
-    return st["trace"][:S0], st["nseg"][:S0], st["dsum"][:S0]
+    st, (ds, bs) = jax.lax.scan(body, state, None, length=max_segs)
+    trace = jnp.stack([ds, bs], axis=-1).transpose(1, 0, 2)
+    return trace[:S0], st["nseg"][:S0], st["dsum"][:S0]
 
 
 extend_wave_bp_pl.takes_packed = True
