@@ -35,6 +35,8 @@ a jax.distributed-initialized mesh.
 """
 from __future__ import annotations
 
+import time as _time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -346,7 +348,8 @@ def _pad_blocks(blocks: list, D: int) -> list:
 def distributed_overlap(blocks: list, cfg: OverlapConfig,
                         mesh: Mesh | None = None, seed_cap: int = 4096,
                         hit_cap: int = 1 << 18,
-                        pairs: "set[tuple[int, int]] | None" = None):
+                        pairs: "set[tuple[int, int]] | None" = None,
+                        timings: dict | None = None):
     """All-vs-all overlap of any number of blocks over a D-device
     mesh: ceil(n/D)^2 ring sweeps (multi-round block scheduling when
     nblocks > ndevices).  Returns (exts, counts, total) in PAIR-MATRIX
@@ -390,10 +393,14 @@ def distributed_overlap(blocks: list, cfg: OverlapConfig,
             b_sh = sharded[rb]
             self_diag = jax.device_put(
                 np.full(D, ra == rb, bool), sh)
+            t0 = _time.time()
             e, c, t = mapped(*a_sh, *b_sh, self_diag)
             e = np.asarray(e)
             c = np.asarray(c)
             total += np.asarray(t)[0].astype(np.int64)
+            if timings is not None:
+                timings["mesh"] = timings.get("mesh", 0.0) \
+                    + (_time.time() - t0)
             for d in range(D):
                 i = ra * D + d
                 if i >= n:
@@ -411,7 +418,8 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                             mesh: Mesh | None = None,
                             seed_cap: int = 4096,
                             hit_cap: int = 1 << 18,
-                            max_segs: int | None = None):
+                            max_segs: int | None = None,
+                            timings: dict | None = None):
     """Full distributed overlap to .las: extent discovery AND the
     trace pass run on the mesh; the host only dedupes extents between
     the two mesh programs and encodes/validates the shard bytes after
@@ -445,7 +453,8 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
     # whole matrix's work (VERDICT r2 weak #3/#4)
     s_cap, h_cap = seed_cap, hit_cap
     exts, counts, total = distributed_overlap(
-        blocks, cfg, mesh=mesh, seed_cap=s_cap, hit_cap=h_cap)
+        blocks, cfg, mesh=mesh, seed_cap=s_cap, hit_cap=h_cap,
+        timings=timings)
     for _ in range(5):
         sat = (counts[:, :, 0] >= s_cap) | (counts[:, :, 2] > h_cap)
         if not sat.any():
@@ -458,7 +467,7 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
             h_cap *= 2
         e2, c2, _t2 = distributed_overlap(
             blocks, cfg, mesh=mesh, seed_cap=s_cap, hit_cap=h_cap,
-            pairs=sup)
+            pairs=sup, timings=timings)
         # splice: every (i, j) covered by a re-run super pair gets the
         # bigger-cap result (the extents tensor widened to s_cap)
         if e2.shape[2] != exts.shape[2]:
@@ -606,12 +615,16 @@ def distributed_overlap_las(blocks: list, cfg: OverlapConfig,
                     kr = kept_rows.get((i, bblk))
                     if kr is not None:
                         ext_in[d, j, :len(kr)] = kr
+            t0 = _time.time()
             tr, ns, ds = tmapped_for(cap2)(
                 a_sh[0], a_sh[2], b_sh[0], b_sh[1], b_sh[2],
                 jax.device_put(ext_in, sh))
             tr = np.asarray(tr)
             ns = np.asarray(ns)
             ds = np.asarray(ds)
+            if timings is not None:
+                timings["mesh"] = timings.get("mesh", 0.0) \
+                    + (_time.time() - t0)
             for d in range(D):
                 i = ra * D + d
                 if i >= n:

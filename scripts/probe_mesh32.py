@@ -55,39 +55,17 @@ print(f"# {NB} blocks, {sum(b.nreads for b in blocks)} reads, "
       f"{sum(int(b.starts[-1]) for b in blocks)} bp, "
       f"{len(jax.devices())} devices", file=sys.stderr)
 
-# instrument: wrap the mesh-program entry points to accumulate device
-# wall (everything else inside the sweep is host glue)
-t_dev = [0.0]
-orig_jit = jax.jit
-
-
-def timing_jit(fn, **kw):
-    j = orig_jit(fn, **kw)
-
-    def wrapper(*a, **k):
-        t0 = time.time()
-        out = j(*a, **k)
-        out = jax.tree_util.tree_map(
-            lambda x: np.asarray(x) if hasattr(x, "dtype") else x, out)
-        t_dev[0] += time.time() - t0
-        return out
-    return wrapper
-
-
 for rnd in range(2):                     # round 2 = compile-warm
-    t_dev[0] = 0.0
-    jax.jit = timing_jit
-    try:
-        t0 = time.time()
-        las_list, counts, total = D.distributed_overlap_las(
-            blocks, cfg, seed_cap=1 << 15, hit_cap=1 << 20)
-        wall = time.time() - t0
-    finally:
-        jax.jit = orig_jit
-    glue = wall - t_dev[0]
+    tm: dict = {}
+    t0 = time.time()
+    las_list, counts, total = D.distributed_overlap_las(
+        blocks, cfg, seed_cap=1 << 15, hit_cap=1 << 20, timings=tm)
+    wall = time.time() - t0
+    t_mesh = tm.get("mesh", 0.0)
+    glue = wall - t_mesh
     novl = sum(l.novl for l in las_list)
     print(f"# round {rnd}: wall {wall:.1f}s, mesh programs "
-          f"{t_dev[0]:.1f}s, host glue {glue:.1f}s "
+          f"{t_mesh:.1f}s, host glue {glue:.1f}s "
           f"({glue / wall * 100:.1f}%), {novl} records",
           file=sys.stderr)
 print(f"# host glue share (warm): {glue / wall * 100:.1f}% "
