@@ -1258,6 +1258,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
     arrive from the mesh and flow through the same emission).  Returns
     (las_a, mirrored las_b) — las_b empty unless emit_mirrors.
     """
+    t_fs = time.time()
     if stats is None:
         stats = {}
     stats.setdefault("dropped_trace", 0)
@@ -1457,6 +1458,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             out.append((pend, chunk))
         return out
 
+    stats["t_trace_setup"] = round(time.time() - t_fs, 3)
     t0 = time.time()
     if groups:
         units = {k: np.concatenate([g[k] for g in groups])
@@ -1522,6 +1524,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             if res is not None:
                 emit(ch, res, retry_sink=sink)
 
+    t_rt = time.time()
     if retries:
         # NOTE: the retry ladder is PLATFORM-chosen, not governed by
         # DAMAR_BP — the tiers have no JAX twin (on CPU even the
@@ -1541,7 +1544,8 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
                   if host and native.available()
                   else _wide_trace_kernel(cfg))
         retry_round(retries, wide_k, None)
-
+    stats["t_trace_retry"] = round(time.time() - t_rt, 3)
+    t_fin = time.time()
     ca = LasColumns.concat(cols_a)
     cb = LasColumns.concat(cols_b)
     if emit_mirrors:
@@ -1563,6 +1567,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
     las_a.sort()
     las_b = LasFile(tspace=cfg.tspace, columns=cb)
     las_b.sort()
+    stats["t_trace_final"] = round(time.time() - t_fin, 3)
     return las_a, las_b
 
 
