@@ -47,10 +47,20 @@ class OverlapConfig:
     dp_kernel: str = "bp"       # "bp" (bit-parallel, default) |
                                 # "wide" (lane-per-diagonal; use_pallas
                                 # picks Pallas vs pure-JAX)
-    bp_chunk: int = 64          # bp extension rows between recenters
-    ext_phase1_rows: int = 192  # two-phase device extension: run ALL
-                                # units this deep first (most false
-                                # seeds X-drop within 1-2 chunks),
+    bp_chunk: int = 128         # bp extension rows between recenters
+                                # (must be a multiple of 16: the word-
+                                # tile gathers rely on it).  Measured
+                                # sweep at 10 Mbp: 128 beats 64 on BOTH
+                                # axes (+1.7% aligned bp — recenters at
+                                # 64 clipped some optima — and ~18%
+                                # less per-chunk window slack; the
+                                # device extension is gather-volume-
+                                # bound at ~10 ns/word).  256 loses
+                                # 5.5% aligned bp to band drift between
+                                # the sparser recenters.
+    ext_phase1_rows: int = 128  # two-phase device extension: run ALL
+                                # units this deep first (one bp_chunk;
+                                # most false seeds X-drop within it),
                                 # then re-run only the still-active
                                 # survivors at full depth — identical
                                 # outputs, ~3-5x less padded DP work

@@ -44,7 +44,7 @@ def _fill_kernel(ws_ref, pool_ref, out_ref, sem, *, BS: int, W: int):
                               out_ref.at[s], sem).start()
         return 0
 
-    jax.lax.fori_loop(0, BS, issue, 0, unroll=4)
+    jax.lax.fori_loop(0, BS, issue, 0)  # Mosaic: only unroll=1/full
 
     def drain(s, _):
         pltpu.make_async_copy(pool_ref.at[pl.ds(0, W)],

@@ -35,7 +35,8 @@ import numpy as _np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from damar_tpu.ops.wave_pallas import _pack_bases, _gather_packed
+from damar_tpu.ops.wave_pallas import (_pack_bases,
+                                       _gather_packed_words)
 
 BW = 32
 CTR = 16
@@ -110,20 +111,33 @@ def _shift_planes(PH, PL, PV, nb, nvalid):
             (PV >> U1) | (nv << (BW - 1)))
 
 
+def _char_at(wT_ref, i):
+    """Char i from a word-tile ref [nw, 8, L] (16 chars per int32
+    word, bit-0-aligned — see _gather_packed_words).  i may be a
+    traced scalar (fori index): the word row index i >> 4 and the
+    shift 2*(i & 15) are both scalars, so the read is one dynamic
+    leading-dim slice + a splat shift — no per-lane gather."""
+    w = _cu32(wT_ref[i >> 4])
+    return _i((w >> _u(jnp.asarray(2 * (i & 15)))) & jnp.uint32(3))
+
+
 def _init_planes(bT_ref, v0b, blim):
-    """Peq planes from the first BW rows of the transposed B tile
-    (bit j = char at B v-index v0b + j)."""
+    """Peq planes from the first BW chars of the transposed B word
+    tile (bit j = char at B v-index v0b + j)."""
     shp = v0b.shape
     PH = jnp.zeros(shp, jnp.uint32)
     PL = jnp.zeros(shp, jnp.uint32)
     PV = jnp.zeros(shp, jnp.uint32)
-    for j in range(BW):
-        c = bT_ref[j]
-        p = v0b + j
-        ok = (p >= 0) & (p < blim)
-        PH = PH | (_u((c >> 1) & 1) << j)
-        PL = PL | (_u(c & 1) << j)
-        PV = PV | (_u(ok) << j)
+    for jw in range(BW // 16):
+        w = _cu32(bT_ref[jw])
+        for t in range(16):
+            j = jw * 16 + t
+            c = _i((w >> _u(jnp.uint32(2 * t))) & jnp.uint32(3))
+            p = v0b + j
+            ok = (p >= 0) & (p < blim)
+            PH = PH | (_u((c >> 1) & 1) << j)
+            PL = PL | (_u(c & 1) << j)
+            PV = PV | (_u(ok) << j)
     return PH, PL, PV
 
 
@@ -230,7 +244,7 @@ def _ext_chunk_kernel(sc_ref, aT_ref, bT_ref, VP_ref, VN_ref, Db_ref,
         VPi, VNi, Db, Dc, PHi, PLi, PVi, bs, bva, bvb, died = carry
         VP, VN = _cu32(VPi), _cu32(VNi)
         PH, PL, PV = _cu32(PHi), _cu32(PLi), _cu32(PVi)
-        x = aT_ref[r]
+        x = _char_at(aT_ref, r)
         Eq = _eq_bits(PH, PL, PV, x)
         VP, VN, Db, Dc = _row_step(VP, VN, Db, Dc, Eq)
         t = rtot + r + 1
@@ -243,7 +257,7 @@ def _ext_chunk_kernel(sc_ref, aT_ref, bT_ref, VP_ref, VN_ref, Db_ref,
         bvb = jnp.where(improve, vc, bvb)
         died = died | _i(ok & (sc < bs - (xdrop + diff_cost)))
         nbp = vbb + r + BW - 1
-        nb = bT_ref[r + BW]
+        nb = _char_at(bT_ref, r + BW)
         PH, PL, PV = _shift_planes(PH, PL, PV, nb,
                                    (nbp >= 0) & (nbp < blim))
         return (_c32(VP), _c32(VN), Db, Dc, _c32(PH), _c32(PL),
@@ -338,6 +352,7 @@ def extend_wave_bp_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
     a 67M-base block inside every launch costs ~0.1 s on chip).
     with_active: also return the final active mask (see
     wave_bp.extend_wave_bp) for the two-phase launch."""
+    assert R % 16 == 0, "bp chunk must be word-aligned (R % 16 == 0)"
     rv = reverse if dirs is None else dirs
     S0 = aorigin.shape[0]
     SBLK = 8 * L
@@ -369,12 +384,12 @@ def extend_wave_bp_pl(a_bases, b_bases, aorigin, borigin, alim, blim,
 
     def body(st):
         rt = jnp.full((S,), st["rtot"], jnp.int32)
-        a_tile = _gather_packed(a_words, aorigin, rt, R, rv)
-        b_tile = _gather_packed(b_words, borigin,
-                                _to_tiles_inv(st["vbb"], S) - 1,
-                                R + BW, rv)
+        a_tile = _gather_packed_words(a_words, aorigin, rt, R, rv)
+        b_tile = _gather_packed_words(b_words, borigin,
+                                      _to_tiles_inv(st["vbb"], S) - 1,
+                                      R + BW, rv)
         outs = _grid_call(
-            kernel, R, R + BW, S, L,
+            kernel, R // 16, (R + BW) // 16, S, L,
             (st["VP"], st["VN"], st["Db"], st["Dc"], st["vbb"],
              alim_t, blim_t, st["active"], st["bs"], st["bva"],
              st["bvb"]),
@@ -422,11 +437,11 @@ def _trace_chunk_kernel(sc_ref, aT_ref, bT_ref, VP_ref, VN_ref,
         VP, VN = _cu32(VPi), _cu32(VNi)
         PH, PL, PV = _cu32(PHi), _cu32(PLi), _cu32(PVi)
         go = r < seg_rows
-        x = aT_ref[r]
+        x = _char_at(aT_ref, r)
         Eq = _eq_bits(PH, PL, PV, x)
         VPn, VNn, Dbn, _ = _row_step(VP, VN, Db, Db, Eq)
         nbp = vbb + r + BW - 1
-        nb = bT_ref[r + BW]
+        nb = _char_at(bT_ref, r + BW)
         PHn, PLn, PVn = _shift_planes(PH, PL, PV, nb,
                                       (nbp >= 0) & (nbp < blim))
         gu = jnp.uint32(0) - _u(go)
@@ -510,12 +525,12 @@ def trace_wave_bp_pl(a_bases, b_bases, astart, bstart, abpos, bbpos,
         live = st["done"] < alim
         seg_rows = jnp.where(live, seg_rows_of(st["done"]), 0)
         vbb_f = st["vbb"].reshape(S)
-        a_tile = _gather_packed(a_words, aorigin, st["done"], tspace,
-                                False)
-        b_tile = _gather_packed(b_words, borigin, vbb_f - 1,
-                                tspace + BW, False)
+        a_tile = _gather_packed_words(a_words, aorigin, st["done"],
+                                      tspace, False)
+        b_tile = _gather_packed_words(b_words, borigin, vbb_f - 1,
+                                      tspace + BW, False)
         outs = _grid_call(
-            kernel, tspace, tspace + BW, S, L,
+            kernel, -(-tspace // 16), -(-(tspace + BW) // 16), S, L,
             (st["VP"], st["VN"], st["Db"], st["vbb"], tt(seg_rows),
              tt(live.astype(jnp.int32)), blim_t, alim_t,
              tt(st["done"]), tt(st["prev_vb"])),

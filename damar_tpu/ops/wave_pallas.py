@@ -246,6 +246,74 @@ def _pack_bases(bases_u8):
     return jnp.sum(w << shifts, axis=1).astype(jnp.int32)
 
 
+def _rev16(w):
+    """Reverse the 16 2-bit groups of each uint32 word (char-order
+    reversal within a packed word)."""
+    w = ((w >> 2) & jnp.uint32(0x33333333)) \
+        | ((w & jnp.uint32(0x33333333)) << 2)
+    w = ((w >> 4) & jnp.uint32(0x0F0F0F0F)) \
+        | ((w & jnp.uint32(0x0F0F0F0F)) << 4)
+    w = ((w >> 8) & jnp.uint32(0x00FF00FF)) \
+        | ((w & jnp.uint32(0x00FF00FF)) << 8)
+    return (w >> 16) | (w << 16)
+
+
+def _gather_packed_words(words, origin, v0, length: int, reverse):
+    """Bit-0-aligned packed-word windows: [S, length//16] int32 words
+    whose char i (= bits [2*(i&15), 2*(i&15)+2) of word i>>4) equals
+    _gather_packed(...)[:, i] exactly.  length must be a multiple of
+    16 (the bp chunk sizes R and R+BW always are).
+
+    This replaces the char-tile materialization of _gather_packed on
+    the bp kernel path: the [S, length] char array, its 4-step binary
+    roll, and the row transpose were ~16x the traffic of the word
+    window itself — the kernels now unpack chars in VMEM with scalar
+    row indices (r >> 4, 2*(r & 15)), so XLA only gathers, funnel-
+    aligns, and transposes words.  Out-of-range words are clip-
+    gathered garbage the callers mask via v-space limits (same
+    contract as _gather_packed).
+
+    reverse: static bool or traced bool[S].  Reversal keeps the SAME
+    output contract (char i = reversed stream's char i): the window is
+    gathered forward, funnel-aligned, then word-reversed with a 2-bit
+    group swizzle (_rev16) — exact because length % 16 == 0.  Forward-
+    only callers may pass any length (rounded up internally; the tail
+    chars past length are in-pool continuation the kernels never
+    read)."""
+    if length % 16:
+        assert reverse is False, "reversal needs length % 16 == 0"
+    nwc = -(-length // 16)
+    nw = nwc + 2
+    both = not isinstance(reverse, bool)
+    if both:
+        start_f = origin + v0
+        start_r = origin - v0 - length
+        start = jnp.where(reverse, start_r, start_f)
+    else:
+        start = (origin - v0 - length) if reverse else (origin + v0)
+    w0 = start >> 4                    # arithmetic shift: floors negatives
+    j0 = start & 15
+    widx = w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :]
+    wg = _cu(words[jnp.clip(widx, 0, words.shape[0] - 1)])
+    # funnel shift: aligned[i] = (wg[i] >> 2*j0) | (wg[i+1] << (32-2*j0))
+    sh = (2 * j0)[:, None].astype(jnp.uint32)
+    lo = wg[:, :-1] >> sh
+    hi = jnp.where(sh > 0, wg[:, 1:] << (32 - sh), jnp.uint32(0))
+    aligned = (lo | hi)[:, :nwc]       # [S, nwc]
+    if both:
+        rev_w = _rev16(aligned[:, ::-1])
+        out = jnp.where(reverse[:, None], rev_w, aligned)
+    elif reverse:
+        out = _rev16(aligned[:, ::-1])
+    else:
+        out = aligned
+    return jax.lax.bitcast_convert_type(out, jnp.int32)
+
+
+def _cu(x):
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
 def _gather_packed(words, origin, v0, length: int, reverse):
     """[S, length] int32 chars at v-space positions v0..v0+length-1,
     gathered WORD-wise from the packed base array (16x fewer gathered

@@ -94,9 +94,9 @@ def expand(idx, v):
 t = timed("scatter-add 66M into 96M + cumsum 96M", expand, tid, tv,
           reps=2)
 
-k0 = jax.random.randint(key, (NH,), 0, 1 << 31, jnp.int32)
-k1 = jax.random.randint(key, (NH,), 0, 1 << 31, jnp.int32)
-p0 = jax.random.randint(key, (NH,), 0, 1 << 31, jnp.int32)
+k0 = jax.random.randint(key, (NH,), 0, (1 << 31) - 1, jnp.int32)
+k1 = jax.random.randint(key, (NH,), 0, (1 << 31) - 1, jnp.int32)
+p0 = jax.random.randint(key, (NH,), 0, (1 << 31) - 1, jnp.int32)
 
 def sort2p1(a, b, c):
     return jax.lax.sort((a, b, c), num_keys=2, is_stable=True)
@@ -179,8 +179,8 @@ from damar_tpu.ops.slab import align_transpose, fill_slab
 
 for (Sd, Wd) in ((8192, 16), (8192, 128), (65536, 16)):
     ws = jax.random.randint(key, (Sd,), 0, NW - Wd, jnp.int32)
-    t = timed(f"fill_slab DMA [{Sd},{Wd}] words", fill_slab, words,
-              ws, Wd, reps=3)
+    t = timed(f"fill_slab DMA [{Sd},{Wd}] words",
+              lambda w, o: fill_slab(w, o, Wd), words, ws, reps=3)
     print(f"    = {t/Sd*1e6:.2f} us/descriptor, "
           f"{t/(Sd*Wd)*1e9:.1f} ns/word", file=sys.stderr)
 
