@@ -297,6 +297,372 @@ def split_seeds_by_comp(seeds: dict) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Device-resident extension (the TPU production path)
+#
+# The tunneled chip's host<->device data plane moves at ~9 MB/s BOTH
+# ways (measured round 4) — and even on a local PCIe host, transfers
+# are the one cost XLA cannot fuse away.  The original device flow
+# downloaded every seed (5 MB/pass at 50 Mbp), deduped/split/batched
+# on the host, re-uploaded every unit coordinate per launch
+# (~13 MB/comp), and downloaded padded result stacks (~10 MB/comp).
+# This section keeps seeds -> units -> extents ON DEVICE end-to-end:
+# the host only sees a few stacked scalars, a downsampled copy of the
+# length-sorted bound array (to plan launch batches), and ONE exact-
+# sized packed download of the surviving extents (~16 B/extent).
+# Per-pass transfer drops ~15x; results are bit-identical (the anchor
+# dedupe is an exact twin of dedupe_anchor_seeds, and batching never
+# affects kernel outputs — lanes are independent).
+# ---------------------------------------------------------------------------
+
+SEED_PREP_Q = 512          # bound-array downsample stride for batch planning
+
+
+def fetch_seeds_meta(seeds_dev: dict) -> dict:
+    """Counts-only harvest of a find_seeds(_canonical)_dev result: the
+    seed arrays STAY on device (see _extend_all_dev)."""
+    counts = np.asarray(jnp.stack(
+        [seeds_dev["nseeds"], seeds_dev["total_seeds"],
+         seeds_dev["total_hits"], seeds_dev["total_compact"],
+         seeds_dev["overflow"].astype(jnp.int32)]))
+    return {"nseeds": int(counts[0]), "total_seeds": int(counts[1]),
+            "total_hits": int(counts[2]), "total_compact": int(counts[3]),
+            "overflow": bool(counts[4]),
+            "raw_cap": seeds_dev["raw_cap"],
+            "compact_cap": seeds_dev["compact_cap"],
+            "dev": seeds_dev}
+
+
+@partial(jax.jit, static_argnames=("rb", "pb"))
+def _prep_units_dev(ar, br, ap, bp, cmp_, n, a_starts, b_starts,
+                    rb: int, pb: int):
+    """Anchor dedupe + comp split + unit building, all on device.
+
+    Inputs are the [n_pad] prefixes of the device seed arrays.  The
+    dedupe is an exact twin of dedupe_anchor_seeds: stable sort by
+    (aread, bread, comp, apos_local, bpos_local), keep the first of
+    each identical-anchor group (= lowest original index), survivors
+    kept in ascending original order.  Per orientation, the
+    bidirectional unit arrays ([fwd | rev], ap/bp local frames), the
+    stable length-sort order, and the sorted bound array are built for
+    the launch planner."""
+    from damar_tpu.ops.sort import pack_fields, radix_sort_packed
+    n_pad = ar.shape[0]
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
+    live = idx < n
+    nA = a_starts.shape[0] - 1
+    nB = b_starts.shape[0] - 1
+    a0 = a_starts[jnp.clip(ar, 0, nA - 1)]
+    a1 = a_starts[jnp.clip(ar + 1, 0, nA)]
+    b0 = b_starts[jnp.clip(br, 0, nB - 1)]
+    b1 = b_starts[jnp.clip(br + 1, 0, nB)]
+    ap_l = ap - a0
+    bp_l = bp - b0
+    fmax = jnp.int32((1 << pb) - 1)
+    rmax = jnp.int32((1 << rb) - 1)
+    key_fields = (jnp.where(live, bp_l, fmax),
+                  jnp.where(live, ap_l, fmax),
+                  jnp.where(live, cmp_, 1),
+                  jnp.where(live, br, rmax),
+                  jnp.where(live, ar, rmax))
+    widths = (pb, pb, 1, rb, rb)
+    words = pack_fields(key_fields, widths)
+    srt, (sidx,) = radix_sort_packed(words, (idx,), sum(widths))
+    neq = jnp.zeros(n_pad - 1, bool)
+    for w in srt:
+        neq = neq | (w[1:] != w[:-1])
+    first = jnp.concatenate([jnp.ones(1, bool), neq])
+    kb = jnp.zeros(n_pad, bool).at[sidx].set(first & live[sidx])
+
+    parts = []
+    for comp in (0, 1):
+        is_c = kb & (cmp_ == comp)
+        m = is_c.sum(dtype=jnp.int32)
+        pos = jnp.cumsum(is_c.astype(jnp.int32)) - 1
+        sel = jnp.zeros(n_pad + 1, jnp.int32).at[
+            jnp.where(is_c, pos, n_pad)].set(idx)[:n_pad]
+        aps_l = ap_l[sel]
+        bps_l = bp_l[sel]
+        half = jnp.arange(n_pad, dtype=jnp.int32) < m
+        al_f = (a1 - ap)[sel]
+        bl_f = (b1 - bp)[sel]
+        u_alim = jnp.concatenate([jnp.where(half, al_f, 0),
+                                  jnp.where(half, aps_l, 0)])
+        u_blim = jnp.concatenate([jnp.where(half, bl_f, 0),
+                                  jnp.where(half, bps_l, 0)])
+        u_ao = jnp.concatenate([ap[sel], ap[sel]])
+        u_bo = jnp.concatenate([bp[sel], bp[sel]])
+        u_rev = jnp.concatenate([jnp.zeros(n_pad, bool),
+                                 jnp.ones(n_pad, bool)])
+        live2 = jnp.concatenate([half, half])
+        bound = jnp.where(live2, jnp.minimum(u_alim, u_blim),
+                          jnp.int32(np.iinfo(np.int32).max))
+        order = jnp.argsort(bound, stable=True).astype(jnp.int32)
+        sb = bound[order]
+        parts.append(dict(m=m, u_ao=u_ao, u_bo=u_bo, u_alim=u_alim,
+                          u_blim=u_blim, u_rev=u_rev, ap_l=aps_l,
+                          bp_l=bps_l, ar_s=ar[sel], br_s=br[sel],
+                          order=order, sb=sb))
+    return kb.sum(dtype=jnp.int32), parts[0], parts[1]
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _slice_unit_batch(order, u_ao, u_bo, u_alim, u_blim, u_rev,
+                      lo, m, w: int):
+    """One launch batch's unit arrays, sliced/gathered on device
+    (start `lo` and live count `m` are traced operands: no per-batch
+    recompilation, no host upload).  Lanes >= m are masked dead via
+    alim = 0 and scatter to the trash slot (tgt = len(u_alim))."""
+    sel = jax.lax.dynamic_slice(order, (lo,), (w,))
+    lane = jnp.arange(w, dtype=jnp.int32)
+    ok = lane < m
+    alim = jnp.where(ok, u_alim[sel], 0)
+    blim = jnp.where(ok, u_blim[sel], 0)
+    tgt = jnp.where(ok, sel, jnp.int32(u_alim.shape[0]))
+    return u_ao[sel], u_bo[sel], alim, blim, u_rev[sel], tgt
+
+
+@jax.jit
+def _scatter_unit_results(va_u, vb_u, vd_u, tgt, va, vb, vd):
+    return (va_u.at[tgt].set(va), vb_u.at[tgt].set(vb),
+            vd_u.at[tgt].set(vd))
+
+
+@jax.jit
+def _scatter_unit_act(act_u, tgt, act):
+    return act_u.at[tgt].set(act.astype(jnp.int32))
+
+
+@jax.jit
+def _p2_order_dev(act_u, u_alim, u_blim):
+    """Phase-2 survivor ordering: still-active units first, stable by
+    bound — equivalent to host surv[argsort(bound[surv])]."""
+    n2 = u_alim.shape[0]
+    act = act_u[:n2] != 0
+    bound = jnp.where(act, jnp.minimum(u_alim, u_blim),
+                      jnp.int32(np.iinfo(np.int32).max))
+    order = jnp.argsort(bound, stable=True).astype(jnp.int32)
+    return order, bound[order], act.sum(dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("pack16",))
+def _assemble_extents_dev(va_u, vb_u, vd_u, ap_l, bp_l, ar_s, br_s,
+                          pack16: bool):
+    """Per-seed extent assembly + good-compaction on device.
+
+    Unit i (fwd) and unit n_pad+i (rev) combine into seed i's extent;
+    junk/dead slots produce empty spans and compact away.  pack16
+    (valid when nreads and every read length fit 16 bits) packs to a
+    [4, n_pad] buffer whose first `g` columns are survivors in seed
+    order: [ar<<16|br, abp<<16|aep, bbp<<16|bep, diffs].  Otherwise
+    raw [7, n_pad] i32 rows [ar, br, abp, aep, bbp, bep, diffs]."""
+    n_pad = ap_l.shape[0]
+    va_f, va_r = va_u[:n_pad], va_u[n_pad:2 * n_pad]
+    vb_f, vb_r = vb_u[:n_pad], vb_u[n_pad:2 * n_pad]
+    vd = vd_u[:n_pad] + vd_u[n_pad:2 * n_pad]
+    abp = ap_l - va_r
+    aep = ap_l + va_f
+    bbp = bp_l - vb_r
+    bep = bp_l + vb_f
+    good = (aep - abp > 0) & (bep - bbp > 0)
+    g = good.sum(dtype=jnp.int32)
+    pos = jnp.cumsum(good.astype(jnp.int32)) - 1
+    tgt = jnp.where(good, pos, n_pad)
+    if pack16:
+        rows = [(ar_s << 16) | br_s, (abp << 16) | aep,
+                (bbp << 16) | bep, vd]
+    else:
+        rows = [ar_s, br_s, abp, aep, bbp, bep, vd]
+    out = jnp.zeros((len(rows), n_pad + 1), jnp.int32)
+    for i, r in enumerate(rows):
+        out = out.at[i, tgt].set(r)
+    return out[:, :n_pad], g
+
+
+def _plan_batches_sampled(samples: np.ndarray, m_u: int, chunk_rows: int,
+                          s_max: int, area: int, clip: int,
+                          s_min: int = 1024,
+                          Q: int = SEED_PREP_Q) -> list:
+    """Equal-area launch batches from a DOWNSAMPLED ascending bound
+    array (samples[i] = sorted_bound[(i+1)*Q-1], so a batch ending in
+    stride i has exact max length samples[i]).  Same contract as
+    _area_batches; only the width choice sees stride granularity.
+    Batching never changes kernel outputs (lanes are independent)."""
+    out = []
+    ns = len(samples)
+    lo = 0
+    while lo < m_u:
+        w = s_max
+        while w > s_min:
+            j = min((lo + w - 1) // Q, ns - 1)
+            top = min(int(samples[j]), clip)
+            chunks = max(top // chunk_rows + 1, 1)
+            if w * chunks <= area:
+                break
+            w //= 2
+        m = min(w, m_u - lo)
+        out.append((lo, m, w))
+        lo += m
+    return out
+
+
+def _starts32_dev(blk: ReadBlock):
+    d = blk.cache.get("starts32_dev")
+    if d is None:
+        d = jnp.asarray(np.asarray(blk.starts, dtype=np.int32))
+        blk.cache["starts32_dev"] = d
+    return d
+
+
+def _extend_all_dev(blk_a: ReadBlock, blk_b: ReadBlock,
+                    blk_b_rc: ReadBlock, seeds_meta: dict,
+                    cfg: OverlapConfig, stats: dict) -> list[dict]:
+    """Device-resident dedupe + split + extension for BOTH
+    orientations; returns [fwd_exts, comp_exts] host dicts (exact-
+    sized packed downloads).  See the section comment above."""
+    from damar_tpu.ops.seeding import quantize_bits
+    sd = seeds_meta["dev"]
+    n = seeds_meta["nseeds"]
+    empty = [dict(empty_extents(), comp=False),
+             dict(empty_extents(), comp=True)]
+    if n == 0:
+        stats["seeds"] += 0
+        return empty
+    cap = sd["aread"].shape[0]
+    n_pad = min(_round_slice(n, 8192), cap)
+    ar, br = sd["aread"][:n_pad], sd["bread"][:n_pad]
+    ap, bp = sd["apos"][:n_pad], sd["bpos"][:n_pad]
+    cmp_ = sd["comp"][:n_pad]
+    a_st = _starts32_dev(blk_a)
+    b_st = a_st if blk_b is blk_a else _starts32_dev(blk_b)
+    maxr = int(max(blk_a.rlen.max(initial=1), blk_b.rlen.max(initial=1)))
+    rb = quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1)
+    pb = quantize_bits(maxr + 1)
+    m_d, part0, part1 = _prep_units_dev(ar, br, ap, bp, cmp_,
+                                        jnp.int32(n), a_st, b_st,
+                                        rb=rb, pb=pb)
+    prep = {0: part0, 1: part1}
+    Q = SEED_PREP_Q
+    samp = {c: prep[c]["sb"][Q - 1::Q] for c in (0, 1)}
+    ns = 2 * n_pad // Q
+    meta = np.asarray(jnp.concatenate(
+        [jnp.stack([m_d, prep[0]["m"], prep[1]["m"]]),
+         samp[0], samp[1]]))
+    stats["seeds"] += int(meta[0])
+    m_com = {0: int(meta[1]), 1: int(meta[2])}
+    samples = {0: meta[3:3 + ns], 1: meta[3 + ns:3 + 2 * ns]}
+
+    ext_fn, _ = _kernels(cfg)
+    kw = dict(W=cfg.band_width, max_rows=cfg.max_read_len,
+              diff_cost=cfg.diff_cost, xdrop=cfg.xdrop)
+    if _takes_packed(ext_fn):
+        kw["packed"] = True
+        a_words = _packed_words_of(blk_a)
+        bw_of = {0: _packed_words_of(blk_b),
+                 1: _packed_words_of(blk_b_rc)}
+    else:
+        a_words = _dev_arr(blk_a, "bases")
+        bw_of = {0: _dev_arr(blk_b, "bases"),
+                 1: _dev_arr(blk_b_rc, "bases")}
+    P1 = getattr(cfg, "ext_phase1_rows", 0)
+    two_phase = (P1 > 0 and _supports_active(ext_fn)
+                 and kw["max_rows"] > P1)
+    S = cfg.seed_batch_dev
+    s_max = max(S, 1 << 16)
+
+    def launches(u, plan, b_words, kw_extra):
+        out = []
+        for lo, m, w in plan:
+            w = min(w, 2 * n_pad)
+            ao, bo, alim, blim, rev, tgt = _slice_unit_batch(
+                u["order"], u["u_ao"], u["u_bo"], u["u_alim"],
+                u["u_blim"], u["u_rev"], jnp.int32(lo), jnp.int32(m),
+                w)
+            res = ext_fn(a_words, b_words, ao, bo, alim, blim,
+                         dirs=rev, **dict(kw, **kw_extra))
+            out.append((res, tgt))
+        return out
+
+    # phase 1 (or the only phase): dispatch BOTH comps before any sync
+    kw1 = dict(max_rows=P1, with_active=True) if two_phase else {}
+    pend1 = {}
+    for c in (0, 1):
+        u = prep[c]
+        clip1 = P1 if two_phase else maxr
+        plan1 = _plan_batches_sampled(samples[c], 2 * m_com[c],
+                                      cfg.bp_chunk, s_max,
+                                      AREA_CHUNKS_DEV, clip1)
+        pend1[c] = launches(u, plan1, bw_of[c], kw1)
+    # scatter results into unit slots (queued behind the launches)
+    acc = {}
+    for c in (0, 1):
+        va_u = jnp.zeros(2 * n_pad + 1, jnp.int32)
+        vb_u = jnp.zeros(2 * n_pad + 1, jnp.int32)
+        vd_u = jnp.zeros(2 * n_pad + 1, jnp.int32)
+        act_u = jnp.zeros(2 * n_pad + 1, jnp.int32)
+        for res, tgt in pend1[c]:
+            va_u, vb_u, vd_u = _scatter_unit_results(
+                va_u, vb_u, vd_u, tgt, res[0], res[1], res[2])
+            if two_phase:
+                act_u = _scatter_unit_act(act_u, tgt, res[4])
+        acc[c] = [va_u, vb_u, vd_u, act_u]
+    if two_phase:
+        # phase-2 survivor ordering on device; ONE fetch for both comps
+        o2 = {c: _p2_order_dev(acc[c][3], prep[c]["u_alim"],
+                               prep[c]["u_blim"]) for c in (0, 1)}
+        meta2 = np.asarray(jnp.concatenate(
+            [jnp.stack([o2[0][2], o2[1][2]]),
+             o2[0][1][Q - 1::Q], o2[1][1][Q - 1::Q]]))
+        m2 = {0: int(meta2[0]), 1: int(meta2[1])}
+        samples2 = {0: meta2[2:2 + ns], 1: meta2[2 + ns:2 + 2 * ns]}
+        for c in (0, 1):
+            if not m2[c]:
+                continue
+            u2 = dict(prep[c], order=o2[c][0])
+            plan2 = _plan_batches_sampled(samples2[c], m2[c],
+                                          cfg.bp_chunk, s_max,
+                                          AREA_CHUNKS_DEV, maxr)
+            for res, tgt in launches(u2, plan2, bw_of[c], {}):
+                va_u, vb_u, vd_u = _scatter_unit_results(
+                    acc[c][0], acc[c][1], acc[c][2], tgt,
+                    res[0], res[1], res[2])
+                acc[c][:3] = [va_u, vb_u, vd_u]
+    pack16 = (max(blk_a.nreads, blk_b.nreads) < 65536 and maxr < 65536)
+    packs = {}
+    for c in (0, 1):
+        u = prep[c]
+        packs[c] = _assemble_extents_dev(
+            acc[c][0], acc[c][1], acc[c][2], u["ap_l"], u["bp_l"],
+            u["ar_s"], u["br_s"], pack16=pack16)
+    gs = np.asarray(jnp.stack([packs[0][1], packs[1][1]]))
+    g = {0: int(gs[0]), 1: int(gs[1])}
+    gp = {c: min(_round_slice(g[c], 4096), n_pad) for c in (0, 1)}
+    data = np.asarray(jnp.concatenate(
+        [packs[0][0][:, :gp[0]], packs[1][0][:, :gp[1]]], axis=1))
+    out = []
+    off = 0
+    for c in (0, 1):
+        d = data[:, off:off + g[c]]
+        off += gp[c]
+        if pack16:
+            u = d.view(np.uint32) if d.flags.c_contiguous \
+                else np.ascontiguousarray(d).view(np.uint32)
+            ext = {"aread": (u[0] >> 16).astype(np.int32),
+                   "bread": (u[0] & 0xFFFF).astype(np.int32),
+                   "abpos": (u[1] >> 16).astype(np.int32),
+                   "aepos": (u[1] & 0xFFFF).astype(np.int32),
+                   "bbpos": (u[2] >> 16).astype(np.int32),
+                   "bepos": (u[2] & 0xFFFF).astype(np.int32),
+                   "diffs": d[3]}
+        else:
+            ext = {k: d[i] for i, k in enumerate(EXT_KEYS)}
+        ext["n"] = g[c]
+        ext["comp"] = bool(c)
+        stats["extents"] += g[c]
+        out.append(ext)
+    return out
+
+
 def extend_seeds(blk_a: ReadBlock, blk_b: ReadBlock, seeds: dict,
                  cfg: OverlapConfig, comp: bool) -> dict:
     """Bidirectional extension of all seeds -> columnar extents.
@@ -1154,7 +1520,7 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
                 bb_d = _dev_arr(blk_b, "bases")
                 br_d = _dev_arr(blk_b, "read_id")
             kw = dict(kw, dev_arrays=(a_bases_d, a_rid_d, bb_d, br_d))
-            return fetch_seeds(find_seeds_canonical_dev(
+            return fetch_seeds_meta(find_seeds_canonical_dev(
                 blk_a, blk_b, cfg, **kw))
     if bias_lut is not None:
         _orig_run_seeding = run_seeding
@@ -1188,29 +1554,33 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
     if size_hints is not None:
         size_hints["raw"] = max(seeds["total_hits"],
                                 size_hints.get("raw", 0) // 2)
-    seeds = dedupe_anchor_seeds(seeds)
-    stats["t_seed"] = round(time.time() - t_ph, 3)
-    stats["seeds"] += seeds["nseeds"]
-    by_comp = split_seeds_by_comp(seeds)
-    t_ph = time.time()
-    ext_parts: list[dict] = []
-    pends = []
-    for comp in (False, True):
-        bb = blk_b_rc if comp else blk_b
-        pends.append((comp, extend_seeds_launch(
-            blk_a, bb, by_comp[comp], cfg, comp,
-            dev_bases=None if host
-            else (a_bases_d, _dev_arr(bb, "bases")))))
-    # both orientations' phase-1 launches are now in flight; the
-    # phase-2 dispatch (which syncs on the phase-1 mask) comes next so
-    # neither comp's pipeline stalls behind the other's harvest
-    for _, pend in pends:
-        extend_seeds_dispatch_p2(pend)
-    for comp, pend in pends:
-        exts = extend_seeds_harvest(pend)
-        stats["extents"] += exts["n"]
-        exts["comp"] = comp
-        ext_parts.append(exts)
+    if host:
+        seeds = dedupe_anchor_seeds(seeds)
+        stats["t_seed"] = round(time.time() - t_ph, 3)
+        stats["seeds"] += seeds["nseeds"]
+        by_comp = split_seeds_by_comp(seeds)
+        t_ph = time.time()
+        ext_parts: list[dict] = []
+        pends = []
+        for comp in (False, True):
+            bb = blk_b_rc if comp else blk_b
+            pends.append((comp, extend_seeds_launch(
+                blk_a, bb, by_comp[comp], cfg, comp)))
+        # both orientations' phase-1 launches are now in flight; the
+        # phase-2 dispatch (which syncs on the phase-1 mask) comes next
+        # so neither comp's pipeline stalls behind the other's harvest
+        for _, pend in pends:
+            extend_seeds_dispatch_p2(pend)
+        for comp, pend in pends:
+            exts = extend_seeds_harvest(pend)
+            stats["extents"] += exts["n"]
+            exts["comp"] = comp
+            ext_parts.append(exts)
+    else:
+        stats["t_seed"] = round(time.time() - t_ph, 3)
+        t_ph = time.time()
+        ext_parts = _extend_all_dev(blk_a, blk_b, blk_b_rc, seeds,
+                                    cfg, stats)
     stats["t_extend"] = round(time.time() - t_ph, 3)
     t_ph = time.time()
     # dedupe within each orientation (comp partitions the groups)
