@@ -725,8 +725,9 @@ def canonical_index_dev(bases_d, rid_d, blk, k: int, mask=None):
     return ("packed", rid_bits, rpos_bits), idx
 
 
-@partial(jax.jit, static_argnames=("hit_cap",))
-def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int):
+@partial(jax.jit, static_argnames=("hit_cap", "tcap"))
+def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int,
+                      tcap: int | None = None):
     """Materialize packed (A payload, B payload) hit pairs from a
     match_count result, B-tuple-major, into a hit_cap buffer.
 
@@ -754,18 +755,42 @@ def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int):
     the one A-payload gather are the rest).  int32 wraparound is exact
     under the final subtraction/bitcast.
 
-    Returns (ap_mp u32[cap], bp_mp u32[cap], nhits, total)."""
+    v5: the tuple stream is TABLE-sized (one per k-mer position, most
+    with c == 0), so v4's diff-scatters paid ~12 ns per TUPLE for
+    mostly-empty work — 2x67M scatter inputs at 50 Mbp vs ~8M tuples
+    that emit anything.  A single stable 1-bit-key lax.sort (measured
+    0.44 s at 67M with 3 payloads, vs 0.79 s per full-size scatter)
+    partitions the emitting tuples to the front IN ORIGINAL ORDER;
+    the diffs and scatters then run at tcap.  Exactness: runs tile
+    the buffer in tuple order, so in-cap tuples occupy the first
+    compact slots and the telescoping-difference argument is
+    unchanged; tcap = hit_cap is always safe (every emitting in-cap
+    tuple owns >= 1 hit), and callers pass the exact emitting-tuple
+    count from the previous pass (size-hint pattern) to tighten it.
+
+    Returns (ap_mp u32[cap], bp_mp u32[cap], nhits, total, n_emit)."""
     total = cum[-1]
     starts = cum - c
-    s0 = jnp.minimum(starts, hit_cap)
+    nz = c > 0
+    n_emit = nz.sum(dtype=jnp.int32)
+    if tcap is None:
+        tcap = hit_cap
+    s0 = jnp.where(nz, jnp.minimum(starts, hit_cap), hit_cap)
+    key = (~nz).astype(jnp.int32)
+    _, s0c, v1c, v2c = jax.lax.sort(
+        (key, s0, lo - starts,
+         jax.lax.bitcast_convert_type(b_mp, jnp.int32)),
+        num_keys=1, is_stable=True)
+    s0c = s0c[:tcap]
 
-    def expand(v):
-        d = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
-        w = jnp.zeros(hit_cap + 1, jnp.int32).at[s0].add(d)
+    def expand(vc):
+        vc = vc[:tcap]
+        d = vc - jnp.concatenate([jnp.zeros(1, vc.dtype), vc[:-1]])
+        w = jnp.zeros(hit_cap + 1, jnp.int32).at[s0c].add(d)
         return jnp.cumsum(w[:hit_cap])
 
-    shift = expand(lo.astype(jnp.int32) - starts)
-    e_bmp = expand(jax.lax.bitcast_convert_type(b_mp, jnp.int32))
+    shift = expand(v1c)
+    e_bmp = expand(v2c)
     hit0 = jnp.arange(hit_cap, dtype=jnp.int32)
     aidx = hit0 + shift
     ap_mp = a_mp[jnp.clip(aidx, 0, a_mp.shape[0] - 1)]
@@ -774,7 +799,7 @@ def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int):
     live = hit0 < nhits
     dead = jnp.uint32(0xFFFFFFFF)
     return (jnp.where(live, ap_mp, dead), jnp.where(live, bp_mp, dead),
-            nhits, total)
+            nhits, total, n_emit)
 
 
 @partial(jax.jit, static_argnames=(
@@ -957,7 +982,8 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
                              hit_cap: int = 1 << 21,
                              seed_cap: int = 1 << 17, a_index=None,
                              dev_arrays=None, raw_hint: int | None = None,
-                             self_pair: bool = False, bias_lut=None):
+                             self_pair: bool = False, bias_lut=None,
+                             emit_hint: int | None = None):
     """Device-resident CANONICAL seeding: ONE index merge + ONE banding
     sort yields seeds of BOTH orientations (comp bit per seed); comp
     seeds carry bpos in per-read reverse-complement coordinates (the
@@ -1018,8 +1044,12 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     else:
         want_raw = min(raw_hint, hit_cap)
     cap = _pow2_cap(want_raw, hit_cap)
-    ap_mp, bp_mp, nhits, total_hits = match_fill_packed(
-        amp, bmp, lo, cnt, cum, hit_cap=cap)
+    # emitting-tuple cap for the fill's compaction partition (v5):
+    # hinted from the previous pass like raw_hint, always safe at cap
+    tcap = cap if emit_hint is None else _pow2_cap(min(emit_hint, cap),
+                                                   cap)
+    ap_mp, bp_mp, nhits, total_hits, n_emit = match_fill_packed(
+        amp, bmp, lo, cnt, cum, hit_cap=cap, tcap=tcap)
     a_starts_d = jnp.asarray(np.asarray(blk_a.starts, dtype=np.int32))
     b_starts_d = a_starts_d if blk_b is blk_a \
         else jnp.asarray(np.asarray(blk_b.starts, dtype=np.int32))
@@ -1045,9 +1075,11 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         "cov": score, "comp": scomp, "nseeds": nseeds,
         "total_seeds": total_seeds, "total_hits": total_hits,
         "total_compact": total_hits,
+        "total_emit": n_emit, "tcap": tcap,
         # overflow covers BOTH fixed buffers: truncated seeds silently
         # lose overlaps just like truncated hits
-        "overflow": (total_hits > cap) | (total_seeds > seed_cap),
+        "overflow": (total_hits > cap) | (total_seeds > seed_cap)
+        | (n_emit > tcap),
         "raw_cap": cap,
         "compact_cap": cap,
     }

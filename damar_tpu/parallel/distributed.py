@@ -169,7 +169,7 @@ def ring_overlap_step(cfg: OverlapConfig, axis: str, n_shards: int,
         t = cfg.max_kmer_count or 128
         lo, cnt, cum, _tot = match_count(ac, amp, bc, bmp, k=cfg.kmer,
                                          max_count=t)
-        ap_mp, bp_mp, nhits, total_hits = match_fill_packed(
+        ap_mp, bp_mp, nhits, total_hits, _n_emit = match_fill_packed(
             amp, bmp, lo, cnt, cum, hit_cap=hit_cap)
         nr = b_starts.shape[0]
         ar, br, arp, brp, cov, scomp, nseeds, _ts = \

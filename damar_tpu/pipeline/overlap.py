@@ -324,10 +324,13 @@ def fetch_seeds_meta(seeds_dev: dict) -> dict:
     counts = np.asarray(jnp.stack(
         [seeds_dev["nseeds"], seeds_dev["total_seeds"],
          seeds_dev["total_hits"], seeds_dev["total_compact"],
-         seeds_dev["overflow"].astype(jnp.int32)]))
+         seeds_dev["overflow"].astype(jnp.int32),
+         seeds_dev.get("total_emit", jnp.int32(0))]))
     return {"nseeds": int(counts[0]), "total_seeds": int(counts[1]),
             "total_hits": int(counts[2]), "total_compact": int(counts[3]),
             "overflow": bool(counts[4]),
+            "total_emit": int(counts[5]),
+            "tcap": seeds_dev.get("tcap", 0),
             "raw_cap": seeds_dev["raw_cap"],
             "compact_cap": seeds_dev["compact_cap"],
             "dev": seeds_dev}
@@ -1531,17 +1534,22 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
               self_pair=self_block)
     if size_hints and size_hints.get("raw"):
         kw["raw_hint"] = (size_hints["raw"] * 5) // 4
+    if size_hints and size_hints.get("nnz") and not host:
+        kw["emit_hint"] = (size_hints["nnz"] * 5) // 4
     t_ph = time.time()
     seeds = run_seeding(kw)
     # overflow retries grow whichever fixed buffer saturated: the raw
-    # hit buffer (up to hit_cap) and/or the seed buffer (up to 4x the
-    # requested cap) — truncation in either silently loses overlaps
+    # hit buffer (up to hit_cap), the seed buffer (up to 4x the
+    # requested cap), and the fill's emitting-tuple partition
+    # (truncation in any silently loses overlaps)
     seed_cap_max = seed_cap * 4
     while seeds["overflow"] and (
             (seeds["total_hits"] > seeds["raw_cap"]
              and seeds["raw_cap"] < hit_cap)
             or (seeds["total_seeds"] > kw["seed_cap"]
-                and kw["seed_cap"] < seed_cap_max)):
+                and kw["seed_cap"] < seed_cap_max)
+            or (seeds.get("total_emit", 0) > seeds.get("tcap", 1 << 62)
+                and seeds.get("tcap", 0) < seeds["raw_cap"])):
         if seeds["total_hits"] > seeds["raw_cap"]:
             # total_hits is EXACT (count phase) — no need to double
             kw = dict(kw, raw_hint=seeds["total_hits"])
@@ -1550,10 +1558,15 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
             while sc < min(2 * seeds["total_seeds"], seed_cap_max):
                 sc *= 2
             kw = dict(kw, seed_cap=sc)
+        if seeds.get("total_emit", 0) > seeds.get("tcap", 1 << 62):
+            kw = dict(kw, emit_hint=seeds["total_emit"])
         seeds = run_seeding(kw)
     if size_hints is not None:
         size_hints["raw"] = max(seeds["total_hits"],
                                 size_hints.get("raw", 0) // 2)
+        if seeds.get("total_emit"):
+            size_hints["nnz"] = max(seeds["total_emit"],
+                                    size_hints.get("nnz", 0) // 2)
     if host:
         seeds = dedupe_anchor_seeds(seeds)
         stats["t_seed"] = round(time.time() - t_ph, 3)

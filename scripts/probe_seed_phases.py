@@ -87,7 +87,7 @@ for it in range(RUNS):
     print(f"  total hits {total}, cap {cap}", file=sys.stderr)
     fill = timed("match_fill_packed", match_fill_packed, amp, amp, lo,
                  c, cum, hit_cap=cap)
-    ap_mp, bp_mp, nhits, total_hits = fill
+    ap_mp, bp_mp, nhits, total_hits, _n_emit = fill
     flt = timed("diagonal_filter_packed", diagonal_filter_packed,
                 ap_mp, bp_mp, nhits,
                 a_rid_bits=rid_bits, a_rpos_bits=rpos_bits,
