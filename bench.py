@@ -257,8 +257,12 @@ def main() -> None:
             return gbp_s
         # production sweeps process many pairs: measure the
         # heterogeneous pipeline's steady state (host C trace+emit of
-        # pass N hidden behind the device phases of pass N+1)
-        R = 3
+        # pass N hidden behind the device phases of pass N+1).  R = 6:
+        # the first pass's unoverlapped device wall and the last
+        # pass's exposed trace tail amortize ~1/R, so small R
+        # understates the steady state a production sweep runs at
+        # (and doubles the artifact's sensitivity to tunnel noise)
+        R = 6
         jobs = [dict(tag=k, blk_a=blk, blk_b=blk, self_block=True,
                      hit_cap=hit_cap, seed_cap=seed_cap,
                      emit_mirrors=False, size_hints=hints)
