@@ -172,27 +172,10 @@ t = timed("while_loop 47x (gather+transpose+pallas)", wl_body_shape,
           words, aorig, reps=2)
 print(f"    = {t/47*1e3:.2f} ms per iteration", file=sys.stderr)
 
-# ---- 4. per-seed DMA slab fill vs gather (ops/slab.py) ----------------
-# the round-3 fused-kernel plan assumed DMA descriptor rate beats the
-# 12-15 ns/elem windowed gather — measure it (never captured on chip)
-from damar_tpu.ops.slab import align_transpose, fill_slab
-
-for (Sd, Wd) in ((8192, 16), (8192, 128), (65536, 16)):
-    ws = jax.random.randint(key, (Sd,), 0, NW - Wd, jnp.int32)
-    t = timed(f"fill_slab DMA [{Sd},{Wd}] words",
-              lambda w, o: fill_slab(w, o, Wd), words, ws, reps=3)
-    print(f"    = {t/Sd*1e6:.2f} us/descriptor, "
-          f"{t/(Sd*Wd)*1e9:.1f} ns/word", file=sys.stderr)
-
-    def wgather(w, o):
-        idx = o[:, None] + jnp.arange(Wd, dtype=jnp.int32)[None, :]
-        return w[jnp.clip(idx, 0, w.shape[0] - 1)]
-
-    t = timed(f"windowed gather [{Sd},{Wd}] words", wgather, words,
-              ws, reps=3)
-    print(f"    = {t/(Sd*Wd)*1e9:.1f} ns/word", file=sys.stderr)
-
-ph = jax.random.randint(key, (8192,), 0, 16, jnp.int32)
-slab8 = jax.random.randint(key, (8192, 128), 0, 1 << 30, jnp.int32)
-t = timed("align_transpose [8192,128]", align_transpose, slab8, ph,
-          reps=3)
+# ---- 4. (removed) per-seed DMA slab fill ----------------------------
+# Measured round 4: Mosaic tiles 1-D HBM memrefs at 1024 words and
+# rejects unaligned/short slices (and the remote compiler 500s even on
+# aligned 1024/2048-word tiles), so the per-seed DMA slab design is a
+# dead end on this stack.  The word-tile gather path (ops.wave_pallas.
+# _gather_packed_words + in-kernel unpack) replaced it; ops/slab.py
+# was deleted.
