@@ -90,9 +90,16 @@ def _gather_ragged(trace: np.ndarray, starts: np.ndarray,
                    lens: np.ndarray, chunk_bytes: int = 1 << 25
                    ) -> np.ndarray:
     """Gather ragged byte runs trace[starts[i]:starts[i]+lens[i]] into
-    one contiguous buffer, processing bounded record chunks — the
-    naive arange+repeat index arrays are int64, i.e. 8-16x the payload
-    itself, a multi-GB transient at block scale."""
+    one contiguous buffer.  Native C memcpy loop when available
+    (~60x the numpy chunked form at block scale — the sort permute of
+    a 50 Mbp pass's trace payload measured 2-3 s in numpy); the
+    fallback processes bounded record chunks because the naive
+    arange+repeat index arrays are int64, 8-16x the payload itself."""
+    from damar_tpu import native
+    if native.available():
+        out = native.ragged_copy(trace, starts, lens)
+        if out is not None:
+            return out
     out_off = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=out_off[1:])
     out = np.empty(int(out_off[-1]), np.uint8)

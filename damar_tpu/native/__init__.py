@@ -186,6 +186,10 @@ def _lib():
                 i32p, i32p, i32p, i32p, i32p, i32p,
                 ctypes.POINTER(i64)]
             lib.band_filter_packed.restype = i64
+            lib.ragged_copy_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(i64),
+                ctypes.POINTER(i64), i64,
+                ctypes.POINTER(ctypes.c_uint8)]
             _LIB = lib
     return _LIB
 
@@ -712,3 +716,23 @@ def bp_trace_batch(a_bases, b_bases, astart, bstart, abpos, bbpos,
        np.int32(S), np.int32(tspace), np.int32(max_segs),
        np.int32(_nthreads()), p32(trace), p32(nseg), p32(dsum))
     return trace[:S], nseg[:S], dsum[:S]
+
+
+def ragged_copy(src: np.ndarray, starts: np.ndarray,
+                lens: np.ndarray) -> np.ndarray | None:
+    """Contiguous gather of ragged byte runs src[starts[i]:
+    starts[i]+lens[i]] (BYTE offsets/lengths) — the C twin of the
+    formats.las numpy chunked gather, ~60x faster at block scale.
+    Returns the packed uint8 buffer, or None when native is
+    unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    st = np.ascontiguousarray(starts, dtype=np.int64)
+    ln = np.ascontiguousarray(lens, dtype=np.int64)
+    out = np.empty(int(ln.sum()), np.uint8)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.ragged_copy_u8(_u8p(src), p64(st), p64(ln),
+                       np.int64(len(st)), _u8p(out))
+    return out
