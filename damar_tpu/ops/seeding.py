@@ -698,17 +698,60 @@ def packed_payload_host(blk):
     return res
 
 
+_CANON_CHUNK = 1 << 24   # k-mer construction chunk (bounds HLO temps)
+
+
 @partial(jax.jit, static_argnames=("k",))
+def _canon_codes_packed(bases, read_id, mp_base, k: int, mask=None):
+    from damar_tpu.ops.kmers import kmer_codes_canonical
+    n = bases.shape[0]
+    C = _CANON_CHUNK
+    if n <= C or n % C:
+        codes, strand = kmer_codes_canonical(bases, read_id, k, mask)
+        return codes, mp_base | strand.astype(jnp.uint32)
+    # blockwise: the unrolled roll/shift construction materializes
+    # O(k) table-sized temporaries — ~15 GB of HLO temp at the 268M-
+    # position 200 Mbp block unit, an out-of-memory at compile time.
+    # lax.map over 16M-position chunks (k-1 overlap from a padded
+    # copy; pad read_id -1 invalidates windows crossing the real end)
+    # bounds the working set to one chunk.
+    bp = jnp.pad(bases, (0, 32), constant_values=4)
+    rp = jnp.pad(read_id, (0, 32), constant_values=-1)
+    mp = jnp.pad(mask, (0, 32)) if mask is not None else None
+
+    def chunk(i):
+        s = i * C
+        b = jax.lax.dynamic_slice(bp, (s,), (C + 32,))
+        r = jax.lax.dynamic_slice(rp, (s,), (C + 32,))
+        m = (jax.lax.dynamic_slice(mp, (s,), (C + 32,))
+             if mp is not None else None)
+        codes, strand = kmer_codes_canonical(b, r, k, m)
+        return codes[:C], strand[:C]
+
+    codes, strand = jax.lax.map(chunk, jnp.arange(n // C))
+    return (codes.reshape(n),
+            mp_base | strand.reshape(n).astype(jnp.uint32))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _sort_index(codes, mp, k: int):
+    codes_s, (mp_s,) = radix_sort_bits(codes, (mp,), 2 * k + 1)
+    return codes_s, mp_s
+
+
 def build_index_canonical_packed(bases, read_id, mp_base, k: int,
                                  mask=None):
     """Sorted canonical k-mer index with the PACKED payload (v3): the
     stable sort keeps per-code runs in block-position order, exactly
-    like the pos2 payload, so hit enumeration order is unchanged."""
-    from damar_tpu.ops.kmers import kmer_codes_canonical
-    codes, strand = kmer_codes_canonical(bases, read_id, k, mask)
-    mp = mp_base | strand.astype(jnp.uint32)
-    codes_s, (mp_s,) = radix_sort_bits(codes, (mp,), 2 * k + 1)
-    return codes_s, mp_s
+    like the pos2 payload, so hit enumeration order is unchanged.
+
+    Two jit programs, not one: the k-mer construction's roll/shift
+    temporaries and the sort's working set must not coexist in one
+    program's allocation plan — fused, a 268M-position block (the
+    200 Mbp reference block unit) plans 17.5 GB and fails to compile
+    on a 16 GB chip; split, each program peaks well under."""
+    codes, mp = _canon_codes_packed(bases, read_id, mp_base, k, mask)
+    return _sort_index(codes, mp, k)
 
 
 def canonical_index_dev(bases_d, rid_d, blk, k: int, mask=None):

@@ -72,3 +72,32 @@ def test_garbage_regions_match_too():
                                           reverse))
         tile = _gather_packed_words(words, origin, v0, 96, reverse)
         np.testing.assert_array_equal(_unpack(tile, 96), chars)
+
+
+def test_chunked_canonical_codes_match_unchunked():
+    # the 200 Mbp block unit OOMs the fused k-mer construction at
+    # compile time; the chunked lax.map path must be bit-identical
+    import jax.numpy as jnp
+    from damar_tpu.ops import seeding as sd
+    from damar_tpu.ops.kmers import kmer_codes_canonical
+    old = sd._CANON_CHUNK
+    sd._CANON_CHUNK = 1 << 12
+    try:
+        n = 1 << 13
+        rng = np.random.default_rng(5)
+        bases = rng.integers(0, 4, n).astype(np.uint8)
+        bases[100] = 4
+        rid = np.repeat(np.arange(n // 500 + 1), 500)[:n].astype(np.int32)
+        mp_base = rng.integers(0, 1 << 31, n,
+                               dtype=np.uint32) & ~np.uint32(1)
+        k = 14
+        c1, m1 = sd._canon_codes_packed.__wrapped__(
+            jnp.asarray(bases), jnp.asarray(rid), jnp.asarray(mp_base),
+            k)
+        codes, strand = kmer_codes_canonical(jnp.asarray(bases),
+                                             jnp.asarray(rid), k, None)
+        m0 = jnp.asarray(mp_base) | strand.astype(jnp.uint32)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(codes))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m0))
+    finally:
+        sd._CANON_CHUNK = old
