@@ -699,6 +699,7 @@ def packed_payload_host(blk):
 
 
 _CANON_CHUNK = 1 << 24   # k-mer construction chunk (bounds HLO temps)
+_FILL_SORT_MAX = 1 << 27  # fill v5 partition-sort table limit (HBM)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -818,22 +819,37 @@ def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int,
     n_emit = nz.sum(dtype=jnp.int32)
     if tcap is None:
         tcap = hit_cap
-    s0 = jnp.where(nz, jnp.minimum(starts, hit_cap), hit_cap)
-    key = (~nz).astype(jnp.int32)
-    _, s0c, v1c, v2c = jax.lax.sort(
-        (key, s0, lo - starts,
-         jax.lax.bitcast_convert_type(b_mp, jnp.int32)),
-        num_keys=1, is_stable=True)
-    s0c = s0c[:tcap]
+    if lo.shape[0] <= _FILL_SORT_MAX:
+        s0 = jnp.where(nz, jnp.minimum(starts, hit_cap), hit_cap)
+        key = (~nz).astype(jnp.int32)
+        _, s0c, v1c, v2c = jax.lax.sort(
+            (key, s0, lo - starts,
+             jax.lax.bitcast_convert_type(b_mp, jnp.int32)),
+            num_keys=1, is_stable=True)
+        s0c = s0c[:tcap]
 
-    def expand(vc):
-        vc = vc[:tcap]
-        d = vc - jnp.concatenate([jnp.zeros(1, vc.dtype), vc[:-1]])
-        w = jnp.zeros(hit_cap + 1, jnp.int32).at[s0c].add(d)
-        return jnp.cumsum(w[:hit_cap])
+        def expand(vc):
+            vc = vc[:tcap]
+            d = vc - jnp.concatenate([jnp.zeros(1, vc.dtype), vc[:-1]])
+            w = jnp.zeros(hit_cap + 1, jnp.int32).at[s0c].add(d)
+            return jnp.cumsum(w[:hit_cap])
 
-    shift = expand(v1c)
-    e_bmp = expand(v2c)
+        shift = expand(v1c)
+        e_bmp = expand(v2c)
+    else:
+        # very large tables (the 200 Mbp block unit): the 4-operand
+        # partition sort's working set alone is ~8-10 GB — fall back
+        # to the v4 full-stream diff-scatter (identical buffer, ~3 GB
+        # peak; slower per pass but it fits the chip)
+        s0 = jnp.minimum(starts, hit_cap)
+
+        def expand(v):
+            d = v - jnp.concatenate([jnp.zeros(1, v.dtype), v[:-1]])
+            w = jnp.zeros(hit_cap + 1, jnp.int32).at[s0].add(d)
+            return jnp.cumsum(w[:hit_cap])
+
+        shift = expand(lo - starts)
+        e_bmp = expand(jax.lax.bitcast_convert_type(b_mp, jnp.int32))
     hit0 = jnp.arange(hit_cap, dtype=jnp.int32)
     aidx = hit0 + shift
     ap_mp = a_mp[jnp.clip(aidx, 0, a_mp.shape[0] - 1)]

@@ -236,14 +236,21 @@ def _pack_bases(bases_u8):
     """uint8 base codes -> int32 words, 16 bases per word (2 bits each,
     base i of word w at bits [2i, 2i+2)).  The PAD_BASE sentinel (4)
     packs as 0; wave kernels never read unmasked out-of-read positions
-    (validity comes from alim/blim lane masks, not the sentinel)."""
+    (validity comes from alim/blim lane masks, not the sentinel).
+
+    Built from 16 strided FLAT slices, not a [n/16, 16] reshape: TPU
+    tiling pads a 16-wide minor dim to 128 lanes (8x memory), which
+    planned a 16 GB HLO temp at the 200 Mbp block unit."""
     n = bases_u8.shape[0]
     m = -(-n // 16) * 16
     if m != n:
         bases_u8 = jnp.pad(bases_u8, (0, m - n))
-    w = (bases_u8.reshape(-1, 16).astype(jnp.int32)) & 3
-    shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, :]
-    return jnp.sum(w << shifts, axis=1).astype(jnp.int32)
+    b = bases_u8.astype(jnp.int32) & 3
+    acc = jnp.zeros(m // 16, jnp.int32)
+    for j in range(16):
+        acc = acc | (jax.lax.slice(b, (j,), (m - 15 + j,), (16,))
+                     << (2 * j))
+    return acc
 
 
 def _rev16(w):
