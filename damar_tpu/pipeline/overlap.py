@@ -1532,10 +1532,22 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
     kw = dict(mask_a=mask_a, mask_b=mask_b, upper_only=self_block,
               hit_cap=hit_cap, seed_cap=seed_cap, a_index=a_index,
               self_pair=self_block)
+    # hints are a running max of EXACT measured totals: pass them
+    # unpadded.  Buffer caps are pow2-bucketed downstream, so padding
+    # only matters when it crosses a pow2 edge — where it DOUBLES the
+    # multi-GB hit buffers (OOMed pass 2 of the 200 Mbp block unit on
+    # the 16 GB chip); an undershoot costs one exact grow-retry.
     if size_hints and size_hints.get("raw"):
-        kw["raw_hint"] = (size_hints["raw"] * 5) // 4
+        kw["raw_hint"] = size_hints["raw"]
     if size_hints and size_hints.get("nnz") and not host:
-        kw["emit_hint"] = (size_hints["nnz"] * 5) // 4
+        kw["emit_hint"] = size_hints["nnz"]
+    if not host and blk_a.cap > (1 << 27):
+        # 200 Mbp-class block: seeding's sort working set needs every
+        # spare GB of the 16 GB chip — drop the memoized oriented
+        # trace pool (~0.7 GB concat + packed words) from the previous
+        # pass; the trace phase rebuilds it on-device from the
+        # still-resident fwd/rc parts (no tunnel re-upload)
+        blk_a.cache.pop("trace_pool", None)
     t_ph = time.time()
     seeds = run_seeding(kw)
     # overflow retries grow whichever fixed buffer saturated: the raw
@@ -1707,7 +1719,19 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             cat = ent[2]
             cat_words = ent[3]
         else:
-            dev = {id(blk_a.bases): a_bases_d}
+            dev = {}
+            # reuse any device-resident copy of a part (extension
+            # keeps fwd + rc bases in dev_arrs): a rebuild after the
+            # huge-block eviction is then pure on-device concat+pack,
+            # never a tunnel re-upload
+            for _b in (blk_a, blk_b, blk_b_rc, blk_a_rc):
+                if _b is None:
+                    continue
+                _c = _b.cache.get("dev_arrs", {}).get("bases")
+                if _c is not None:
+                    dev[id(_b.bases)] = _c
+            if a_bases_d is not None:
+                dev[id(blk_a.bases)] = a_bases_d
             parts_d = [dev.get(id(u)) if dev.get(id(u)) is not None
                        else jnp.asarray(u) for u in uniq]
             cat = jnp.concatenate(parts_d) if len(parts_d) > 1 \
