@@ -1541,12 +1541,13 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
         kw["raw_hint"] = size_hints["raw"]
     if size_hints and size_hints.get("nnz") and not host:
         kw["emit_hint"] = size_hints["nnz"]
-    if not host and blk_a.cap > (1 << 27):
-        # 200 Mbp-class block: seeding's sort working set needs every
-        # spare GB of the 16 GB chip — drop the memoized oriented
-        # trace pool (~0.7 GB concat + packed words) from the previous
-        # pass; the trace phase rebuilds it on-device from the
-        # still-resident fwd/rc parts (no tunnel re-upload)
+    if not host and max(blk_a.cap, blk_b.cap) > (1 << 27):
+        # 200 Mbp-class block on either side: seeding's sort working
+        # set needs every spare GB of the 16 GB chip — drop the
+        # memoized oriented trace pool (A fwd + B fwd + B rc concat +
+        # packed words, stored on blk_a) from the previous pass; the
+        # trace phase rebuilds it on-device from the still-resident
+        # fwd/rc parts (no tunnel re-upload)
         blk_a.cache.pop("trace_pool", None)
     t_ph = time.time()
     seeds = run_seeding(kw)
@@ -1719,6 +1720,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             cat = ent[2]
             cat_words = ent[3]
         else:
+            t_pool = time.time()
             dev = {}
             # reuse any device-resident copy of a part (extension
             # keeps fwd + rc bases in dev_arrs): a rebuild after the
@@ -1740,6 +1742,14 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             cat_words = jax.jit(_pack_bases)(cat)
             blk_a.cache["trace_pool"] = (pkey, list(uniq), cat,
                                          cat_words)
+            # surface the rebuild cost (and any degraded tunnel
+            # upload) so bench history catches a regression here —
+            # after the huge-block eviction this should be pure
+            # on-device concat+pack, never a re-upload
+            stats["t_trace_pool_rebuild"] = round(time.time() - t_pool, 3)
+            n_up = sum(1 for u in uniq if dev.get(id(u)) is None)
+            if n_up:
+                stats["trace_pool_uploads"] = n_up
         cat = (cat, cat_words)
 
     def units_of(kept: dict, mirrored: bool) -> dict:

@@ -15,7 +15,6 @@ mapped through trace points, and splits reads at uncovered gaps.
 """
 from __future__ import annotations
 
-from collections import defaultdict
 from dataclasses import dataclass
 
 import numpy as np
@@ -32,13 +31,6 @@ from damar_tpu.formats.oflags import (
 from damar_tpu.formats.tracks import Track
 
 Q_NOCOV = 255  # quality value for uncovered segments
-
-
-def piles(las: LasFile) -> dict[int, list[Overlap]]:
-    out: dict[int, list[Overlap]] = defaultdict(list)
-    for o in las.overlaps:
-        out[o.aread].append(o)
-    return out
 
 
 def _cols_of(las: LasFile) -> LasColumns:

@@ -92,11 +92,8 @@ mem("after-pass1")
 
 def evict(level):
     if level >= 1:
-        for b in list(blk.cache.get("rc_blocks", {}).values()) + (
-                [blk.cache["rc"]] if "rc" in blk.cache else []):
-            if hasattr(b, "cache"):
-                b.cache.pop("dev_arrs", None)
-        # rc block may be cached under another key — scan
+        # drop the rc block's device arrays (cached as 'rc_block' by
+        # _rc_cached; generic scan keeps this robust to key changes)
         for k, v in list(blk.cache.items()):
             if hasattr(v, "cache"):
                 v.cache.pop("dev_arrs", None)
