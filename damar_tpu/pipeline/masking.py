@@ -12,9 +12,100 @@ import numpy as np
 
 from damar_tpu.core.blocks import ReadBlock
 from damar_tpu.core.config import MaskConfig, OverlapConfig
-from damar_tpu.formats.las import LasFile
-from damar_tpu.formats.tracks import Track, merge_interval_lists
+from damar_tpu.formats.las import (H_ABPOS, H_AEPOS, H_AREAD, LasColumns,
+                                   LasFile, _overlaps_to_columns)
+from damar_tpu.formats.tracks import Track
 from damar_tpu.utils.dust import dust_block
+
+
+def _cols_of(las: LasFile) -> LasColumns:
+    c = las.columns
+    if c is None:
+        c = _overlaps_to_columns(las.overlaps, las.small)
+    return c
+
+
+def _local_index(aread: np.ndarray, read_index: dict[int, int]
+                 ) -> np.ndarray:
+    """Vectorized read_index lookup: absolute aread -> local track
+    index, -1 where absent."""
+    if not read_index:
+        return np.full(len(aread), -1, np.int64)
+    keys = np.fromiter(read_index.keys(), np.int64, len(read_index))
+    vals = np.fromiter(read_index.values(), np.int64, len(read_index))
+    o = np.argsort(keys)
+    keys, vals = keys[o], vals[o]
+    pos = np.searchsorted(keys, aread)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    ok = keys[pos_c] == aread
+    return np.where(ok, vals[pos_c], -1)
+
+
+def _split_by_read(j: np.ndarray, flat_pairs: np.ndarray,
+                   nreads: int) -> list[np.ndarray]:
+    """Per-read flat [b0,e0,...] int32 arrays from read-sorted interval
+    rows (j ascending, flat_pairs = interleaved starts/ends)."""
+    counts = np.bincount(j, minlength=nreads) if len(j) else \
+        np.zeros(nreads, np.int64)
+    cuts = 2 * np.cumsum(counts)[:-1]
+    return [np.ascontiguousarray(seg, np.int32)
+            for seg in np.split(flat_pairs, cuts)]
+
+
+def _coverage_data(j: np.ndarray, b: np.ndarray, e: np.ndarray,
+                   rlen_of: np.ndarray, nreads: int,
+                   threshold: int) -> list[np.ndarray]:
+    """Columnar coverage_intervals over ALL reads at once: one global
+    event scatter + sort + cumsum (no per-record Python objects —
+    MARVEL scrub/LArepeat.c's per-pile sweep, vectorized).  Bit-equal
+    to coverage_intervals per read (differentially tested)."""
+    m = len(j)
+    if m == 0:
+        return [np.zeros(0, np.int32) for _ in range(nreads)]
+    jj = np.concatenate([j, j]).astype(np.int64)
+    pos = np.concatenate([b, e]).astype(np.int64)
+    d = np.concatenate([np.ones(m, np.int64), -np.ones(m, np.int64)])
+    # event order matches the scalar sweep: (read, pos, delta) with
+    # -1 before +1 at equal positions
+    key = (jj << 34) | (pos << 1) | (d > 0)
+    o = np.argsort(key, kind="stable")
+    jj, pos, d = jj[o], pos[o], d[o]
+    # each read's deltas sum to zero, so a single global cumsum is the
+    # per-read running coverage (it returns to 0 at every boundary)
+    cum = np.cumsum(d)
+    above = cum >= threshold
+    prev = np.empty(len(jj), bool)
+    prev[0] = False
+    prev[1:] = above[:-1]
+    first = np.empty(len(jj), bool)
+    first[0] = True
+    first[1:] = jj[1:] != jj[:-1]
+    prev[first] = False
+    starts_m = above & ~prev
+    ends_m = ~above & prev
+    sj, sp = jj[starts_m], pos[starts_m]
+    ej, ep = jj[ends_m], pos[ends_m]
+    rlen64 = np.asarray(rlen_of).astype(np.int64)
+    # a start can stay open through the last event only when the
+    # threshold is <= 0 (coverage ends at 0): close it at rlen, and
+    # exempt such tail pairs from the zero-length filter (scalar
+    # semantics)
+    tail = np.zeros(len(ej), bool)
+    s_cnt = np.bincount(sj, minlength=nreads)
+    e_cnt = np.bincount(ej, minlength=nreads)
+    open_reads = np.nonzero(s_cnt > e_cnt)[0]
+    if len(open_reads):
+        ej = np.concatenate([ej, open_reads])
+        ep = np.concatenate([ep, rlen64[open_reads]])
+        tail = np.concatenate([tail, np.ones(len(open_reads), bool)])
+        o2 = np.lexsort((tail, ep, ej))
+        ej, ep, tail = ej[o2], ep[o2], tail[o2]
+    keep = (ep > sp) | tail
+    sj, sp, ep = sj[keep], sp[keep], np.minimum(ep, rlen64[sj])[keep]
+    flat = np.empty(2 * len(sp), np.int64)
+    flat[0::2] = sp
+    flat[1::2] = ep
+    return _split_by_read(sj, flat, nreads)
 
 
 def dust_track(seqs: list[np.ndarray], cfg: MaskConfig) -> Track:
@@ -43,24 +134,46 @@ def tandem_track(blk: ReadBlock, ocfg: OverlapConfig, cfg: MaskConfig,
     else:
         seeds = find_tandem_seeds(blk, ocfg, max_period=max_period)
     exts = extend_seeds(blk, blk, seeds, ocfg, comp=False)
-    per_read: dict[int, list] = {}
     sel = np.nonzero(exts["aread"] == exts["bread"])[0]
-    lo_v = np.minimum(exts["abpos"][sel], exts["bbpos"][sel])
-    hi_v = np.maximum(exts["aepos"][sel], exts["bepos"][sel])
-    for j, lo, hi in zip(exts["aread"][sel], lo_v, hi_v):
-        if hi - lo >= cfg.tan_min_len:
-            per_read.setdefault(int(j), []).append((int(lo), int(hi)))
-    data = []
-    for j in range(blk.nreads):
-        ivs = per_read.get(j)
-        if not ivs:
-            data.append(np.zeros(0, np.int32))
-            continue
-        acc = np.zeros(0, np.int32)
-        for lo, hi in sorted(ivs):
-            acc = merge_interval_lists(acc, np.array([lo, hi], np.int32))
-        data.append(acc)
+    j = exts["aread"][sel].astype(np.int64)
+    lo = np.minimum(exts["abpos"][sel], exts["bbpos"][sel]).astype(np.int64)
+    hi = np.maximum(exts["aepos"][sel], exts["bepos"][sel]).astype(np.int64)
+    keep = hi - lo >= cfg.tan_min_len
+    j, lo, hi = j[keep], lo[keep], hi[keep]
+    data = _merge_intervals_by_read(j, lo, hi, blk.nreads)
     return Track(name="tan", data=data)
+
+
+def _merge_intervals_by_read(j: np.ndarray, lo: np.ndarray,
+                             hi: np.ndarray, nreads: int
+                             ) -> list[np.ndarray]:
+    """Union of intervals per read in ONE sorted-array pass (the
+    per-read merge_interval_lists loop, vectorized).  Intervals with
+    lo <= running max end of the current group merge (tracks.py
+    merge rule)."""
+    if len(j) == 0:
+        return [np.zeros(0, np.int32) for _ in range(nreads)]
+    o = np.lexsort((hi, lo, j))
+    j, lo, hi = j[o], lo[o], hi[o]
+    # per-read frames via a big per-read offset: a plain running max
+    # then never crosses read boundaries, and within a read it equals
+    # the current GROUP's running end (a new group only starts past it)
+    big = int(max(hi.max(), lo.max()) + 2)
+    loo = lo + j * big
+    run = np.maximum.accumulate(hi + j * big)
+    newgrp = np.empty(len(loo), bool)
+    newgrp[0] = True
+    newgrp[1:] = loo[1:] > run[:-1]
+    last = np.empty(len(loo), bool)
+    last[:-1] = newgrp[1:]
+    last[-1] = True
+    gj = j[newgrp]
+    glo = lo[newgrp]
+    ghi = run[last] - gj * big
+    flat = np.empty(2 * len(glo), np.int64)
+    flat[0::2] = glo
+    flat[1::2] = ghi
+    return _split_by_read(gj, flat, nreads)
 
 
 def coverage_intervals(events: list[tuple[int, int]], rlen: int,
@@ -98,13 +211,11 @@ def repeat_track_coverage(las: LasFile, rlen_of: np.ndarray,
 
     read_index maps absolute read id -> local track index.
     """
-    ev: list[list[tuple[int, int]]] = [[] for _ in range(nreads)]
-    for o in las.overlaps:
-        j = read_index.get(o.aread)
-        if j is not None:
-            ev[j].append((o.abpos, o.aepos))
-    data = [coverage_intervals(ev[j], int(rlen_of[j]), cov)
-            for j in range(nreads)]
+    h = _cols_of(las).headers
+    j = _local_index(h[:, H_AREAD], read_index)
+    sel = j >= 0
+    data = _coverage_data(j[sel], h[sel, H_ABPOS], h[sel, H_AEPOS],
+                          rlen_of, nreads, cov)
     return Track(name=name, data=data)
 
 
@@ -115,20 +226,20 @@ def repeat_track_relative(las: LasFile, rlen_of: np.ndarray,
     """LArepeat equivalent: repeat threshold relative to the dataset's
     expected coverage (estimated as the median per-base coverage of
     reads with any alignment)."""
-    ev: list[list[tuple[int, int]]] = [[] for _ in range(nreads)]
-    for o in las.overlaps:
-        j = read_index.get(o.aread)
-        if j is not None:
-            ev[j].append((o.abpos, o.aepos))
-    per_read_cov = []
-    for j in range(nreads):
-        if ev[j] and rlen_of[j] > 0:
-            tot = sum(e - b for b, e in ev[j])
-            per_read_cov.append(tot / int(rlen_of[j]))
-    est = float(np.median(per_read_cov)) if per_read_cov else 0.0
+    h = _cols_of(las).headers
+    j = _local_index(h[:, H_AREAD], read_index)
+    sel = j >= 0
+    jj = j[sel]
+    b = h[sel, H_ABPOS].astype(np.int64)
+    e = h[sel, H_AEPOS].astype(np.int64)
+    tot = np.bincount(jj, weights=(e - b).astype(np.float64),
+                      minlength=nreads)
+    has = np.bincount(jj, minlength=nreads) > 0
+    rl = np.asarray(rlen_of).astype(np.int64)
+    ok = has & (rl > 0)
+    est = float(np.median(tot[ok] / rl[ok])) if ok.any() else 0.0
     thr = max(2, int(round(est * high_mult)))
-    data = [coverage_intervals(ev[j], int(rlen_of[j]), thr)
-            for j in range(nreads)]
+    data = _coverage_data(jj, b, e, rlen_of, nreads, thr)
     t = Track(name=name, data=data)
     t.expected_coverage = est  # type: ignore[attr-defined]
     return t

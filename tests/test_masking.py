@@ -93,3 +93,76 @@ class TestMaskFeedback:
         ma = mask_vector_from_track(mask.data, blk_a.starts, blk_a.cap)
         masked = find_seeds(blk_a, blk_b, cfg, mask_a=ma)
         assert masked["nseeds"] == 0, masked["nseeds"]
+
+
+class TestColumnarMasking:
+    """Differential tests: the columnar masking paths (one global
+    event-scatter pass, no per-record objects) vs the scalar
+    per-read references."""
+
+    def test_coverage_data_matches_scalar(self, rng):
+        nreads = 40
+        rlen = rng.integers(50, 400, nreads).astype(np.int64)
+        m = 600
+        j = rng.integers(0, nreads, m).astype(np.int64)
+        b = np.array([rng.integers(0, rlen[x]) for x in j], np.int64)
+        e = np.array([min(int(bb) + int(rng.integers(1, 120)),
+                          int(rlen[x])) for bb, x in zip(b, j)],
+                     np.int64)
+        for thr in (1, 2, 3, 7):
+            cols = masking._coverage_data(j, b, e, rlen, nreads, thr)
+            for r in range(nreads):
+                ev = [(int(bb), int(ee)) for bb, ee, x in zip(b, e, j)
+                      if x == r]
+                ref = masking.coverage_intervals(ev, int(rlen[r]), thr)
+                np.testing.assert_array_equal(cols[r], ref, err_msg=(
+                    f"read {r} thr {thr}"))
+
+    def test_coverage_data_empty_and_absent_reads(self):
+        cols = masking._coverage_data(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), np.array([100, 100]), 2, 2)
+        assert len(cols) == 2 and all(len(c) == 0 for c in cols)
+
+    def test_merge_intervals_matches_reference(self, rng):
+        from damar_tpu.formats.tracks import merge_interval_lists
+        nreads = 25
+        m = 300
+        j = rng.integers(0, nreads, m).astype(np.int64)
+        lo = rng.integers(0, 1000, m).astype(np.int64)
+        hi = lo + rng.integers(1, 200, m).astype(np.int64)
+        cols = masking._merge_intervals_by_read(j, lo, hi, nreads)
+        for r in range(nreads):
+            acc = np.zeros(0, np.int32)
+            ivs = sorted((int(a), int(c)) for a, c, x in
+                         zip(lo, hi, j) if x == r)
+            for a, c in ivs:
+                acc = merge_interval_lists(
+                    acc, np.array([a, c], np.int32))
+            np.testing.assert_array_equal(cols[r], acc,
+                                          err_msg=f"read {r}")
+
+    def test_repeat_tracks_columnar_vs_objects(self, rng):
+        """repeat_track_* consume LasColumns directly; the same las
+        materialized as objects must give identical tracks."""
+        from damar_tpu.formats.las import LasFile, Overlap
+        nreads = 30
+        rlen = rng.integers(500, 3000, nreads).astype(np.int64)
+        ovls = []
+        for _ in range(500):
+            a = int(rng.integers(0, nreads))
+            ab = int(rng.integers(0, rlen[a] - 100))
+            ae = ab + int(rng.integers(50, min(800, rlen[a] - ab)))
+            ovls.append(Overlap(aread=a + 7, bread=int(rng.integers(0, 99)),
+                                flags=0, abpos=ab, aepos=ae,
+                                bbpos=0, bepos=ae - ab, diffs=10))
+        las = LasFile(100, ovls)
+        idx = {r + 7: r for r in range(nreads)}
+        t1 = masking.repeat_track_coverage(las, rlen, idx, nreads, cov=4)
+        t2 = masking.repeat_track_relative(las, rlen, idx, nreads)
+        # scalar recomputation per read
+        for r in range(nreads):
+            ev = [(o.abpos, o.aepos) for o in ovls if o.aread == r + 7]
+            ref = masking.coverage_intervals(ev, int(rlen[r]), 4)
+            np.testing.assert_array_equal(t1.data[r], ref)
+        assert t2.expected_coverage > 0
