@@ -122,7 +122,7 @@ def _device_responsive(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def _try_tpu_subprocess(budget_s: float = 2400.0) -> bool:
+def _try_tpu_subprocess(budget_s: float = 3300.0) -> bool:
     """Run the TPU bench in a subprocess with a hard wall budget.
 
     The tunneled chip has wedged MID-RUN in past sessions (probe passes,
@@ -277,6 +277,68 @@ def main() -> None:
               file=sys.stderr)
         return max(gbp_s, pgbp)
 
+    def run_sweep_config(genome_bp: int, nblocks: int, label: str):
+        """Distinct-pair all-vs-all sweep through run_overlap_plan
+        (manifest, LRU residency, pipelined sweep): the same dataset
+        as the same-pair config, split into nblocks DB blocks.  Unlike
+        the same-pair headline (N warm repeats of ONE resident pair),
+        every pass here meets a fresh B block — uploads, rc twins and
+        A-index builds are all INSIDE the measured wall (VERDICT r4
+        missing #3)."""
+        import shutil
+        import tempfile
+        from damar_tpu.formats import dazzdb, las as lasmod
+        from damar_tpu.pipeline.planner import run_overlap_plan
+        from damar_tpu.utils.sim import write_sim_fasta
+        t0 = time.time()
+        g = make_genome(genome_bp, seed=SEED)
+        sim = sample_reads(g, coverage=COVERAGE, mean_len=MEAN_LEN,
+                           err=ERR, seed=SEED + 1)
+        total_bp = sum(len(r) for r in sim.reads)
+        wdir = tempfile.mkdtemp(prefix="damar_bench_sweep_")
+        try:
+            write_sim_fasta(f"{wdir}/reads.fasta", sim)
+            dazzdb.create_db(f"{wdir}/S.db", [f"{wdir}/reads.fasta"])
+            size_mb = max(1, int(total_bp / nblocks / 1e6))
+            dazzdb.db_split(f"{wdir}/S.db", size_mb=size_mb, cutoff=0)
+            db = dazzdb.DazzDB.open(f"{wdir}/S.db")
+            n = db.nblocks
+            npairs = n * (n + 1) // 2
+            print(f"# bench[{label}]: {len(sim.reads)} reads, "
+                  f"{total_bp} bp in {n} blocks ({npairs} pairs), "
+                  f"setup {time.time()-t0:.1f}s", file=sys.stderr)
+            cfg = OverlapConfig()
+
+            def one_run():
+                t0 = time.time()
+                run_overlap_plan(f"{wdir}/S.db", cfg, verbose=False)
+                wall = time.time() - t0
+                # every alignment appears once primary + once
+                # mirrored in the merged per-block shards
+                aligned = 0
+                for i in range(1, n + 1):
+                    la = lasmod.read_las(f"{wdir}/S.{i}.las")
+                    aligned += int(la.a_spans().sum())
+                return wall, aligned // 2
+
+            def reset():
+                for f in os.listdir(wdir):
+                    if f.endswith(".las") or ".overlap.manifest" in f:
+                        os.remove(os.path.join(wdir, f))
+
+            w0, _ = one_run()          # cold: compiles for n shapes
+            print(f"# [{label}] cold run (+compile): {w0:.1f}s",
+                  file=sys.stderr)
+            reset()
+            wall, aligned = one_run()  # warm: the measured sweep
+            gbp = aligned / wall / 1e9
+            print(f"# [{label}] warm sweep: {wall:.2f}s over {npairs} "
+                  f"pairs, {aligned} aligned bp = {gbp:.4f} Gbp/s",
+                  file=sys.stderr)
+            return gbp
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     if profile_dir:
         import jax
     if "--quick" in sys.argv:
@@ -321,6 +383,13 @@ def main() -> None:
         if profile_dir:
             jax.profiler.stop_trace()
             print(f"# profile trace: {profile_dir}", file=sys.stderr)
+        # sweep-realistic number: same dataset, distinct block pairs
+        try:
+            sweep = run_sweep_config(GENOME_LARGE, 4, "sweep-4x12Mbp")
+        except Exception as e:
+            print(f"# WARNING: sweep config failed: {e}",
+                  file=sys.stderr)
+            sweep = None
     if tpu_wedged:
         last = _load_last_good_tpu()
         if last is not None:
@@ -337,7 +406,7 @@ def main() -> None:
                   file=sys.stderr)
             print(json.dumps(last))
             return
-    print(json.dumps({
+    rec = {
         "metric": "overlap_aligned_throughput",
         "value": round(gbp_s, 6),
         "unit": "Gbp-aligned/s/chip",
@@ -346,7 +415,10 @@ def main() -> None:
         "small_gbp_s": round(small, 6),
         "provenance": "cpu-fallback" if tpu_wedged else
                       ("cpu-requested" if on_cpu else "measured-on-TPU"),
-    }))
+    }
+    if not on_cpu and sweep is not None:
+        rec["sweep_gbp_s"] = round(sweep, 6)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -25,6 +25,7 @@ Read ids in emitted .las records are ABSOLUTE untrimmed DB read ids
 """
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -1456,7 +1457,14 @@ def overlap_block_pair(blk_a: ReadBlock, blk_b: ReadBlock,
         blk_a, blk_b, cfg, self_block, mask_a=mask_a, mask_b=mask_b,
         hit_cap=hit_cap, seed_cap=seed_cap, emit_mirrors=emit_mirrors,
         size_hints=size_hints)
-    return overlap_pair_emit(state)
+    # one-shot calls on the DEVICE backend route trace+emit through
+    # the bit-identical host C kernels too (the pipelined sweep
+    # already does): the device trace harvest costs ~7 s of unhidden
+    # device-loop + tunnel fetches per 50 Mbp pass that a non-
+    # pipelined caller would eat (DAMAR_TRACE=dev opts out)
+    trace_host = (not _host_compute_enabled()
+                  and os.environ.get("DAMAR_TRACE", "") != "dev")
+    return overlap_pair_emit(state, trace_host=trace_host)
 
 
 def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,

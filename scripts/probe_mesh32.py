@@ -40,8 +40,16 @@ def _arg(name, default, cast=int):
 
 
 NB = _arg("--blocks", 32)
-g = make_genome(60_000 * NB // 4, seed=11)
-sim = sample_reads(g, coverage=6.0, mean_len=3000, err=0.12, seed=12)
+# per-block sizing: the instrument measures HOST GLUE (dedupe, tensor
+# assembly, validation, encode — scales with pairs and records), not
+# mesh exec (pure-JAX bp kernels are ~100x slower on the virtual CPU
+# mesh than on chip, so big blocks just drown the measurement in
+# emulation time — r4's 27-min-before-round-0).  --full restores the
+# r3 sizes.
+FULL = "--full" in sys.argv
+g = make_genome((60_000 if FULL else 16_000) * NB // 4, seed=11)
+sim = sample_reads(g, coverage=6.0 if FULL else 5.0,
+                   mean_len=3000 if FULL else 1500, err=0.12, seed=12)
 order = np.argsort([len(r) for r in sim.reads])
 per = len(sim.reads) // NB
 cap = max(len(r) for r in sim.reads) * per + 64
