@@ -1485,6 +1485,24 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
     host = _host_compute_enabled()
+    if not host and max(blk_a.cap, blk_b.cap) > (1 << 27):
+        # 200 Mbp-class block on either side: seeding's peak working
+        # set (fill buffers + the 3-operand banding sort at ~200M
+        # hits) needs essentially ALL of the 16 GB chip.  The r5
+        # fresh-process eviction ladder (scripts/probe_200m_ladder.py)
+        # proved NO cross-pass residency fits: keeping even the
+        # cached A index (~2 GB) OOMs the next pass, and only a full
+        # release (= cold-pass state) runs steadily.  Release BEFORE
+        # any cache lookup builds local refs, and pay the per-pass
+        # rebuild — blocks this size are HBM-inefficient on a 16 GB
+        # chip; the planner should prefer <= 67 MB blocks (see
+        # BASELINE.md 200 Mbp row).
+        release_device_buffers(blk_a)
+        if blk_b is not blk_a:
+            release_device_buffers(blk_b)
+        for b in (blk_b_rc, blk_a_rc):
+            if b is not None:
+                b.cache.pop("dev_arrs", None)
     # -b: composition weights from the A block (host LUT; both seeding
     # twins apply the identical fixed-point formula)
     bias_lut = None
@@ -1549,14 +1567,6 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
         kw["raw_hint"] = size_hints["raw"]
     if size_hints and size_hints.get("nnz") and not host:
         kw["emit_hint"] = size_hints["nnz"]
-    if not host and max(blk_a.cap, blk_b.cap) > (1 << 27):
-        # 200 Mbp-class block on either side: seeding's sort working
-        # set needs every spare GB of the 16 GB chip — drop the
-        # memoized oriented trace pool (A fwd + B fwd + B rc concat +
-        # packed words, stored on blk_a) from the previous pass; the
-        # trace phase rebuilds it on-device from the still-resident
-        # fwd/rc parts (no tunnel re-upload)
-        blk_a.cache.pop("trace_pool", None)
     t_ph = time.time()
     seeds = run_seeding(kw)
     # overflow retries grow whichever fixed buffer saturated: the raw
