@@ -861,6 +861,222 @@ def match_fill_packed(a_mp, b_mp, lo, c, cum, hit_cap: int,
             nhits, total, n_emit)
 
 
+# --- sliced seeding (200 Mbp-class blocks) -----------------------------------
+#
+# Above _SLICE_CAP the single-buffer pipeline cannot fit the 16 GB
+# chip: the v4 fill pays two table-scale diff-scatters and the banding
+# sort's working set at ~200M hits leaves no headroom for ANY
+# cross-pass residency (r5 eviction ladder, scripts/
+# probe_200m_ladder.py).  The sliced pipeline bounds every working set:
+#   1. chunked 1-bit partition sorts compact the emitting tuples
+#      (c > 0) chunk by chunk — order-preserving, each sort at chunk
+#      size instead of table size;
+#   2. ONE 3-way partition sort splits the compacted tuples by b-read
+#      (bands never cross a b-read, so per-slice banding is exact);
+#   3. fill + banding run per slice at ~half-size buffers;
+#   4. the merged seeds are re-sorted by the reconstructed band key —
+#      bit-identical set AND order to the unsliced pipeline (band
+#      anchors are unique per band, so the sort has no ties).
+# Ref: DALIGNER/dalign/filter.c processes hits in bounded panels for
+# the same working-set reason ⟨VERIFY⟩.
+
+_SLICE_CAP = 1 << 27     # slice when the hit buffer would exceed this
+_SLICE_CHUNK = 1 << 26   # tuple-partition chunk (bounds sort memory)
+
+
+@partial(jax.jit, static_argnames=("chunk", "nchunks", "b_rpos_bits"))
+def _sliced_counts(c, b_mp, br_mid, chunk: int, nchunks: int,
+                   b_rpos_bits: int):
+    """One pass over the tuple table: per-chunk emitting-tuple counts
+    (sizes the chunk partition quota) and per-slice tuple/hit totals
+    (size the per-slice buffers exactly — no grow-retry)."""
+    nz = c > 0
+    per_chunk = nz.reshape(nchunks, chunk).sum(axis=1).astype(jnp.int32)
+    br = (b_mp >> jnp.uint32(1 + b_rpos_bits)).astype(jnp.int32)
+    in1 = br >= br_mid
+    n0 = (nz & ~in1).sum().astype(jnp.int32)
+    n1 = (nz & in1).sum().astype(jnp.int32)
+    t0 = jnp.where(nz & ~in1, c, 0).sum().astype(jnp.int32)
+    t1 = jnp.where(nz & in1, c, 0).sum().astype(jnp.int32)
+    return jnp.concatenate([per_chunk, jnp.stack([n0, n1, t0, t1])])
+
+
+@partial(jax.jit, static_argnames=("chunk", "q", "nchunks"))
+def _compact_emitting_chunked(lo, c, b_mp, chunk: int, q: int,
+                              nchunks: int):
+    """Compact emitting tuples (c > 0) to the front IN ORDER, one
+    chunk-sized stable partition sort at a time (the global 4-operand
+    partition's working set alone is ~8-10 GB at 268M positions).
+    Each chunk keeps its first q rows (q >= its emitting count, synced
+    beforehand); the non-emitting tail rows carry c == 0 and are
+    dropped by the slice partition downstream."""
+    los, cs, bs = [], [], []
+    for i in range(nchunks):
+        s = i * chunk
+        ci = c[s:s + chunk]
+        key = (ci <= 0).astype(jnp.int32)
+        _, lc, cc, bc = jax.lax.sort(
+            (key, lo[s:s + chunk], ci,
+             jax.lax.bitcast_convert_type(b_mp[s:s + chunk],
+                                          jnp.int32)),
+            num_keys=1, is_stable=True)
+        los.append(lc[:q])
+        cs.append(cc[:q])
+        bs.append(bc[:q])
+    return jnp.concatenate(los), jnp.concatenate(cs), jnp.concatenate(bs)
+
+
+@partial(jax.jit, static_argnames=("b_rpos_bits",))
+def _partition_slices(lo_s, c_s, b_s, br_mid, b_rpos_bits: int):
+    """3-way stable partition of the compacted tuple stream:
+    slice 0 (br < br_mid) | slice 1 | dead (c == 0).  Stability keeps
+    original tuple order within each slice, so per-slice fills see
+    exactly the unsliced hit order restricted to the slice."""
+    br = (jax.lax.bitcast_convert_type(b_s, jnp.uint32)
+          >> jnp.uint32(1 + b_rpos_bits)).astype(jnp.int32)
+    key = jnp.where(c_s > 0, jnp.where(br >= br_mid, 1, 0), 2)
+    _, lc, cc, bc = jax.lax.sort((key, lo_s, c_s, b_s), num_keys=1,
+                                 is_stable=True)
+    return lc, cc, bc
+
+
+@partial(jax.jit, static_argnames=("hcap", "cap_h"))
+def _fill_slice(lo_s, c_s, b_s, a_mp, start, n_h, hcap: int,
+                cap_h: int):
+    """v5-style fill of ONE slice: window [start, start+hcap) of the
+    partitioned stream (rows >= n_h masked dead — the static window
+    may overrun into the next slice), diff-scatter expansion at cap_h,
+    and the A-payload gather.  Returns (ap_mp, bp_mp) with dead hit
+    rows = 0xFFFFFFFF, as match_fill_packed does."""
+    lo_h = jax.lax.dynamic_slice(lo_s, (start,), (hcap,))
+    c_h = jax.lax.dynamic_slice(c_s, (start,), (hcap,))
+    b_h = jax.lax.dynamic_slice(b_s, (start,), (hcap,))
+    live_t = jnp.arange(hcap, dtype=jnp.int32) < n_h
+    c_h = jnp.where(live_t, c_h, 0)
+    cum = jnp.cumsum(c_h)
+    starts = cum - c_h
+    nzh = c_h > 0
+    s0 = jnp.where(nzh, jnp.minimum(starts, cap_h), cap_h)
+
+    def expand(vc):
+        d = vc - jnp.concatenate([jnp.zeros(1, vc.dtype), vc[:-1]])
+        w = jnp.zeros(cap_h + 1, jnp.int32).at[s0].add(d)
+        return jnp.cumsum(w[:cap_h])
+
+    shift = expand(lo_h - starts)
+    e_bmp = expand(b_h)
+    hit0 = jnp.arange(cap_h, dtype=jnp.int32)
+    aidx = hit0 + shift
+    ap_mp = a_mp[jnp.clip(aidx, 0, a_mp.shape[0] - 1)]
+    nhits = jnp.minimum(cum[-1], cap_h)
+    live = hit0 < nhits
+    dead = jnp.uint32(0xFFFFFFFF)
+    return (jnp.where(live, ap_mp, dead),
+            jnp.where(live, jax.lax.bitcast_convert_type(e_bmp,
+                                                         jnp.uint32),
+                      dead), nhits)
+
+
+@partial(jax.jit, static_argnames=("a_rpos_bits", "b_rpos_bits",
+                                   "bucket_bits", "read_bits",
+                                   "band_shift", "seed_cap"))
+def _merge_seed_slices(parts, a_rpos_bits: int, b_rpos_bits: int,
+                       bucket_bits: int, read_bits: int,
+                       band_shift: int, seed_cap: int):
+    """Restore the global sorted order over per-slice seed buffers:
+    rebuild each seed's band key (identical formula to
+    diagonal_filter_packed) and ONE small sort merges the slices —
+    output bit-identical to the unsliced pipeline (band anchors are
+    unique per band: no ties)."""
+    ar, br, arp, brp, score, comp = (jnp.concatenate(x)
+                                     for x in zip(*parts))
+    rpb = max(a_rpos_bits, b_rpos_bits)
+    diag = jnp.where(comp == 1, arp + brp, arp - brp + (1 << rpb))
+    bucket = (diag >> band_shift).astype(jnp.int32)
+    dead = ar < 0
+    dr = jnp.int32((1 << read_bits) - 1)
+    widths = (a_rpos_bits, bucket_bits, 1, read_bits, read_bits)
+    fmax = [jnp.int32((1 << w) - 1) for w in widths]
+    fields = [jnp.where(dead, m, f) for f, m in
+              zip((arp, bucket, comp, br, ar), fmax)]
+    fields[3] = jnp.where(dead, dr, br)
+    fields[4] = jnp.where(dead, dr, ar)
+    words = pack_fields(fields, widths)
+    _, pays = radix_sort_packed(words, (ar, br, arp, brp, score, comp),
+                                sum(widths))
+    return tuple(p[:seed_cap] for p in pays)
+
+
+def _find_seeds_sliced(amp, bmp, lo, cnt, *, blk_a, blk_b, cfg,
+                       hit_cap: int, seed_cap: int,
+                       a_rid_bits: int, a_rpos_bits: int,
+                       b_rid_bits: int, b_rpos_bits: int,
+                       upper_only: bool, include_self: bool,
+                       a_starts_d, b_starts_d,
+                       use_bias: bool = False, wprefix=None):
+    """Sliced fill + banding for 200 Mbp-class blocks (see the section
+    comment above).  Drop-in replacement for the match_fill_packed +
+    diagonal_filter_packed tail of find_seeds_canonical_dev; output is
+    bit-identical (same seeds, same order)."""
+    table = lo.shape[0]
+    chunk = min(_SLICE_CHUNK, table)
+    nchunks = table // chunk
+    br_mid = jnp.int32(max(blk_b.nreads // 2, 1))
+    counts = np.asarray(_sliced_counts(
+        cnt, bmp, br_mid, chunk=chunk, nchunks=nchunks,
+        b_rpos_bits=b_rpos_bits))
+    n0, n1, t0, t1 = (int(x) for x in counts[nchunks:])
+    q = _pow2_cap(int(counts[:nchunks].max()), chunk)
+    stream = _compact_emitting_chunked(lo, cnt, bmp, chunk=chunk, q=q,
+                                       nchunks=nchunks)
+    lc, cc, bc = _partition_slices(*stream, br_mid,
+                                   b_rpos_bits=b_rpos_bits)
+    hcap = _pow2_cap(max(n0, n1, 1), q * nchunks)
+    cap_h = _pow2_cap(max(t0, t1, 1), hit_cap)
+    read_bits = quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1)
+    parts, nseeds_h, totseeds_h = [], [], []
+    for start, n_h in ((jnp.int32(0), n0), (jnp.int32(n0), n1)):
+        ap_mp, bp_mp, nhits = _fill_slice(
+            lc, cc, bc, amp, start, jnp.int32(n_h), hcap=hcap,
+            cap_h=cap_h)
+        ar, br, arp, brp, score, scomp, ns, ts = \
+            diagonal_filter_packed(
+                ap_mp, bp_mp, nhits,
+                a_rid_bits=a_rid_bits, a_rpos_bits=a_rpos_bits,
+                b_rid_bits=b_rid_bits, b_rpos_bits=b_rpos_bits,
+                read_bits=read_bits, band_shift=cfg.band_shift,
+                hit_min=cfg.hit_min, kmer=cfg.kmer, seed_cap=seed_cap,
+                upper_only=upper_only, include_self=include_self,
+                use_bias=use_bias, wprefix=wprefix,
+                a_starts=a_starts_d if use_bias else None)
+        parts.append((ar, br, arp, brp, score, scomp))
+        nseeds_h.append(ns)
+        totseeds_h.append(ts)
+    rpb = max(a_rpos_bits, b_rpos_bits)
+    bucket_bits = rpb + 2 - cfg.band_shift
+    ar, br, arp, brp, score, scomp = _merge_seed_slices(
+        tuple(parts), a_rpos_bits=a_rpos_bits,
+        b_rpos_bits=b_rpos_bits, bucket_bits=bucket_bits,
+        read_bits=read_bits, band_shift=cfg.band_shift,
+        seed_cap=seed_cap)
+    total_seeds = totseeds_h[0] + totseeds_h[1]
+    nseeds = jnp.minimum(nseeds_h[0] + nseeds_h[1], seed_cap)
+    sap, sbp = seeds_to_block_coords(ar, br, arp, brp, scomp,
+                                     a_starts_d, b_starts_d, cfg.kmer)
+    return {
+        "aread": ar, "bread": br, "apos": sap, "bpos": sbp,
+        "cov": score, "comp": scomp, "nseeds": nseeds,
+        "total_seeds": total_seeds,
+        "total_hits": jnp.int32(t0 + t1),
+        "total_compact": jnp.int32(t0 + t1),
+        "total_emit": jnp.int32(n0 + n1), "tcap": q * nchunks,
+        "overflow": (total_seeds > seed_cap)
+        | jnp.bool_(t0 > cap_h or t1 > cap_h),
+        "raw_cap": hit_cap,
+        "compact_cap": cap_h,
+    }
+
+
 @partial(jax.jit, static_argnames=(
     "a_rid_bits", "a_rpos_bits", "b_rid_bits", "b_rpos_bits",
     "read_bits", "band_shift", "hit_min", "kmer", "seed_cap",
@@ -1103,6 +1319,25 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
     else:
         want_raw = min(raw_hint, hit_cap)
     cap = _pow2_cap(want_raw, hit_cap)
+    if cap > _SLICE_CAP:
+        # 200 Mbp-class hit volume: the sliced pipeline bounds every
+        # working set (see the sliced-seeding section comment)
+        a_starts_d = jnp.asarray(np.asarray(blk_a.starts,
+                                            dtype=np.int32))
+        b_starts_d = a_starts_d if blk_b is blk_a \
+            else jnp.asarray(np.asarray(blk_b.starts, dtype=np.int32))
+        use_bias = bias_lut is not None
+        return _find_seeds_sliced(
+            amp, bmp, lo, cnt, blk_a=blk_a, blk_b=blk_b, cfg=cfg,
+            hit_cap=hit_cap, seed_cap=seed_cap,
+            a_rid_bits=a_rid_bits, a_rpos_bits=a_rpos_bits,
+            b_rid_bits=b_rid_bits, b_rpos_bits=b_rpos_bits,
+            upper_only=bool(self_pair and upper_only),
+            include_self=bool(getattr(cfg, "identity", False)),
+            a_starts_d=a_starts_d, b_starts_d=b_starts_d,
+            use_bias=use_bias,
+            wprefix=(_bias_prefix_dev(a_bases, bias_lut)
+                     if use_bias else None))
     # emitting-tuple cap for the fill's compaction partition (v5):
     # hinted from the previous pass like raw_hint, always safe at cap
     tcap = cap if emit_hint is None else _pow2_cap(min(emit_hint, cap),

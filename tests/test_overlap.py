@@ -243,3 +243,91 @@ class TestPipelinedSweep:
             write_las(str(p), la)
             write_las(str(r), ref_a)
             assert p.read_bytes() == r.read_bytes()
+
+
+class TestSlicedSeeding:
+    """The 200 Mbp-class sliced seeding pipeline (chunked emitting-
+    tuple partition + per-b-read-slice fill/banding + seed merge) must
+    be BIT-IDENTICAL — same seeds, same order, same totals — to the
+    single-buffer pipeline.  Forced on at tiny caps via the module
+    thresholds."""
+
+    def _run(self, blk_a, blk_b, cfg, self_pair, **kw):
+        import numpy as np
+        from damar_tpu.ops.seeding import find_seeds_canonical_dev
+        r = find_seeds_canonical_dev(blk_a, blk_b, cfg,
+                                     self_pair=self_pair, **kw)
+        return {k: np.asarray(v) if hasattr(v, "shape") else v
+                for k, v in r.items()}
+
+    def _check(self, blk_a, blk_b, self_pair, upper_only):
+        import numpy as np
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.ops import seeding as S
+        cfg = OverlapConfig()
+        kw = dict(upper_only=upper_only, hit_cap=1 << 24,
+                  seed_cap=1 << 16)
+        r_u = self._run(blk_a, blk_b, cfg, self_pair, **kw)
+        orig_cap, orig_chunk = S._SLICE_CAP, S._SLICE_CHUNK
+        try:
+            S._SLICE_CAP = 1 << 17
+            S._SLICE_CHUNK = 1 << 19
+            r_s = self._run(blk_a, blk_b, cfg, self_pair, **kw)
+        finally:
+            S._SLICE_CAP, S._SLICE_CHUNK = orig_cap, orig_chunk
+        n = int(r_u["nseeds"])
+        assert int(r_s["nseeds"]) == n and n > 0
+        for k in ("aread", "bread", "apos", "bpos", "cov", "comp"):
+            np.testing.assert_array_equal(r_u[k][:n], r_s[k][:n],
+                                          err_msg=k)
+        assert int(r_u["total_seeds"]) == int(r_s["total_seeds"])
+        assert int(r_u["total_hits"]) == int(r_s["total_hits"])
+
+    def test_self_pair_bit_identical(self):
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(150_000, seed=7)
+        sim = sample_reads(g, coverage=8, mean_len=4000, err=0.13,
+                           seed=8)
+        blk = block_from_reads(sim.reads)
+        self._check(blk, blk, self_pair=True, upper_only=True)
+
+    def test_cross_pair_bit_identical(self):
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        g = make_genome(150_000, seed=17)
+        sim = sample_reads(g, coverage=10, mean_len=4000, err=0.13,
+                           seed=18)
+        half = len(sim.reads) // 2
+        blk_a = block_from_reads(sim.reads[:half])
+        blk_b = block_from_reads(sim.reads[half:])
+        self._check(blk_a, blk_b, self_pair=False, upper_only=False)
+
+    def test_empty_slice_ok(self):
+        """A degenerate split (all hits on one side of br_mid) must
+        still produce the identical result."""
+        import numpy as np
+        from damar_tpu.core.blocks import block_from_reads
+        from damar_tpu.utils.sim import make_genome, sample_reads
+        from damar_tpu.core.config import OverlapConfig
+        from damar_tpu.ops import seeding as S
+        g = make_genome(60_000, seed=27)
+        sim = sample_reads(g, coverage=6, mean_len=3000, err=0.12,
+                           seed=28)
+        # B block with ONE read: br_mid=0 puts everything in slice 1
+        blk_a = block_from_reads(sim.reads[:-1])
+        blk_b = block_from_reads(sim.reads[-1:])
+        cfg = OverlapConfig()
+        kw = dict(upper_only=False, hit_cap=1 << 22, seed_cap=1 << 14)
+        r_u = self._run(blk_a, blk_b, cfg, False, **kw)
+        orig_cap, orig_chunk = S._SLICE_CAP, S._SLICE_CHUNK
+        try:
+            S._SLICE_CAP = 1 << 17
+            S._SLICE_CHUNK = 1 << 19
+            r_s = self._run(blk_a, blk_b, cfg, False, **kw)
+        finally:
+            S._SLICE_CAP, S._SLICE_CHUNK = orig_cap, orig_chunk
+        n = int(r_u["nseeds"])
+        assert int(r_s["nseeds"]) == n
+        for k in ("aread", "bread", "apos", "bpos"):
+            np.testing.assert_array_equal(r_u[k][:n], r_s[k][:n])
