@@ -1007,7 +1007,7 @@ def _merge_seed_slices(parts, a_rpos_bits: int, b_rpos_bits: int,
     return tuple(p[:seed_cap] for p in pays)
 
 
-def _find_seeds_sliced(amp, bmp, lo, cnt, *, blk_a, blk_b, cfg,
+def _find_seeds_sliced(amp, bmp, lo_cnt, *, blk_a, blk_b, cfg,
                        hit_cap: int, seed_cap: int,
                        a_rid_bits: int, a_rpos_bits: int,
                        b_rid_bits: int, b_rpos_bits: int,
@@ -1017,7 +1017,13 @@ def _find_seeds_sliced(amp, bmp, lo, cnt, *, blk_a, blk_b, cfg,
     """Sliced fill + banding for 200 Mbp-class blocks (see the section
     comment above).  Drop-in replacement for the match_fill_packed +
     diagonal_filter_packed tail of find_seeds_canonical_dev; output is
-    bit-identical (same seeds, same order)."""
+    bit-identical (same seeds, same order).
+
+    lo_cnt: [lo, cnt] as a LIST this function empties — the caller
+    must not keep its own refs (table-scale arrays, ~1 GB each at the
+    200 Mbp unit)."""
+    lo, cnt = lo_cnt
+    lo_cnt.clear()
     table = lo.shape[0]
     chunk = min(_SLICE_CHUNK, table)
     nchunks = table // chunk
@@ -1029,8 +1035,14 @@ def _find_seeds_sliced(amp, bmp, lo, cnt, *, blk_a, blk_b, cfg,
     q = _pow2_cap(int(counts[:nchunks].max()), chunk)
     stream = _compact_emitting_chunked(lo, cnt, bmp, chunk=chunk, q=q,
                                        nchunks=nchunks)
+    # at 268M positions the table-scale inputs are ~1 GB EACH: drop
+    # every frame ref the moment its consumer is dispatched, or they
+    # ride through the fills and blow the 16 GB budget (measured:
+    # pass 1 OOMed with them pinned)
+    del lo, cnt
     lc, cc, bc = _partition_slices(*stream, br_mid,
                                    b_rpos_bits=b_rpos_bits)
+    del stream
     hcap = _pow2_cap(max(n0, n1, 1), q * nchunks)
     cap_h = _pow2_cap(max(t0, t1, 1), hit_cap)
     read_bits = quantize_bits(max(blk_a.nreads, blk_b.nreads) + 1)
@@ -1327,8 +1339,12 @@ def find_seeds_canonical_dev(blk_a, blk_b, cfg, mask_a=None, mask_b=None,
         b_starts_d = a_starts_d if blk_b is blk_a \
             else jnp.asarray(np.asarray(blk_b.starts, dtype=np.int32))
         use_bias = bias_lut is not None
+        # hand lo/cnt over in a list the callee EMPTIES, and drop this
+        # frame's refs: at 268M positions these are ~1 GB each and
+        # must not stay pinned through the sliced fills (cum too)
+        args, lo, cnt, cum = [lo, cnt], None, None, None
         return _find_seeds_sliced(
-            amp, bmp, lo, cnt, blk_a=blk_a, blk_b=blk_b, cfg=cfg,
+            amp, bmp, args, blk_a=blk_a, blk_b=blk_b, cfg=cfg,
             hit_cap=hit_cap, seed_cap=seed_cap,
             a_rid_bits=a_rid_bits, a_rpos_bits=a_rpos_bits,
             b_rid_bits=b_rid_bits, b_rpos_bits=b_rpos_bits,

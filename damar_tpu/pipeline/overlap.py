@@ -1485,7 +1485,8 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
     stats = dict(seeds=0, extents=0, kept=0, dropped_trace=0)
 
     host = _host_compute_enabled()
-    if not host and max(blk_a.cap, blk_b.cap) > (1 << 27):
+    if (not host and max(blk_a.cap, blk_b.cap) > (1 << 27)
+            and os.environ.get("DAMAR_HUGE_RELEASE", "1") != "0"):
         # 200 Mbp-class block on either side: seeding's peak working
         # set (fill buffers + the 3-operand banding sort at ~200M
         # hits) needs essentially ALL of the 16 GB chip.  The r5
@@ -1985,6 +1986,7 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
                 emit(ch, res, retry_sink=sink)
 
     t_rt = time.time()
+    stats["trace_retries"] = sum(len(p["ar"]) for p in retries)
     if retries:
         # NOTE: the retry ladder is PLATFORM-chosen, not governed by
         # DAMAR_BP — the tiers have no JAX twin (on CPU even the
@@ -1998,8 +2000,11 @@ def las_from_extents(blk_a: ReadBlock, blk_b: ReadBlock,
             still: list = []
             retry_round(retries, _native_bp64_trace, still)
             retries = still
+            stats["t_trace_retry_bp64"] = round(time.time() - t_rt, 3)
     if retries:
         from damar_tpu import native
+        stats["trace_retries_wide"] = sum(len(p["ar"])
+                                          for p in retries)
         wide_k = (_native_wide_trace
                   if host and native.available()
                   else _wide_trace_kernel(cfg))

@@ -88,7 +88,7 @@ def run_level(level: int) -> None:
     al = int(la.a_spans().sum())
     print(f"# L{level} pass2: {wall:.2f}s, {al/1e9:.2f} Gbp = "
           f"{al/wall/1e9:.4f} Gbp/s, stats "
-          f"{ {k: v for k, v in st.items() if k.startswith('t_')} }",
+          f"{ {k: v for k, v in st.items() if k.startswith('t_') or 'retr' in k or k == 'dropped_trace'} }",
           file=sys.stderr, flush=True)
     from damar_tpu.formats.las import check_las
     errs = check_las(la, blk.rlen)
