@@ -1486,18 +1486,15 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
 
     host = _host_compute_enabled()
     if (not host and max(blk_a.cap, blk_b.cap) > (1 << 27)
-            and os.environ.get("DAMAR_HUGE_RELEASE", "1") != "0"):
-        # 200 Mbp-class block on either side: seeding's peak working
-        # set (fill buffers + the 3-operand banding sort at ~200M
-        # hits) needs essentially ALL of the 16 GB chip.  The r5
-        # fresh-process eviction ladder (scripts/probe_200m_ladder.py)
-        # proved NO cross-pass residency fits: keeping even the
-        # cached A index (~2 GB) OOMs the next pass, and only a full
-        # release (= cold-pass state) runs steadily.  Release BEFORE
-        # any cache lookup builds local refs, and pay the per-pass
-        # rebuild — blocks this size are HBM-inefficient on a 16 GB
-        # chip; the planner should prefer <= 67 MB blocks (see
-        # BASELINE.md 200 Mbp row).
+            and os.environ.get("DAMAR_HUGE_RELEASE", "0") == "1"):
+        # 200 Mbp-class block: with the SLICED seeding pipeline
+        # (ops/seeding._find_seeds_sliced) every working set is
+        # bounded and full cross-pass residency FITS the 16 GB chip —
+        # measured pass 2 at the 268M-position unit: 52.3 s with the
+        # index kept vs 111.8 s released (r5 ladder L0 vs L3).
+        # DAMAR_HUGE_RELEASE=1 restores the conservative full release
+        # (cold-pass state every pass) if a future workload's peak
+        # regresses.
         release_device_buffers(blk_a)
         if blk_b is not blk_a:
             release_device_buffers(blk_b)
