@@ -7,13 +7,19 @@ parent runs each level in a subprocess (fresh backend) and stops at
 the first level whose pass 2 succeeds.
 
 Levels (cumulative):
-  L0  keep everything (r4 steady-state: trace pool already evicted at
-      seeding by the huge-block branch)
+  L0  keep everything — WORKS with sliced seeding (r5): pass 2 52.3 s
+      with the index resident; the production default
   L1  + drop packed-word caches on blk and its rc twin (on-device
       rebuild is one cheap repack per pass)
   L2  + drop the rc twin's dev arrays entirely (re-upload ~27 s at
       9 MB/s unless rebuilt on device)
-  L3  full release_device_buffers (index rebuild per pass)
+  L3  full release_device_buffers (index rebuild per pass; 111.8 s —
+      what DAMAR_HUGE_RELEASE=1 restores)
+
+History: with the UNSLICED pipeline (pre-r5) L0-L2 all OOMed and only
+L3 ran — seeding's peak left no residency headroom.  The sliced
+pipeline (ops/seeding._find_seeds_sliced) bounds the working sets and
+flipped the answer to L0.
 
 Usage:  python scripts/probe_200m_ladder.py            # parent
         python scripts/probe_200m_ladder.py --level N  # one level

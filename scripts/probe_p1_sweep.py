@@ -16,9 +16,11 @@ blk = block_from_reads(sim.reads)
 
 for p1 in (128, 512, 1024, 2048):
     cfg = dataclasses.replace(OverlapConfig(), ext_phase1_rows=p1)
-    t0 = time.time()
-    st = ov.overlap_pair_device(blk, blk, cfg, True, emit_mirrors=False)
-    stats = st["stats"]
-    print(f"P1={p1}: t_seed {stats.get('t_seed')} t_extend "
+    for r in range(2):                      # run 2 = compile-warm
+        t0 = time.time()
+        st = ov.overlap_pair_device(blk, blk, cfg, True,
+                                    emit_mirrors=False)
+        stats = st["stats"]
+    print(f"P1={p1} (warm): t_seed {stats.get('t_seed')} t_extend "
           f"{stats.get('t_extend')} extents {stats.get('extents')} "
           f"wall {time.time()-t0:.2f}", file=sys.stderr, flush=True)
