@@ -200,7 +200,6 @@ def main() -> None:
             tpu_wedged = True
         on_cpu = True
     if on_cpu:
-        import os
         import jax
         jax.config.update("jax_platforms", "cpu")
         # numpy stable sorts beat XLA:CPU's sort ~3.5x on the seeding
