@@ -1529,9 +1529,13 @@ def overlap_pair_device(blk_a: ReadBlock, blk_b: ReadBlock,
 
         def _build_dev():
             # the A block's bases + index stay HBM-resident for the
-            # whole A row (cached together so they expire together)
-            ab = jnp.asarray(blk_a.bases)
-            rid = jnp.asarray(blk_a.read_id)
+            # whole A row.  Uploads go through _dev_arr so they UNIFY
+            # with the B-side / prefetch residency cache — a block
+            # that was a B block (or prefetched) moments ago must not
+            # re-upload when it becomes the A row (raw jnp.asarray
+            # paid a second ~1.4 s/12 MB tunnel upload per row)
+            ab = _dev_arr(blk_a, "bases")
+            rid = _dev_arr(blk_a, "read_id")
             return ab, rid, canonical_index_dev(ab, rid, blk_a,
                                                 cfg.kmer, am)
 
@@ -2069,19 +2073,46 @@ def overlap_pairs_pipelined(jobs, cfg: OverlapConfig,
                 job.pop("self_block"), **job)
             yield (tag,) + overlap_pair_emit(state)
         return
+    def prefetch(job):
+        """Async-dispatch the NEXT pair's block uploads while the
+        current pair computes: jnp.asarray returns immediately and the
+        host->device transfer (1.4 s per fresh 12 MB block over the
+        ~9 MB/s tunnel — the sweep bench's dominant per-pair fixed
+        cost) proceeds in the background into the residency cache the
+        pair will hit.  Skipped for 200 Mbp-class blocks, whose HBM
+        budget cannot carry a spare block."""
+        try:
+            for b in (job.get("blk_a"), job.get("blk_b")):
+                if b is not None and b.cap <= (1 << 27):
+                    _dev_arr(b, "bases")
+                    _dev_arr(b, "read_id")
+        except Exception:
+            pass
+
     ex = cf.ThreadPoolExecutor(max_workers=1)
     try:
         pending = None
-        for job in jobs:
+        it = iter(jobs)
+        job = next(it, None)
+        while job is not None:
             job = dict(job)
             tag = job.pop("tag", None)
             state = overlap_pair_device(
                 job.pop("blk_a"), job.pop("blk_b"), cfg,
                 job.pop("self_block"), **job)
+            # pull the next job only AFTER the current pair's device
+            # phases: job generators (run_overlap_plan) clear caches
+            # on row advance as a side effect of iteration, and an
+            # early pull would evict the CURRENT pair's A index.  The
+            # prefetched upload overlaps this pair's host trace+emit.
+            nxt = next(it, None)
+            if nxt is not None:
+                prefetch(nxt)
             if pending is not None:
                 ptag, fut = pending
                 yield (ptag,) + fut.result()
             pending = (tag, ex.submit(overlap_pair_emit, state, True))
+            job = nxt
         if pending is not None:
             ptag, fut = pending
             yield (ptag,) + fut.result()
